@@ -1,0 +1,66 @@
+"""Headline benchmark (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (computes every row,
+returns nothing to the driver) — the honest analog of a sink at scale,
+with zero collect overhead polluting the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from numalogic_prometheus_spark import plans
+from numalogic_prometheus_spark.session import get_session
+
+# Headline set: one per operator family (SURVEY.md §2C) as they land.
+HEADLINE = [
+    "counter_hourly",
+    "gauge_latest_per_user",
+    "summary_by_type",
+    "histogram_cumulative",
+    "info_latest_per_user",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+    spark = get_session(app_name="bench")
+
+    queries = plans.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # plan, not session startup.
+    for t in ("events", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Query registry: every operator from SURVEY.md §2 registers here.
+
+Each query module decorates callables with ``@register(name, oracle=...)``;
+``all_queries()`` / ``all_oracles()`` feed ``__spark_entry__.py`` (driver
+contract). A ``None`` oracle means the op is not SQL-expressible (streaming
+state, ML inference) and gets the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Query modules, imported lazily so a bug in one module doesn't take down
+# the whole registry surface at import time.
+_MODULES = (
+    "relational",
+    "aggregates",
+    "windows",
+    "scalars",
+    "metrics",
+    "promql",
+    "ml",
+    "text",
+    "vectors",
+    "streaming_queries",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+IMPORT_ERRORS: dict[str, Exception] = {}
+
+
+def _load_all() -> None:
+    for mod in _MODULES:
+        try:
+            importlib.import_module(f"numalogic_prometheus_spark.plans.{mod}")
+        except Exception as exc:  # keep the rest of the surface alive
+            IMPORT_ERRORS[mod] = exc
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)

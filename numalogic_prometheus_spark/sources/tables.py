@@ -1,0 +1,57 @@
+"""Batch parquet sources over the driver's synthetic tables (TESTDATA.md).
+
+Scale posture: these are plain ``spark.read.parquet`` scans so Catalyst's
+vectorized reader, predicate pushdown, and column pruning all apply. At the
+100 TB design point the same loader works over a partitioned table root
+(e.g. ``.../events/dt=2024-01-01/*.parquet``) — partition pruning is then
+free because every downstream operator filters/aggregates through Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from numalogic_prometheus_spark.session import pin_session_invariants
+
+# The ten driver tables (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table. Column pruning/pushdown handled by Catalyst."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The driver's verify harness may hand us a vanilla session; every
+    # query path goes through here, so re-pin the runtime invariants
+    # (UTC, LAST_WIN map dedup, nanos-as-long parquet reads).
+    pin_session_invariants(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Truncate nanos → µs with integer division (epoch-nanos exceeds
+    # double's 53-bit mantissa, so float division would corrupt it) and
+    # restore the timestamp type — matches DuckDB's ns→µs read.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (mirrors the DuckDB oracle setup)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

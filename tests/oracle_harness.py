@@ -1,0 +1,76 @@
+"""Local mimic of the driver's DuckDB differential check.
+
+Runs a registered Spark query and its oracle SQL on the same parquet dir,
+then compares row count, sorted column names, and an order-insensitive
+canonicalized value multiset. Floats are canonicalized at 1e-6 so the
+check is strictly tighter than any reasonable driver hash tolerance while
+still absorbing cross-engine fp formatting noise.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import duckdb
+import pandas as pd
+
+from numalogic_prometheus_spark.sources.tables import TABLES
+
+
+def _canon_cell(v):
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat(timespec="milliseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_canon_cell(x) for x in seq) + "]"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if pd.isna(v):
+        return "null"
+    return str(v)
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    return sorted(rows)
+
+
+def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
+    sp = spark_df.toPandas()
+    assert sorted(sp.columns) == sorted(oracle_df.columns), (
+        f"{name}: column mismatch spark={sorted(sp.columns)} "
+        f"oracle={sorted(oracle_df.columns)}"
+    )
+    assert len(sp) == len(oracle_df), (
+        f"{name}: row count spark={len(sp)} oracle={len(oracle_df)}"
+    )
+    a, b = _canon_frame(sp), _canon_frame(oracle_df)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
