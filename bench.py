@@ -22,13 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from numalogic_prometheus_spark import plans
 from numalogic_prometheus_spark.session import get_session
 
-# Headline set: one per operator family (SURVEY.md §2C) as they land.
+# Headline set: one per operator family (SURVEY.md §2C).
 HEADLINE = [
-    "counter_hourly",
-    "gauge_latest_per_user",
-    "summary_by_type",
-    "histogram_cumulative",
-    "info_latest_per_user",
+    "counter_hourly",             # discipline agg scan
+    "gauge_latest_per_user",      # max_by agg
+    "summary_by_type",            # exact percentiles
+    "histogram_cumulative",       # conditional bucket agg
+    "info_latest_per_user",       # window rank
+    "agg_pricing_summary",        # TPC-H Q1 analog
+    "join_fact_fact_revenue",     # shuffle fact-fact join
+    "join_broadcast_enrich",      # broadcast dim join
+    "join_asof_last_error",       # as-of (union+window)
+    "win_topk_per_group",         # per-group top-k
+    "agg_window_vectors",         # B2 window assembly
+    "promql_histogram_quantile_p90",  # bucket interpolation
+    "ml_ensemble_unified",        # scaler+ensemble+unified expressions
+    "dedup_shingle_minhash_pairs",    # MinHash LSH near-dup
+    "vec_ann_signbucket_topk",    # LSH-bucketed ANN
+    "text_stats",                 # map-only text analysis
 ]
 
 

@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale text pipelines ([north-star],
+BASELINE.json: LLM-data-pipeline dedup at 100 TB design scale).
+
+Four families, all shuffle-aware:
+
+- exact            — md5(text) group-by; one exchange on the hash.
+- MinHash + LSH    — k seeded min-hashes per doc computed INSIDE a row
+                     expression (no explode, no shuffle), banded into
+                     buckets; only docs sharing a band bucket become
+                     candidate pairs (the classic sub-quadratic path —
+                     pairwise cost collapses from O(n²) to the collision
+                     mass of the bands); candidates verified with exact
+                     Jaccard via an exploded token join.
+- SimHash          — 32-bit sign-vote signature, again a pure row
+                     expression; near-dup = small Hamming distance.
+- shingles         — w-token shingles feed the same MinHash machinery
+                     (n-gram Jaccard).
+
+Portable hashing (functions/hashing.py) keeps every stage reproducible in
+the DuckDB oracle. The reference's own dedup is key/ts payload dedup
+(CHANGELOG.md:189, :530) — covered by `dropDuplicates` in the streaming
+layer; these operators extend dedup to content similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.hashing import hash32, hash32_seeded
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (fixture texts are single-space joined)."""
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, w: int = 3) -> Column:
+    """w-token shingles: slice windows out of the token array — a pure
+    row expression (no explode)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n < w, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        )
+    )
+
+
+def minhash_signature(items: Column, k: int = 8) -> Column:
+    """k seeded min-hashes over a set of strings, as one array column.
+
+    Entirely inside the row — at 100 TB this is a map-only stage; the
+    only shuffle in the whole LSH pipeline is the band-bucket exchange.
+    """
+    # NB: the hasher must be a ONE-arg lambda — F.transform interprets a
+    # two-arg lambda (e.g. `lambda t, s=seed`) as (element, index) and
+    # silently passes the array index as the second argument.
+    def _hasher(seed: int):
+        return lambda t: hash32_seeded(t, seed)
+
+    distinct = F.array_distinct(items)
+    return F.array(
+        *[F.array_min(F.transform(distinct, _hasher(seed))) for seed in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, sig_col: str, bands: int = 4, rows: int = 2
+) -> DataFrame:
+    """Band the signature and emit candidate pairs (a < b) sharing any
+    band bucket. Shuffles once on (band_idx, band_hash); the self-join
+    inside a bucket is tiny unless docs genuinely collide."""
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(sig_col)[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, items: DataFrame, id_col: str, item_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via exploded item join.
+
+    `items` is the exploded (id, item) distinct relation. Intersection
+    counts come from one equi-join on item restricted to candidate pairs;
+    set sizes broadcast back. Only candidates pay this cost.
+    """
+    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    ia = items.select(F.col(id_col).alias("id_a"), F.col(item_col).alias("item"))
+    ib = items.select(F.col(id_col).alias("id_b"), F.col(item_col).alias("item"))
+    inter = (
+        pairs.join(ia, "id_a")
+        .join(ib, ["id_b", "item"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"),
+                                     F.col("set_size").alias("size_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"),
+                                     F.col("set_size").alias("size_b"))),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signature(items: Column, bits: int = 32) -> Column:
+    """SimHash: per-bit ±1 votes from each item's hash, sign-aggregated —
+    one row expression, zero shuffle.
+
+    votes = Σ_item (bit_j(h) ? +1 : -1);  signature bit_j = votes_j > 0.
+    """
+    # F.shiftright/shiftleft take Python-int bit counts, so inside lambdas
+    # the bit extraction is done with exact power-of-two arithmetic
+    # (h < 2^32 ≪ 2^53, so the double division is exact).
+    def bit_of(h: Column, j: Column) -> Column:
+        return F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2
+
+    distinct = F.array_distinct(items)
+    bit_votes = F.aggregate(
+        F.transform(
+            distinct,
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: bit_of(hash32(t), j) * 2 - 1,
+            ),
+        ),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

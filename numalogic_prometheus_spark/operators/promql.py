@@ -1,0 +1,103 @@
+"""Read-side PromQL analogs (SURVEY.md §2C, §7 step 4).
+
+The reference delegates querying to Prometheus's TSDB (SURVEY.md §3.3) —
+this module closes that gap with pure Spark SQL compositions:
+
+- ``increase_with_resets`` — per-series lag deltas where a negative delta
+  means counter reset (TSDB semantics layered over discipline A3's
+  monotone counters, reference metrics.py:64-68).
+- ``histogram_quantile`` — Prometheus's linear interpolation inside
+  cumulative ``le`` buckets (reads discipline A6's output, reference
+  metrics.py:173-177).
+- ``topk_per_group`` — PromQL ``topk()``.
+
+Everything is window functions + expressions: one shuffle per partition
+key, no UDFs, fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def increase_with_resets(
+    df: DataFrame,
+    keys: Sequence[str],
+    counter: str,
+    order: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """Counter-reset-aware delta per series: a drop in a monotone counter
+    means the process restarted, so the post-reset value IS the increase
+    (PromQL `increase` kernel). Rows with no predecessor are dropped."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    out = df.withColumn("__raw_delta", F.col(counter) - F.lag(counter).over(w))
+    return (
+        out.filter(F.col("__raw_delta").isNotNull())
+        .withColumn(
+            "increase",
+            F.when(F.col("__raw_delta") < 0, F.col(counter)).otherwise(
+                F.col("__raw_delta")
+            ),
+        )
+        .drop("__raw_delta")
+    )
+
+
+def histogram_quantile(
+    buckets: DataFrame,
+    keys: Sequence[str],
+    q: float,
+    le: str = "le",
+    cum_count: str = "cum_count",
+) -> DataFrame:
+    """Prometheus `histogram_quantile(q, …)` over cumulative buckets.
+
+    Linear interpolation within the first bucket whose cumulative count
+    reaches rank = q·total; the first bucket's lower bound is 0; a
+    quantile landing in +Inf returns the largest finite bound. One window
+    pass over an already-tiny bucket relation — the expensive part
+    (bucketing 100 TB of samples) happened upstream in the single-exchange
+    histogram aggregation.
+    """
+    w = W.partitionBy(*keys).orderBy(le)
+    wall = W.partitionBy(*keys)
+    enriched = buckets.select(
+        *keys,
+        F.col(le).alias("__le"),
+        F.col(cum_count).alias("__n"),
+        F.lag(cum_count, 1, 0).over(w).alias("__prev_n"),
+        F.lag(le, 1, 0.0).over(w).alias("__prev_le"),
+        F.max(cum_count).over(wall).alias("__total"),
+        F.max(F.when(F.col(le) != float("inf"), F.col(le))).over(wall).alias(
+            "__max_finite_le"
+        ),
+    )
+    rank = F.col("__total") * F.lit(q)
+    hit = enriched.filter(F.col("__n") >= rank).withColumn(
+        "__rn", F.row_number().over(W.partitionBy(*keys).orderBy("__le"))
+    ).filter(F.col("__rn") == 1)
+    interp = F.col("__prev_le") + (F.col("__le") - F.col("__prev_le")) * (
+        rank - F.col("__prev_n")
+    ) / (F.col("__n") - F.col("__prev_n"))
+    return hit.select(
+        *keys,
+        F.when(F.col("__le") == float("inf"), F.col("__max_finite_le"))
+        .otherwise(interp)
+        .alias("quantile_value"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame, keys: Sequence[str], value: str, k: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL `topk(k, …)` per group: rank ≤ k after one exchange."""
+    w = W.partitionBy(*keys).orderBy(F.col(value).desc(), *tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

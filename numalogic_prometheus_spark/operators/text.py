@@ -1,0 +1,85 @@
+"""Text-analysis operators ([north-star]: language-ID heuristic, quality
+scoring, token counting, document fingerprinting) over the `documents`
+fixture — all pure array/string expressions (map-only at scale; the only
+shuffles are the final aggregations a query adds on top).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.hashing import hash32
+from numalogic_prometheus_spark.operators.dedup import tokens_col
+
+# Tiny deterministic English stopword list shared with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Fingerprint modulus: keeps the bag-of-words hash sum in a stable range.
+FP_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_col(text))).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_col(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length docs,
+    token diversity, and a natural-language-ish stopword rate. The exact
+    formula is the contract (oracle-replicated), not a claim about
+    linguistics — it is the *shape* of a production quality scorer with
+    every stage a built-in expression."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round((diversity + length_term + stop_term) / 3.0, 6)
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Deterministic language-ID stand-in: stopword-ratio + token-shape
+    n-gram heuristic (real n-gram models plug into the same column
+    contract). Thresholds mirror the oracle SQL exactly."""
+    sw = stopword_ratio(text)
+    avg_len = avg_token_len(text)
+    return (
+        F.when(sw >= 0.08, F.lit("en"))
+        .when(avg_len >= 5.5, F.lit("de"))
+        .otherwise(F.lit("xx"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: Σ hash32(distinct token) mod (2^31−1).
+
+    Order-independent (so any engine computes the same integer), cheap,
+    and collision-safe enough for candidate bucketing at scale."""
+    toks = F.array_distinct(tokens_col(text))
+    total = F.aggregate(
+        F.transform(toks, hash32),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total % F.lit(FP_MOD)

@@ -1,1 +1,225 @@
-"""Placeholder — filled in as operators land (SURVEY.md §2C)."""
+"""Aggregation queries (SURVEY.md §2C "Aggregation").
+
+Every query here compiles to partial+final HashAggregate with map-side
+combine — the shuffle carries one row per (partition, key). Float
+aggregates are rounded identically in both engines; DuckDB's HUGEINT
+integer sums are cast to BIGINT for schema parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: the canonical multi-aggregate scan. 8 aggregates,
+    one exchange; filter pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (B3 key-cardinality accounting). Two distinct
+    columns → Catalyst plans an expand + two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("agg_approx_distinct")  # approx → rows-only check (FIXTURES.md)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx count-distinct (HyperLogLog++): the 100 TB path for label-
+    cardinality monitoring (A9 [north-star]) — mergeable sketch, no expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS sum_acctbal,
+           grouping(r.r_name)::INTEGER AS g_region,
+           grouping(n.n_name)::INTEGER AS g_nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (B9 unified score at (app), (app,ns), () levels): hierarchy
+    totals in one pass via expand."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+        )
+    )
+    return (
+        joined.rollup("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.grouping(F.col("region_name")).cast("int").alias("g_region"),
+            F.grouping(F.col("nation_name")).cast("int").alias("g_nation"),
+        )
+    )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_conditional_buckets",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_high_disc,
+           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS n_bulk,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (A6 bucket counting idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias("n_high_disc"),
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("n_bulk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS std_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (B5 scaler fitting needs mean/σ; corr/covar for
+    ensemble diagnostics B8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_window_vectors",
+    oracle="""
+    SELECT user_id,
+           date_trunc('hour', ts) AS hour,
+           list(value ORDER BY ts, event_id) AS window_vec
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_window_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window assembly (B2, CHANGELOG.md:189/:481): the pipeline's unit of
+    work — a sorted vector of values per (entity, time-bucket). collect_list
+    is unordered in a distributed agg, so sort (ts, event_id, value) structs
+    then project — deterministic content for the oracle hash."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("__sorted")
+        )
+        .select(
+            "user_id",
+            "hour",
+            F.transform(F.col("__sorted"), lambda s: s.value).alias("window_vec"),
+        )
+    )

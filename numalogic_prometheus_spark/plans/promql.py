@@ -1,1 +1,180 @@
-"""Placeholder — filled in as operators land (SURVEY.md §2C)."""
+"""Read-side PromQL-analog queries (SURVEY.md §7 step 4).
+
+The reference computes no historical queries (it delegates to Prometheus's
+TSDB, SURVEY.md §3.3) — these close that gap on top of the discipline
+operators: increase/rate with counter-reset semantics, histogram_quantile
+interpolation, topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.operators import metrics as M
+from numalogic_prometheus_spark.operators.promql import (
+    histogram_quantile,
+    increase_with_resets,
+    topk_per_group,
+)
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+def _synthetic_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-with-wraparound counter per event_type (the fixture has no
+    raw counter column): running sum of value mod 1000, deterministic
+    order (ts, event_id). Matches the oracle CTE used by rate/increase."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.sum(cents).over(w) % 1000).alias("c"),
+    )
+
+
+_COUNTER_CTE = """
+    WITH counter AS (
+        -- integer cents before the running sum: cross-engine-exact
+        SELECT event_type, ts, event_id,
+               (sum(round(value * 100)::BIGINT) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id))::BIGINT % 1000 AS c
+        FROM events
+    ),
+    deltas AS (
+        SELECT event_type, ts, event_id, c,
+               c - lag(c) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS raw_delta
+        FROM counter
+    ),
+    increase AS (
+        SELECT event_type, ts,
+               CASE WHEN raw_delta < 0 THEN c ELSE raw_delta END AS increase
+        FROM deltas
+        WHERE raw_delta IS NOT NULL
+    )
+"""
+
+
+@register(
+    "promql_increase_total",
+    oracle=_COUNTER_CTE
+    + """
+    SELECT event_type, sum(increase)::BIGINT AS total_increase,
+           count(*) AS n_deltas
+    FROM increase
+    GROUP BY event_type
+    """,
+)
+def promql_increase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `increase()` analog: reset-aware per-series deltas summed
+    per series (SURVEY.md §4.3 counter-reset semantics)."""
+    counter = _synthetic_counter(spark, sf_dir)
+    inc = increase_with_resets(
+        counter, ["event_type"], "c", order=["ts", "event_id"]
+    )
+    return inc.groupBy("event_type").agg(
+        F.sum("increase").alias("total_increase"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    )
+
+
+@register(
+    "promql_rate_per_hour",
+    oracle=_COUNTER_CTE
+    + """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           round(sum(increase) / 3600.0, 6) AS rate_per_sec
+    FROM increase
+    GROUP BY 1, 2
+    """,
+)
+def promql_rate_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `rate()` analog: reset-aware increase per fixed window over
+    the window length in seconds."""
+    counter = _synthetic_counter(spark, sf_dir)
+    inc = increase_with_resets(
+        counter, ["event_type"], "c", order=["ts", "event_id"]
+    )
+    return inc.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum("increase") / 3600.0, 6).alias("rate_per_sec"))
+
+
+_BOUNDS_SQL = ",".join(str(b) for b in M.DEFAULT_BUCKETS)
+
+_BUCKET_CTE = f"""
+    WITH buckets AS (
+        SELECT event_type, le,
+               sum(CASE WHEN value <= le THEN 1 ELSE 0 END)::BIGINT AS cum_count
+        FROM events
+        CROSS JOIN (SELECT unnest([{_BOUNDS_SQL}, 'inf'::DOUBLE]) AS le) b
+        GROUP BY event_type, le
+    ),
+    enriched AS (
+        SELECT event_type, le, cum_count,
+               lag(cum_count, 1, 0) OVER w AS prev_n,
+               lag(le, 1, 0.0) OVER w AS prev_le,
+               max(cum_count) OVER (PARTITION BY event_type) AS total,
+               max(CASE WHEN isfinite(le) THEN le END)
+                   OVER (PARTITION BY event_type) AS max_finite_le
+        FROM buckets
+        WINDOW w AS (PARTITION BY event_type ORDER BY le)
+    ),
+    hit AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le) AS rn
+        FROM enriched
+        WHERE cum_count >= total * {{q}}
+    )
+    SELECT event_type,
+           round(CASE WHEN isinf(le) THEN max_finite_le
+                 ELSE prev_le + (le - prev_le) * (total * {{q}} - prev_n)
+                      / (cum_count - prev_n) END, 6) AS quantile_value
+    FROM hit WHERE rn = 1
+"""
+
+
+@register("promql_histogram_quantile_p90", oracle=_BUCKET_CTE.format(q=0.9))
+def promql_histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `histogram_quantile(0.9, …)`: linear interpolation inside
+    cumulative le-buckets (SURVEY.md §4.3), composed over the histogram
+    discipline's output (reference metrics.py:173-177)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = M.histogram_buckets(ev, ["event_type"])
+    out = histogram_quantile(buckets, ["event_type"], 0.9)
+    return out.select(
+        "event_type", F.round("quantile_value", 6).alias("quantile_value")
+    )
+
+
+@register(
+    "promql_topk_users_hourly",
+    oracle="""
+    SELECT hour, user_id, sum_value
+    FROM (
+        SELECT date_trunc('hour', ts) AS hour, user_id,
+               round(sum(value), 4) AS sum_value,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY round(sum(value), 4) DESC, user_id) AS rn
+        FROM events
+        GROUP BY 1, 2
+    ) WHERE rn <= 3
+    """,
+)
+def promql_topk_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `topk(3, sum by (user)(…))` per hour: aggregation then
+    per-window ranking, user_id tiebreak for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    return topk_per_group(
+        per_user, ["hour"], "sum_value", 3, tiebreak=["user_id"]
+    ).select("hour", "user_id", "sum_value")

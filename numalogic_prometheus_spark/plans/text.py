@@ -1,1 +1,384 @@
-"""Placeholder — filled in as operators land (SURVEY.md §2C)."""
+"""Text-analysis + dedup queries over `documents` ([north-star],
+SURVEY.md §7 step 7).
+
+The MinHash/SimHash stages use the portable md5-derived hash
+(functions/hashing.py) so the DuckDB oracle reproduces every intermediate
+integer exactly — the whole LSH pipeline is differential-tested, not just
+smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.hashing import hash32_seeded_sql, hash32_sql
+from numalogic_prometheus_spark.operators import dedup as D
+from numalogic_prometheus_spark.operators import text as TX
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS sp FROM documents
+    )
+    SELECT doc_id, lang,
+           len(sp)::BIGINT AS n_tokens,
+           len(list_distinct(sp))::BIGINT AS n_distinct,
+           round(list_aggregate(list_transform(sp, t -> length(t)), 'sum')
+                 / len(sp)::DOUBLE, 6) AS avg_token_len,
+           round(len(list_filter(sp, t -> t IN ({TX.STOPWORDS_SQL})))::DOUBLE
+                 / len(sp), 6) AS stopword_ratio
+    FROM toks
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + ratio stats per document — all row expressions,
+    no shuffle at all (map-only at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.token_count(t).alias("n_tokens"),
+        TX.distinct_token_count(t).alias("n_distinct"),
+        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               round((
+                   len(list_distinct(sp))::DOUBLE / len(sp)
+                   + least(len(sp) / 100.0, 1.0)
+                   + least((len(list_filter(sp, t -> t IN ({TX.STOPWORDS_SQL})))::DOUBLE
+                            / len(sp)) * 5, 1.0)
+               ) / 3.0, 6) AS quality
+        FROM toks
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(quality), 6) AS avg_quality,
+           round(min(quality), 6) AS min_quality,
+           round(max(quality), 6) AS max_quality
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (diversity + length + stopword-rate heuristic)
+    aggregated per source — the corpus-curation roll-up."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("source", TX.quality_score(F.col("text")).alias("quality"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH feats AS (
+        SELECT lang,
+               len(list_filter(sp, t -> t IN ({TX.STOPWORDS_SQL})))::DOUBLE
+                   / len(sp) AS sw,
+               list_aggregate(list_transform(sp, t -> length(t)), 'sum')
+                   / len(sp)::DOUBLE AS avg_len
+        FROM (SELECT lang, string_split(text, ' ') AS sp FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN sw >= 0.08 THEN 'en'
+                WHEN avg_len >= 5.5 THEN 'de'
+                ELSE 'xx' END AS predicted_lang,
+           count(*) AS n
+    FROM feats
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion counts).
+    Deterministic stand-in for an n-gram language model — same column
+    contract, oracle-checkable thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "lang", TX.langid_heuristic(F.col("text")).alias("predicted_lang")
+    ).groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> {hash32_sql('t')}),
+               'sum')::BIGINT % {TX.FP_MOD} AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bag-of-words fingerprint (portable md5-derived
+    hash — every integer reproduced by the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): duplicate groups with canonical id =
+    min(doc_id). One exchange on the 128-bit text hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first: the surviving doc ids (the relation a
+    pipeline would continue with)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+# MinHash signature CTE shared by the LSH oracles: k=8 seeded min-hashes
+# over distinct unigram tokens.
+def _minhash_sig_sql(k: int = 8) -> str:
+    mins = ",\n               ".join(
+        "list_aggregate(list_transform(toks, t -> "
+        + hash32_seeded_sql("t", seed)
+        + "), 'min') AS h"
+        + str(seed)
+        for seed in range(k)
+    )
+    return f"""
+        SELECT doc_id,
+               {mins}
+        FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents)
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH sigs AS ({_minhash_sig_sql(8)})
+    SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8): the map-only stage of LSH dedup; every
+    hash integer matches the oracle (portable md5-derived hashing)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(D.tokens_col(F.col("text")), k=8)
+    return d.select(
+        "doc_id", *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(8)]
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS ({_minhash_sig_sql(8)}),
+    banded AS (
+        -- one strict band over all 8 min-hashes: the fixture corpus has a
+        -- tiny shared vocabulary, so looser bands collide quadratically
+        SELECT doc_id,
+               h0::VARCHAR || '_' || h1::VARCHAR || '_' || h2::VARCHAR || '_'
+               || h3::VARCHAR || '_' || h4::VARCHAR || '_' || h5::VARCHAR
+               || '_' || h6::VARCHAR || '_' || h7::VARCHAR AS band_key
+        FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (sa.set_size + sb.set_size - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.set_size + sb.set_size - i.n_inter) >= 0.7
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline: signatures (map-only) →
+    band bucket (one exchange) → candidate pairs → exact unigram Jaccard
+    on candidates only (sub-quadratic; the full O(n²) never happens).
+
+    Band tuning is corpus-dependent: the fixture's tiny shared vocabulary
+    makes loose unigram bands collide quadratically, so this query uses
+    one strict band (all 8 min-hashes) — near-exact unigram dedup. The
+    shingle variant below is the looser/realistic-selectivity path."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id", D.minhash_signature(D.tokens_col(F.col("text")), k=8).alias("sig")
+    )
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=1, rows=8)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(D.tokens_col(F.col("text")))).alias("tok")
+    )
+    scored = D.exact_jaccard(cands, toks, "doc_id", "tok")
+    return scored.filter(F.col("jaccard") >= 0.7).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "text_simhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               list_transform(range(0, 32), j ->
+                   list_aggregate(
+                       list_transform(toks, t ->
+                           (({hash32_sql('t')} >> j) & 1) * 2 - 1),
+                       'sum')
+               ) AS v
+        FROM toks
+    )
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(range(0, 32),
+                              j -> CASE WHEN v[j + 1] > 0
+                                        THEN (1::BIGINT << j) ELSE 0 END),
+               'sum')::BIGINT AS simhash
+    FROM votes
+    """,
+)
+def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures: 32 sign-voted bits per doc, pure row expression
+    (zero shuffle). Near-dup candidates = small Hamming distance; the
+    pairing stage reuses LSH banding on signature prefixes at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        D.simhash_signature(D.tokens_col(F.col("text")), bits=32).alias("simhash"),
+    )
+
+
+@register(
+    "dedup_shingle_minhash_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(sp) < 3
+                    THEN [array_to_string(sp, ' ')]
+                    ELSE [array_to_string(sp[i:i+2], ' ')
+                          for i in range(1, len(sp) - 1)] END) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 0)}), 'min') AS h0,
+               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 1)}), 'min') AS h1,
+               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 2)}), 'min') AS h2,
+               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 3)}), 'min') AS h3
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, band_idx,
+               CASE band_idx WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
+                             ELSE h2::VARCHAR || '_' || h3::VARCHAR END AS band_key
+        FROM sigs, (VALUES (0), (1)) bands(band_idx)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    items AS (SELECT doc_id, unnest(shingles) AS item FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM items GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN items ta ON ta.doc_id = c.id_a
+        JOIN items tb ON tb.doc_id = c.id_b AND tb.item = ta.item
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (sa.set_size + sb.set_size - i.n_inter), 6)
+               AS shingle_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.set_size + sb.set_size - i.n_inter) >= 0.2
+    """,
+)
+def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-token shingle) Jaccard near-dup: same MinHash→LSH→verify
+    machinery over shingle sets (k=4, 2 bands) — shingles preserve local
+    word order, catching reorder-invariant unigram false positives."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(D.shingles_col(F.col("text"), w=3)).alias("shingles"),
+    )
+    sigs = sh.select("doc_id", D.minhash_signature(F.col("shingles"), k=4).alias("sig"))
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=2, rows=2)
+    items = sh.select("doc_id", F.explode("shingles").alias("item"))
+    scored = D.exact_jaccard(cands, items, "doc_id", "item")
+    return scored.filter(F.col("jaccard") >= 0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("shingle_jaccard")
+    )

@@ -1,0 +1,69 @@
+"""Streaming source + synchronous micro-batch driver for tests/queries.
+
+A parquet-file streaming source over the same testdata (FIXTURES.md: the
+events table IS the metric-sample stream), driven to completion with
+``processAllAvailable`` against a memory sink — the deterministic local
+harness for streaming semantics. In production the source line swaps for
+Kafka; every transformation below it is unchanged (the point of
+Structured Streaming's unified batch/stream model).
+
+``maxFilesPerTrigger=1`` keeps multi-batch behavior observable (state
+rows survive across micro-batches) even though testdata is one file.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from numalogic_prometheus_spark.session import pin_session_invariants
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-streaming source (schema taken from the batch
+    read — streaming sources require an explicit schema)."""
+    pin_session_invariants(spark)
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file streaming source requires a *directory*; glob-filter down
+    # to the events table inside the sf dir.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Re-apply the loader's ns→µs ts normalization on the streaming side.
+    if dict(stream.dtypes)["ts"] == "bigint":
+        from pyspark.sql import functions as F
+
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    assert stream.schema == batch.schema, "stream/batch schema drift"
+    return stream
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming query to completion into a memory sink and return
+    the result as a batch DataFrame (driver-contract-compatible)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = streaming_df.sparkSession
+    # Materialize: the memory-sink table is only valid while this session
+    # keeps the query registered; snapshot it into a plain DataFrame.
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)

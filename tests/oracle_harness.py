@@ -34,9 +34,12 @@ def _canon_cell(v):
         return ts.isoformat(timespec="milliseconds")
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
-        seq = v.tolist() if hasattr(v, "tolist") else v
-        return "[" + ",".join(_canon_cell(x) for x in seq) + "]"
+    if hasattr(v, "tolist"):  # numpy scalar or array
+        v = v.tolist()
+        if not isinstance(v, list):
+            return _canon_cell(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, bool):
         return str(v).lower()
     if pd.isna(v):
@@ -45,10 +48,12 @@ def _canon_cell(v):
 
 
 def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    # Column-wise iteration: iterrows() upcasts mixed rows to a common
+    # dtype (int64 + float64 → float64), destroying type fidelity.
     cols = sorted(df.columns)
+    series = [df[c] for c in cols]
     rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
+        tuple(_canon_cell(s.iloc[i]) for s in series) for i in range(len(df))
     ]
     return sorted(rows)
 

@@ -1,0 +1,158 @@
+"""Golden-semantics unit tests (SURVEY.md §5.2 item 2): tiny inline
+DataFrames with hand-computed expectations for the pinned-dep edge cases
+of the five disciplines (reference numaprom/monitoring/metrics.py and
+prometheus-client 0.18 semantics)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.operators import metrics as M
+from numalogic_prometheus_spark.operators import ml as ML
+from numalogic_prometheus_spark.operators.promql import (
+    histogram_quantile,
+    increase_with_resets,
+)
+from numalogic_prometheus_spark.operators.relational import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def samples(spark):
+    rows = [
+        Row(name="m", ts=_ts("2024-01-01T00:00:00"), key="a", value=1.0),
+        Row(name="m", ts=_ts("2024-01-01T00:01:00"), key="a", value=2.0),
+        Row(name="m", ts=_ts("2024-01-01T00:02:00"), key="a", value=4.0),
+        Row(name="m", ts=_ts("2024-01-01T00:00:30"), key="b", value=10.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_counter_discipline_sum(samples):
+    # reference metrics.py:64-68 — commutative sum per child series
+    out = {r["key"]: r for r in M.counter(samples, ["key"]).collect()}
+    assert out["a"]["total"] == 7.0 and out["a"]["n_samples"] == 3
+    assert out["b"]["total"] == 10.0
+
+
+def test_gauge_discipline_last_write_wins(samples):
+    # reference metrics.py:144-152 — last write wins, by ts not by value
+    out = {r["key"]: r for r in M.gauge_latest(samples, ["key"]).collect()}
+    assert out["a"]["gauge_value"] == 4.0
+    assert out["a"]["last_ts"] == _ts("2024-01-01T00:02:00")
+
+
+def test_summary_discipline_count_sum(samples):
+    out = {r["key"]: r for r in M.summary(samples, ["key"], quantiles=[0.5]).collect()}
+    assert out["a"]["obs_count"] == 3 and out["a"]["obs_sum"] == 7.0
+    assert out["a"]["q50"] == 2.0  # exact median
+
+
+def test_histogram_cumulative_buckets(spark):
+    # hand-computed: values 0.004, 0.05, 0.3, 20 → le counts must be
+    # cumulative and +Inf must equal total count (pinned-dep semantics)
+    df = spark.createDataFrame(
+        [("k", v) for v in (0.004, 0.05, 0.3, 20.0)], "key string, value double"
+    )
+    out = {r["le"]: r["cum_count"] for r in M.histogram_buckets(df, ["key"]).collect()}
+    assert out[0.005] == 1
+    assert out[0.05] == 2
+    assert out[0.5] == 3
+    assert out[10.0] == 3
+    assert out[float("inf")] == 4
+    # monotone cumulative
+    les = sorted(out)
+    assert all(out[a] <= out[b] for a, b in zip(les, les[1:]))
+
+
+def test_label_merge_right_biased_and_none(spark):
+    # reference metrics.py:65-67 — per-call labels override static
+    # defaults; None per-call labels coerce to {}
+    static = F.create_map(F.lit("env"), F.lit("prod"), F.lit("region"), F.lit("eu"))
+    dynamic_typed = F.lit(None).cast("map<string,string>")
+    df = spark.range(1).select(
+        M.merge_labels(static, F.create_map(F.lit("region"), F.lit("us"))).alias("m1"),
+        M.merge_labels(static, dynamic_typed).alias("m2"),
+    )
+    r = df.collect()[0]
+    assert r["m1"] == {"env": "prod", "region": "us"}
+    assert r["m2"] == {"env": "prod", "region": "eu"}
+
+
+def test_exposition_line_format(spark):
+    df = spark.createDataFrame([("error", 3)], "event_type string, n long")
+    line = M.exposition_lines(df, "events_total", ["event_type"], "n").collect()[0][0]
+    assert line == 'events_total{event_type="error"} 3'
+
+
+def test_nan_inf_cleaning(spark):
+    # B4 (CHANGELOG.md:420): NaN and ±Inf → 0.0
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (5.0,)], "v double"
+    )
+    vals = [r["v"] for r in ML.clean_nan_inf(df, ["v"]).collect()]
+    assert vals == [0.0, 0.0, 0.0, 5.0]
+
+
+def test_increase_counter_reset(spark):
+    # counter 5 → 8 → 2 (reset) → 3: increases are 3, 2(post-reset), 1
+    df = spark.createDataFrame(
+        [("k", i, c) for i, c in enumerate([5, 8, 2, 3])],
+        "key string, seq int, c long",
+    )
+    out = increase_with_resets(df, ["key"], "c", order=["seq"]).orderBy("seq")
+    assert [r["increase"] for r in out.collect()] == [3, 2, 1]
+
+
+def test_histogram_quantile_interpolation(spark):
+    # one series, buckets (le=1: 10, le=2: 20, inf: 20); q=0.5 → rank 10
+    # falls exactly at the first bucket boundary → 1.0; q=0.75 → rank 15,
+    # interpolated inside (1,2]: 1 + (15-10)/(20-10) = 1.5
+    df = spark.createDataFrame(
+        [("k", 1.0, 10), ("k", 2.0, 20), ("k", float("inf"), 20)],
+        "key string, le double, cum_count long",
+    )
+    q50 = histogram_quantile(df, ["key"], 0.5).collect()[0]["quantile_value"]
+    q75 = histogram_quantile(df, ["key"], 0.75).collect()[0]["quantile_value"]
+    assert math.isclose(q50, 1.0)
+    assert math.isclose(q75, 1.5)
+    # quantile landing in +Inf returns the largest finite bound
+    q100 = histogram_quantile(df, ["key"], 1.0).collect()[0]["quantile_value"]
+    assert math.isclose(q100, 2.0)
+
+
+def test_dedup_idempotence(spark):
+    # B3 (CHANGELOG.md:189): duplicate (key, ts) payloads drop to one
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 1, 10.0), ("k", 2, 11.0)],
+        "key string, ts int, value double",
+    )
+    once = df.dropDuplicates(["key", "ts"])
+    twice = once.dropDuplicates(["key", "ts"])
+    assert once.count() == 2 and twice.count() == 2
+
+
+def test_asof_join_takes_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("k", 10, "q1"), ("k", 20, "q2"), ("k", 5, "q0")],
+        "key string, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 1.0), ("k", 10, 2.0), ("k", 15, 3.0)],
+        "key string, ts int, val double",
+    )
+    out = {
+        r["tag"]: r["val"]
+        for r in asof_join(left, right, on=["key"], value_cols=["val"]).collect()
+    }
+    assert out["q0"] is None  # nothing at or before ts=5
+    assert out["q1"] == 2.0  # ties take the right row (>= semantics)
+    assert out["q2"] == 3.0
