@@ -103,6 +103,42 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_canonical_pairs(
+    df: DataFrame, id_col: str, sig_col: str, bands: int = 1, rows: int = 8
+) -> DataFrame:
+    """Candidate pairs against each band-bucket's canonical (min id) member
+    only — the keep-first dedup shape.
+
+    An all-pairs self-join is quadratic in cluster size (a corpus with a
+    1000-doc duplicate cluster emits ~500k pairs per bucket); pairing every
+    doc with just the bucket canonical is linear and is exactly what a
+    dedup pipeline needs (survivor + its duplicates)."""
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(sig_col)[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    canon = banded.groupBy("band_idx", "band_key").agg(F.min("id").alias("id_a"))
+    return (
+        banded.join(canon, ["band_idx", "band_key"])
+        .filter(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
 def exact_jaccard(
     pairs: DataFrame, items: DataFrame, id_col: str, item_col: str
 ) -> DataFrame:
@@ -115,8 +151,11 @@ def exact_jaccard(
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     ia = items.select(F.col(id_col).alias("id_a"), F.col(item_col).alias("item"))
     ib = items.select(F.col(id_col).alias("id_b"), F.col(item_col).alias("item"))
+    # Candidate pairs are small by LSH construction — broadcast them so
+    # the exploded item relation is filtered map-side (one scan, no
+    # shuffle) before the single (id_b, item) equi-join.
     inter = (
-        pairs.join(ia, "id_a")
+        ia.join(F.broadcast(pairs), "id_a")
         .join(ib, ["id_b", "item"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -1,0 +1,124 @@
+"""Multimodal column operators ([north-star]: image/audio/video as opaque
+binary columns with typed metadata, decode/feature-extract as Arrow-batched
+mapInPandas).
+
+The container has no image/audio codecs, so the decode kernel is a
+deterministic fake (documented below) behind the SAME plumbing a real
+codec would use: binary in → fixed-schema feature struct out, batch-wise
+over Arrow record batches. Swapping `_fake_decode_features` for a
+PIL/torchaudio kernel changes zero Spark-side code — schema, partitioning,
+UDF signature and batch shape are the real contract being tested.
+
+Scale posture: decode is the classic CPU-heavy map-only stage — no
+shuffle, embarrassingly parallel, Arrow-batched to amortize Python
+transfer. `spark.sql.execution.arrow.maxRecordsPerBatch` is the knob that
+sizes decode batches against executor memory when payloads are MBs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata the binary payload carries (media_type discriminates the
+# decode path, like a content-type header).
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, "
+    "byte_mean double, byte_entropy_proxy double, frame_count int"
+)
+
+
+def synthesize_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Derive a deterministic binary-asset relation from a text fixture:
+    payload = utf-8 bytes of the text, media_type cycles image/audio/video.
+    Stands in for `spark.read.format('binaryFile')` over an object store."""
+    media = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        media.alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.when(F.col(id_col) % 3 == 0, F.lit(64)).cast("int").alias("width"),
+        F.when(F.col(id_col) % 3 == 0, F.lit(48)).cast("int").alias("height"),
+        F.when(F.col(id_col) % 3 == 1, F.lit(16000)).cast("int").alias("sample_rate"),
+    )
+
+
+def _fake_decode_features(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for a real decoder.
+
+    A real implementation would be, e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # NotImplementedError:
+        ...                                         # codecs absent in env
+
+    The fake derives stable per-payload statistics so tests can assert
+    exact values end-to-end through the Arrow path.
+    """
+    if payload is None:
+        return {"n_bytes": 0, "byte_mean": 0.0, "byte_entropy_proxy": 0.0,
+                "frame_count": 0}
+    n = len(payload)
+    mean = sum(payload) / n if n else 0.0
+    distinct = len(set(payload))
+    frames = {"image": 1, "audio": n // 256, "video": n // 64}.get(media_type, 0)
+    return {
+        "n_bytes": n,
+        "byte_mean": round(mean, 6),
+        "byte_entropy_proxy": round(distinct / 256.0, 6),
+        "frame_count": frames,
+    }
+
+
+def decode_features(assets: DataFrame) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow batch iterator in,
+    typed batches out) — the real multimodal seam."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_features(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out
+
+    return assets.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: the transform is a mapInPandas pass that
+    would call the codec; here it rewrites metadata deterministically and
+    truncates the payload proportionally (stub semantics, real contract)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["media_type"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[mask, "width"] = width
+            pdf.loc[mask, "height"] = height
+            pdf.loc[mask, "payload"] = pdf.loc[mask, "payload"].map(
+                lambda b: b[: max(1, len(b) // 2)] if b is not None else None
+            )
+            yield pdf
+
+    return assets.mapInPandas(_resize, schema=ASSET_SCHEMA)

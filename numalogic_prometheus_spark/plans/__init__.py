@@ -31,6 +31,8 @@ _MODULES = (
     "text",
     "vectors",
     "streaming_queries",
+    "extras",
+    "mllib_queries",
 )
 
 

@@ -1,0 +1,225 @@
+"""Remaining §2C surface: pivot/unpivot, grouping sets, interval-overlap
+join, model-registry read (B12), map-column label algebra over the
+canonical samples relation, explode/UDTF-style token expansion, and the
+multimodal seam (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.operators import multimodal as MM
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.samples import samples_relation
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide metric matrices for exposition A10): explicit value
+    list so Catalyst skips the distinct-scan job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out
+
+
+@register(
+    "agg_unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'size' AS attr, p_size::DOUBLE AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'price' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def agg_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/stack (long-form samples out of wide tables — the inverse
+    of exposition pivoting)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) AS (attr, val)",
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (B9 unified scores at selected levels only —
+    cheaper than cube when the lattice is sparse)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   sum(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)
+        )
+        GROUP BY user_id, session_id
+    ),
+    hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events)
+    SELECT s.user_id, s.s_start AS session_start, h.hour
+    FROM sessions s
+    JOIN hours h
+      ON s.s_start < h.hour + INTERVAL 1 HOUR AND s.s_end >= h.hour
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (B2 window-to-event alignment): user activity
+    sessions × hour grid, overlap predicate `[s,e] ∩ [h,h+1h) ≠ ∅`. The
+    hour grid is tiny → broadcast; the fact side never shuffles for the
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    return (
+        sessions.join(
+            F.broadcast(hours),
+            (F.col("s_start") < F.col("hour") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("s_end") >= F.col("hour")),
+        )
+        .select("user_id", F.col("s_start").alias("session_start"), "hour")
+    )
+
+
+@register(
+    "registry_latest_artifact",
+    oracle="""
+    WITH runs AS (
+        SELECT o_orderpriority AS model_key,
+               date_trunc('day', o_orderdate) AS trained_at,
+               round(avg(o_totalprice), 4) AS artifact_metric,
+               count(*) AS n_samples
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT model_key, trained_at, artifact_metric, n_samples
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY model_key
+                                     ORDER BY trained_at DESC) AS rn
+        FROM runs
+    ) WHERE rn = 1
+    """,
+)
+def registry_latest_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-registry read side (B12, CHANGELOG.md:124: versioned
+    artifacts with a latest pointer): training runs as a relation, latest
+    artifact per key = row_number()==1 over trained_at desc — the
+    relational replacement for Redis GET latest."""
+    o = load_table(spark, sf_dir, "orders")
+    runs = o.groupBy(
+        F.col("o_orderpriority").alias("model_key"),
+        F.date_trunc("day", "o_orderdate").alias("trained_at"),
+    ).agg(
+        F.round(F.avg("o_totalprice"), 4).alias("artifact_metric"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    w = W.partitionBy("model_key").orderBy(F.col("trained_at").desc())
+    return (
+        runs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "samples_label_algebra",
+    oracle="""
+    SELECT event_type AS label_event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def samples_label_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label algebra over the canonical samples relation (SURVEY.md §1.2):
+    select series by label via element_at on the MapType column, aggregate
+    by a label value — PromQL instant-vector selector semantics over the
+    map-typed long tail. (Hot labels stay promoted columns for pushdown;
+    this exercises the map path deliberately.)"""
+    s = samples_relation(spark, sf_dir)
+    return (
+        s.filter(F.element_at("labels", "user_id").cast("long") % 2 == 0)
+        .groupBy(F.element_at("labels", "event_type").alias("label_event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "explode_token_frequencies",
+    oracle="""
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/UDTF surface (A10 one-family→many-lines shape): token
+    explosion + frequency top-20 with deterministic tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register("multimodal_decode_features")  # mapInPandas seam → rows-only
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode seam ([north-star]): binary asset relation →
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    codec; real Spark plumbing — see operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = MM.synthesize_assets(d, "doc_id", "text")
+    return MM.decode_features(assets)

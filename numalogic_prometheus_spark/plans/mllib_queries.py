@@ -1,0 +1,104 @@
+"""MLlib-backed operators (BASELINE.json north star: "Structured Streaming
++ MLlib for anomaly detection").
+
+These are rows-only (MLlib internals aren't SQL-expressible) but each has
+a deterministic expression-based twin elsewhere in the registry that IS
+oracle-checked (ml_minmax_scaled, vec_ann_signbucket_topk) — the MLlib
+path demonstrates the production integration, the expression path pins
+the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+@register("mllib_minmax_scaler")  # MLlib internals → rows-only
+def mllib_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 via MLlib: window vectors → MinMaxScaler fit/transform. The
+    fitted model is the registry artifact (B12) — MLlib persistence
+    (model.save) is the production serialization path."""
+    from pyspark.ml.feature import MinMaxScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.array(
+                F.count(F.lit(1)).cast("double"),
+                F.round(F.sum("value"), 4),
+                F.round(F.avg("value"), 4),
+            ).alias("features_arr")
+        )
+        .withColumn("features", array_to_vector("features_arr"))
+    )
+    model = MinMaxScaler(inputCol="features", outputCol="scaled").fit(hourly)
+    out = model.transform(hourly)
+    return out.select(
+        "user_id",
+        "hour",
+        vector_to_array("scaled").alias("scaled_features"),
+    )
+
+
+@register("mllib_brp_lsh_neighbors")  # MLlib internals → rows-only
+def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MLlib BucketedRandomProjectionLSH (the library-native LSH
+    counterpart to vec_ann_signbucket_topk): similarity self-join under a
+    Euclidean distance threshold. Deterministic seed."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(vecs)
+    # Random unit vectors concentrate around pairwise distance √2 ≈ 1.41;
+    # 1.0 keeps only genuinely-close pairs (threshold 1.5 matched ~74% of
+    # all pairs — quadratic output).
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0, distCol="dist")
+    return pairs.filter(
+        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("id_a"),
+        F.col("datasetB.vec_id").alias("id_b"),
+        F.round("dist", 6).alias("euclidean_dist"),
+    )
+
+
+@register("mllib_kmeans_profiles")  # MLlib internals → rows-only
+def mllib_kmeans_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering (corpus-curation stage): KMeans with fixed
+    seed; emits cluster sizes — the IVF coarse quantizer a production ANN
+    index would partition by."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(vecs)
+    out = model.transform(vecs)
+    return out.groupBy(F.col("prediction").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -233,9 +233,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sigs
     ),
     cands AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        -- pair each doc with its bucket's canonical (min doc_id) member:
+        -- linear in cluster size, vs the quadratic all-pairs self-join
+        SELECT DISTINCT c.id_a, b.doc_id AS id_b
+        FROM banded b
+        JOIN (SELECT band_key, min(doc_id) AS id_a
+              FROM banded GROUP BY band_key) c
+          ON b.band_key = c.band_key AND b.doc_id != c.id_a
     ),
     toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -264,16 +268,21 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band tuning is corpus-dependent: the fixture's tiny shared vocabulary
     makes loose unigram bands collide quadratically, so this query uses
-    one strict band (all 8 min-hashes) — near-exact unigram dedup. The
-    shingle variant below is the looser/realistic-selectivity path."""
+    one strict band (all 8 min-hashes) — near-exact unigram dedup — and
+    pairs each doc with its bucket canonical only (linear output; the
+    all-pairs form is quadratic in duplicate-cluster size). The shingle
+    variant below is the looser/realistic-selectivity path."""
     d = load_table(spark, sf_dir, "documents")
+    # Cache the hash-heavy intermediates: the band join and the three
+    # jaccard legs would otherwise each recompute the md5 minhash
+    # expressions (at cluster scale this is an exchange-reuse/checkpoint).
     sigs = d.select(
         "doc_id", D.minhash_signature(D.tokens_col(F.col("text")), k=8).alias("sig")
-    )
-    cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=1, rows=8)
+    ).cache()
+    cands = D.lsh_canonical_pairs(sigs, "doc_id", "sig", bands=1, rows=8)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(D.tokens_col(F.col("text")))).alias("tok")
-    )
+    ).cache()
     scored = D.exact_jaccard(cands, toks, "doc_id", "tok")
     return scored.filter(F.col("jaccard") >= 0.7).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -374,10 +383,12 @@ def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         F.array_distinct(D.shingles_col(F.col("text"), w=3)).alias("shingles"),
-    )
-    sigs = sh.select("doc_id", D.minhash_signature(F.col("shingles"), k=4).alias("sig"))
+    ).cache()
+    sigs = sh.select(
+        "doc_id", D.minhash_signature(F.col("shingles"), k=4).alias("sig")
+    ).cache()
     cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=2, rows=2)
-    items = sh.select("doc_id", F.explode("shingles").alias("item"))
+    items = sh.select("doc_id", F.explode("shingles").alias("item")).cache()
     scored = D.exact_jaccard(cands, items, "doc_id", "item")
     return scored.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("shingle_jaccard")
