@@ -52,10 +52,13 @@ def main() -> None:
     queries = plans.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # plan, not session startup.
+    # Warm the JVM (codegen, shuffle, agg paths) + parquet footers once so
+    # per-query times measure the plan, not session/JIT startup.
     for t in ("events", "lineitem"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.groupBy(df.columns[0]).count().write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in names:

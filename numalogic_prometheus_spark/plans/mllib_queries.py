@@ -70,9 +70,9 @@ def mllib_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(vecs)
     # Random unit vectors concentrate around pairwise distance √2 ≈ 1.41;
-    # 1.0 keeps only genuinely-close pairs (threshold 1.5 matched ~74% of
-    # all pairs — quadratic output).
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0, distCol="dist")
+    # 1.1 keeps only the close tail (~70 pairs per 500 vectors; 1.5 would
+    # match ~74% of all pairs — quadratic output).
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.1, distCol="dist")
     return pairs.filter(
         F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
     ).select(
