@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_shingle_minhash_pairs",    # MinHash LSH near-dup
     "vec_ann_signbucket_topk",    # LSH-bucketed ANN
     "text_stats",                 # map-only text analysis
+    "pipeline_anomaly_scores",    # composed B2-B10 anomaly pipeline
 ]
 
 

@@ -33,6 +33,8 @@ _MODULES = (
     "streaming_queries",
     "extras",
     "mllib_queries",
+    "udf_queries",
+    "pipeline",
 )
 
 

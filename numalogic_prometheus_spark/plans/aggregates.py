@@ -84,6 +84,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_quantiles")  # approx sketch → rows-only (FIXTURES.md)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (the 100 TB path for A5/B7: mergeable
+    KLL-style sketch vs the exact sort-based percentile used in
+    oracle-checked queries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_q"
+        ),
+        F.approx_count_distinct("l_orderkey").alias("approx_nd"),
+    )
+
+
 @register(
     "agg_rollup_region_nation",
     oracle="""
