@@ -35,6 +35,7 @@ _MODULES = (
     "mllib_queries",
     "udf_queries",
     "pipeline",
+    "tpch",
 )
 
 
