@@ -41,6 +41,7 @@ HEADLINE = [
     "vec_ann_signbucket_topk",    # LSH-bucketed ANN
     "text_stats",                 # map-only text analysis
     "pipeline_anomaly_scores",    # composed B2-B10 anomaly pipeline
+    "tpch_q5_region_volume",      # six-table join under AQE
 ]
 
 

@@ -148,6 +148,36 @@ def exposition_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exposition_full_registry",
+    oracle="""
+    SELECT 'events_total{event_type="' || event_type || '"} '
+           || count(*)::VARCHAR AS line
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'events_value{event_type="' || event_type || '"} '
+           || round(arg_max(value, ts), 4)::VARCHAR AS line
+    FROM events GROUP BY event_type
+    """,
+)
+def exposition_full_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-registry scrape (A10): every family rendered and merged via
+    unionByName — the relational form of REGISTRY.collect() iterating all
+    collectors per scrape (reference monitoring/__init__.py:16-24).
+    Gauge values rendered through round(…,4)::string, identical casts in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    counters = M.counter(ev, ["event_type"]).select(
+        "event_type", F.col("n_samples").alias("v")
+    )
+    counter_lines = M.exposition_lines(counters, "events_total", ["event_type"], "v")
+    gauges = M.gauge_latest(ev, ["event_type"]).select(
+        "event_type", F.round("gauge_value", 4).alias("v")
+    )
+    gauge_lines = M.exposition_lines(gauges, "events_value", ["event_type"], "v")
+    return counter_lines.unionByName(gauge_lines)
+
+
+@register(
     "label_merge_right_biased",
     oracle="""
     SELECT DISTINCT 'prod' AS env, event_type AS merged_region
