@@ -326,6 +326,104 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               list_transform(range(0, 32), j ->
+                   list_aggregate(
+                       list_transform(toks, t ->
+                           (({hash32_sql('t')} >> j) & 1) * 2 - 1),
+                       'sum')
+               ) AS v
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(0, 32),
+                                  j -> CASE WHEN v[j + 1] > 0
+                                            THEN (1::BIGINT << j) ELSE 0 END),
+                   'sum')::BIGINT AS simhash
+        FROM votes
+    )
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + """
+    , banded AS (
+        SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (b * 8)) & 255 AS band_key
+        FROM sigs, (VALUES (0), (1), (2), (3)) bands(b)
+    ),
+    canon AS (
+        SELECT band_idx, band_key, min(doc_id) AS id_a
+        FROM banded GROUP BY band_idx, band_key
+    ),
+    cands AS (
+        SELECT DISTINCT c.id_a, b.doc_id AS id_b
+        FROM banded b
+        JOIN canon c ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+                    AND b.doc_id != c.id_a
+    )
+    SELECT cd.id_a, cd.id_b,
+           bit_count(xor(sa.simhash, sb.simhash))::INTEGER AS hamming
+    FROM cands cd
+    JOIN sigs sa ON sa.doc_id = cd.id_a
+    JOIN sigs sb ON sb.doc_id = cd.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×8-bit bands of the 32-bit signature give
+    candidates (standard SimHash blocking — a small-Hamming pair agrees on
+    at least one byte-band with high probability); each doc pairs with its
+    band-bucket canonical only (linear output — all-pairs was quadratic on
+    this corpus's dense signature clusters); verify with exact Hamming via
+    bit_count(xor)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        D.simhash_signature(D.tokens_col(F.col("text")), bits=32).alias("simhash"),
+    ).cache()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
+    ).withColumn(
+        # shift amount is a column, so use exact power-of-two arithmetic
+        # (simhash < 2^32 ≪ 2^53) instead of shiftright (int-only bits)
+        "band_key",
+        (
+            F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.col("band_idx") * 8))
+            .cast("long")
+            % 256
+        ),
+    )
+    canon = banded.groupBy("band_idx", "band_key").agg(F.min("doc_id").alias("id_a"))
+    cands = (
+        banded.join(canon, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(hamming <= 6)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+    )
+
+
 @register(
     "dedup_shingle_minhash_pairs",
     oracle=f"""
@@ -357,7 +455,10 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ),
-    items AS (SELECT doc_id, unnest(shingles) AS item FROM sh),
+    -- shuffle hashed shingles (8 bytes) instead of shingle strings:
+    -- same engine on both sides ⇒ identical (hash-distinct) counts
+    items AS (SELECT doc_id, unnest(list_transform(shingles,
+                  t -> {hash32_sql('t')})) AS item FROM sh),
     sizes AS (SELECT doc_id, count(*) AS set_size FROM items GROUP BY doc_id),
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -388,7 +489,14 @@ def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", D.minhash_signature(F.col("shingles"), k=4).alias("sig")
     ).cache()
     cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=2, rows=2)
-    items = sh.select("doc_id", F.explode("shingles").alias("item")).cache()
+    # Shuffle 8-byte shingle hashes, not shingle strings — same portable
+    # hash in the oracle, so the (hash-distinct) intersection counts are
+    # identical by construction.
+    from numalogic_prometheus_spark.functions.hashing import hash32
+
+    items = sh.select(
+        "doc_id", F.explode(F.transform("shingles", hash32)).alias("item")
+    ).cache()
     scored = D.exact_jaccard(cands, items, "doc_id", "item")
     return scored.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("shingle_jaccard")
