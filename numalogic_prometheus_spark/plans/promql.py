@@ -155,6 +155,79 @@ def promql_histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "promql_deriv_per_series",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, floor(epoch(ts))::BIGINT) * 86400, 6)
+               AS deriv_per_day,
+           count(*) AS n_samples
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+)
+def promql_deriv_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `deriv()` analog: per-series least-squares slope over
+    event time — a single-pass `regr_slope` aggregate. Reported per-DAY:
+    per-second slopes are ~1e-8 and would round to pure noise at 6dp
+    (the engines agree to 1e-22; the unit choice keeps the rounding
+    granule far above fp noise)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.regr_slope(F.col("value"), F.unix_timestamp("ts")) * 86400, 6
+            ).alias("deriv_per_day"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+    )
+
+
+@register(
+    "promql_quantile_over_time",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           round(quantile_cont(value, 0.95), 6) AS q95,
+           round(quantile_cont(value, 0.5), 6) AS q50
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `quantile_over_time(φ, …[1h])` analog: exact per-window
+    quantiles per series."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("q95"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("q50"),
+    )
+
+
+@register(
+    "promql_label_ops",
+    oracle="""
+    SELECT regexp_replace(event_type, '^(err).*', 'incident') AS relabeled,
+           event_type || ':' || 'prod' AS joined_label,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def promql_label_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `label_replace` / `label_join` analogs: regex rewrite and
+    concat over label values, then re-aggregate on the new labels."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.regexp_replace("event_type", r"^(err).*", "incident").alias("relabeled"),
+        F.concat_ws(":", F.col("event_type"), F.lit("prod")).alias("joined_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "promql_topk_users_hourly",
     oracle="""
     SELECT hour, user_id, sum_value
