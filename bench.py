@@ -64,9 +64,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        start = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        # min of 2 passes: the first pass can absorb JIT/codegen compilation
+        # for plan shapes not covered by the warmup; min reflects the
+        # steady-state cost of the plan itself.
+        best = float("inf")
+        for _ in range(2):
+            # clear BEFORE each pass: queries that self-materialize with
+            # .cache() must pay their full pipeline cost every pass
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     out = {
         "metric": "headline_queries_total",

@@ -155,6 +155,34 @@ def promql_histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "promql_resets_changes",
+    oracle=_COUNTER_CTE
+    + """
+    SELECT event_type,
+           sum(CASE WHEN raw_delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_resets,
+           sum(CASE WHEN raw_delta != 0 THEN 1 ELSE 0 END)::BIGINT AS n_changes
+    FROM deltas
+    WHERE raw_delta IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def promql_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `resets()` / `changes()` analogs: per-series counts of
+    negative deltas (counter restarts) and value changes."""
+    counter = _synthetic_counter(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    deltas = counter.withColumn("raw_delta", F.col("c") - F.lag("c").over(w))
+    return (
+        deltas.filter(F.col("raw_delta").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("raw_delta") < 0, 1).otherwise(0)).alias("n_resets"),
+            F.sum(F.when(F.col("raw_delta") != 0, 1).otherwise(0)).alias("n_changes"),
+        )
+    )
+
+
+@register(
     "promql_deriv_per_series",
     oracle="""
     SELECT user_id,

@@ -143,6 +143,48 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INTEGER AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_dim,
+           round(list_aggregate(list_transform(embedding[1:8]::DOUBLE[],
+                                               x -> x), 'sum'), 6) AS head8_sum,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_dim,
+           round(list_aggregate(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x)), 'sum'), 6) AS l1_norm,
+           list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 'sum')::INTEGER
+               AS n_positive
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family (B2 vectors / [north-star] embeddings):
+    size, indexing, slice, element-wise transform + aggregate — all
+    JVM-side higher-order functions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(vec, 1), 6).alias("first_dim"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+        F.round(F.array_max(vec), 6).alias("max_dim"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
+        ).alias("l1_norm"),
+        F.aggregate(
+            vec,
+            F.lit(0),
+            lambda a, x: a + F.when(x > 0, 1).otherwise(0),
+        ).alias("n_positive"),
+    )
+
+
+@register(
     "scalar_nan_inf_clean",
     oracle="""
     WITH dirty AS (

@@ -181,6 +181,39 @@ def win_sliding_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_first_last_nth",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           first_value(c_acctbal) OVER w AS first_bal,
+           last_value(c_acctbal) OVER (PARTITION BY c_nationkey
+                ORDER BY c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_bal,
+           nth_value(c_acctbal, 2) OVER (PARTITION BY c_nationkey
+                ORDER BY c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value frames (A4 gauge read-at-position shapes) —
+    last/nth need the full-partition frame (the default frame stops at
+    CURRENT ROW, a classic SQL footgun both engines share)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_acctbal").over(w).alias("first_bal"),
+        F.last("c_acctbal").over(wfull).alias("last_bal"),
+        F.nth_value("c_acctbal", 2).over(wfull).alias("second_bal"),
+    )
+
+
+@register(
     "sort_global_topk",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderdate
