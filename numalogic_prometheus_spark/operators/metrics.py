@@ -48,15 +48,45 @@ def counter(df: DataFrame, keys: Sequence[str | Column], value: str = "value") -
     )
 
 
+def counter_guarded(
+    df: DataFrame, keys: Sequence[str | Column], value: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Counter discipline with the pinned client's negative-increment
+    rejection (reference metrics.py:64-68; prometheus-client semantics:
+    ``inc(amount < 0)`` raises ValueError). The relational form diverts
+    invalid samples (negative, NaN, null) to a side relation instead of
+    raising, keeping the accepted aggregate monotone.
+
+    NaN needs an explicit isnan() guard: Spark (and DuckDB) order NaN
+    greater than every number, so ``value >= 0`` alone would accept it.
+
+    Returns ``(accepted, rejected)`` — accepted is the counter aggregate
+    over valid samples, rejected is the raw invalid-sample relation (a
+    dead-letter side output for alerting).
+    """
+    valid = (
+        F.col(value).isNotNull()
+        & ~F.isnan(F.col(value))
+        & (F.col(value) >= 0)
+    )
+    accepted = counter(df.filter(valid), keys, value)
+    rejected = df.filter(~F.coalesce(valid, F.lit(False)))
+    return accepted, rejected
+
+
 def gauge_latest(df: DataFrame, keys: Sequence[str | Column], value: str = "value",
-                 ts: str = "ts") -> DataFrame:
+                 ts: str = "ts", tiebreak: str | None = None) -> DataFrame:
     """Gauge discipline: last-write-wins per series (metrics.py:144-152).
 
     `max_by(value, ts)` is a single-pass aggregate — no window, no sort,
-    no second shuffle.
+    no second shuffle. `tiebreak` makes the pick deterministic when two
+    samples share the max ts (max_by over the (ts, tiebreak) struct);
+    without it both engines pick arbitrarily and the parity check can
+    flake on ts collisions.
     """
+    order = F.struct(F.col(ts), F.col(tiebreak)) if tiebreak else F.col(ts)
     return df.groupBy(*keys).agg(
-        F.max_by(value, ts).alias("gauge_value"),
+        F.max_by(value, order).alias("gauge_value"),
         F.max(ts).alias("last_ts"),
     )
 

@@ -85,8 +85,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
         FROM (
             SELECT user_id, ts,
+                   -- >= not >: Spark session ranges are end-exclusive,
+                   -- an exactly-10-minute gap starts a new session
                    sum(CASE WHEN prev_ts IS NULL
-                                 OR ts - prev_ts > INTERVAL 10 MINUTE
+                                 OR ts - prev_ts >= INTERVAL 10 MINUTE
                             THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS session_id

@@ -44,18 +44,25 @@ def counter_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gauge_latest_per_user",
     oracle="""
-    SELECT user_id,
-           arg_max(value, ts) AS gauge_value,
-           max(ts) AS last_ts
-    FROM events
-    GROUP BY user_id
+    -- row_number window, not arg_max: DuckDB's arg_max cannot order by a
+    -- (ts, event_id) struct, and the event_id tiebreak must match Spark's
+    -- max_by(value, struct(ts, event_id))
+    SELECT user_id, value AS gauge_value, ts AS last_ts
+    FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
     """,
 )
 def gauge_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gauge discipline (reference metrics.py:144-152): last-write-wins per
-    series via single-pass max_by — no window function, no second shuffle."""
+    series via single-pass max_by — no window function, no second shuffle.
+    event_id tiebreak mirrored in the oracle's arg_max struct key so a ts
+    collision cannot flip the parity hash."""
     ev = load_table(spark, sf_dir, "events")
-    return M.gauge_latest(ev, ["user_id"])
+    return M.gauge_latest(ev, ["user_id"], tiebreak="event_id")
 
 
 @register(
@@ -155,26 +162,197 @@ def exposition_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'events_value{event_type="' || event_type || '"} '
-           || round(arg_max(value, ts), 4)::VARCHAR AS line
-    FROM events GROUP BY event_type
+           || printf('%.4f', value) AS line
+    FROM (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
     """,
 )
 def exposition_full_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-registry scrape (A10): every family rendered and merged via
     unionByName — the relational form of REGISTRY.collect() iterating all
     collectors per scrape (reference monitoring/__init__.py:16-24).
-    Gauge values rendered through round(…,4)::string, identical casts in
-    both engines."""
+    Gauge values rendered with an explicit '%.4f' format on both sides
+    (engine-default double→string casts diverge outside the fixture's
+    value range: scientific-notation thresholds, trailing zeros); the
+    event_id tiebreak pins arg_max under ts collisions."""
     ev = load_table(spark, sf_dir, "events")
     counters = M.counter(ev, ["event_type"]).select(
         "event_type", F.col("n_samples").alias("v")
     )
     counter_lines = M.exposition_lines(counters, "events_total", ["event_type"], "v")
-    gauges = M.gauge_latest(ev, ["event_type"]).select(
-        "event_type", F.round("gauge_value", 4).alias("v")
+    gauges = M.gauge_latest(ev, ["event_type"], tiebreak="event_id").select(
+        "event_type", F.format_string("%.4f", F.col("gauge_value")).alias("v")
     )
     gauge_lines = M.exposition_lines(gauges, "events_value", ["event_type"], "v")
     return counter_lines.unionByName(gauge_lines)
+
+
+@register(
+    "counter_monotonic_guard",
+    oracle="""
+    WITH valid AS (
+        SELECT event_type,
+               (value IS NOT NULL AND NOT isnan(value) AND value >= 0) AS ok
+        FROM events
+    )
+    SELECT event_type,
+           sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_samples,
+           sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_rejected
+    FROM valid
+    GROUP BY event_type
+    """,
+)
+def counter_monotonic_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter monotonicity enforcement (reference metrics.py:64-68 +
+    pinned prometheus-client: negative increments raise ValueError;
+    VERDICT.md "What's missing" #2). Relationally the invalid samples
+    become a dead-letter side relation; this query reports accepted vs
+    rejected sample counts per series. The fixture has no invalid rows
+    (driver check degenerates to n_rejected=0); crafted negative/NaN
+    inputs are covered by tests/test_golden_semantics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    accepted, rejected = M.counter_guarded(ev, ["event_type"])
+    rej_counts = rejected.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rejected")
+    )
+    return (
+        accepted.select("event_type", "n_samples")
+        .join(rej_counts, "event_type", "left")
+        .select(
+            "event_type",
+            "n_samples",
+            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        )
+    )
+
+
+# Shared exposition formatting: histogram `le` labels need an explicit
+# cross-engine text form — Spark casts +Inf to 'Infinity', DuckDB to 'inf',
+# and Prometheus convention is '+Inf'.
+_LE_SQL = "CASE WHEN isinf(le) THEN '+Inf' ELSE printf('%.3f', le) END"
+
+
+@register(
+    "exposition_all_families",
+    oracle=f"""
+    SELECT 'events_total{{event_type="' || event_type || '"}} '
+           || count(*)::VARCHAR AS line
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'events_value{{event_type="' || event_type || '"}} '
+           || printf('%.4f', value) AS line
+    FROM (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    UNION ALL
+    SELECT 'events_obs{{event_type="' || event_type || '",quantile="0.5"}} '
+           || printf('%.4f', quantile_cont(value, 0.5)) AS line
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'events_obs_count{{event_type="' || event_type || '"}} '
+           || count(value)::VARCHAR AS line
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'events_obs_sum{{event_type="' || event_type || '"}} '
+           || printf('%.4f', sum(value)) AS line
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'events_hist_bucket{{event_type="' || event_type || '",le="'
+           || {_LE_SQL} || '"}} '
+           || sum(CASE WHEN value <= le THEN 1 ELSE 0 END)::VARCHAR AS line
+    FROM events
+    CROSS JOIN (SELECT unnest([{_BOUNDS_SQL}, 'inf'::DOUBLE]) AS le) buckets
+    GROUP BY event_type, le
+    UNION ALL
+    SELECT 'events_meta_info{{event_type="' || event_type || '",props='
+           || props || '}} 1' AS line
+    FROM (SELECT event_type, props,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def exposition_all_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full five-family scrape (VERDICT.md "What's missing" #3): counter,
+    gauge, summary (quantile + _count + _sum), histogram (_bucket le
+    lines incl. +Inf), and `<name>_info{…} 1` (reference
+    numaprom/monitoring/metrics.py:91-99 emits every family including
+    info). All numeric text via explicit printf-style formats on both
+    engines; all latest-value picks tiebroken by event_id."""
+    ev = load_table(spark, sf_dir, "events")
+
+    counters = M.counter(ev, ["event_type"]).select(
+        "event_type", F.col("n_samples").alias("v")
+    )
+    counter_lines = M.exposition_lines(counters, "events_total", ["event_type"], "v")
+
+    gauges = M.gauge_latest(ev, ["event_type"], tiebreak="event_id").select(
+        "event_type", F.format_string("%.4f", F.col("gauge_value")).alias("v")
+    )
+    gauge_lines = M.exposition_lines(gauges, "events_value", ["event_type"], "v")
+
+    summ = M.summary(ev, ["event_type"], quantiles=(0.5,))
+    q_lines = M.exposition_lines(
+        summ.select(
+            "event_type",
+            F.lit("0.5").alias("quantile"),
+            F.format_string("%.4f", F.col("q50")).alias("v"),
+        ),
+        "events_obs",
+        ["event_type", "quantile"],
+        "v",
+    )
+    count_lines = M.exposition_lines(
+        summ.select("event_type", F.col("obs_count").alias("v")),
+        "events_obs_count",
+        ["event_type"],
+        "v",
+    )
+    sum_lines = M.exposition_lines(
+        summ.select(
+            "event_type", F.format_string("%.4f", F.col("obs_sum")).alias("v")
+        ),
+        "events_obs_sum",
+        ["event_type"],
+        "v",
+    )
+
+    hist = M.histogram_buckets(ev, ["event_type"]).select(
+        "event_type",
+        F.when(F.col("le") == float("inf"), F.lit("+Inf"))
+        .otherwise(F.format_string("%.3f", F.col("le")))
+        .alias("le"),
+        F.col("cum_count").alias("v"),
+    )
+    hist_lines = M.exposition_lines(
+        hist, "events_hist_bucket", ["event_type", "le"], "v"
+    )
+
+    info = (
+        ev.groupBy("event_type")
+        .agg(F.max_by("props", F.struct("ts", "event_id")).alias("props"))
+        .select(
+            F.concat(
+                F.lit('events_meta_info{event_type="'),
+                F.col("event_type"),
+                F.lit('",props='),
+                F.col("props"),
+                F.lit("} 1"),
+            ).alias("line")
+        )
+    )
+
+    return (
+        counter_lines.unionByName(gauge_lines)
+        .unionByName(q_lines)
+        .unionByName(count_lines)
+        .unionByName(sum_lines)
+        .unionByName(hist_lines)
+        .unionByName(info)
+    )
 
 
 @register(

@@ -95,8 +95,11 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts,
+               -- >= not >: Spark's session ranges are end-exclusive
+               -- ([start, start+gap)), so an event landing exactly on
+               -- the 10-minute boundary starts a NEW session
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -16,7 +16,7 @@ from numalogic_prometheus_spark.functions.hashing import hash32_seeded_sql, hash
 from numalogic_prometheus_spark.operators import dedup as D
 from numalogic_prometheus_spark.operators import text as TX
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import load_table, load_table_spread
 
 
 @register(
@@ -131,7 +131,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent bag-of-words fingerprint (portable md5-derived
     hash — every integer reproduced by the oracle)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -241,24 +241,26 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM banded GROUP BY band_key) c
           ON b.band_key = c.band_key AND b.doc_id != c.id_a
     ),
-    toks AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    -- verify on hashed token sets (8-byte ints, same portable hash both
+    -- engines ⇒ identical hash-distinct intersection counts)
+    toksets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   t -> {hash32_sql('t')})) AS toks
         FROM documents
     ),
-    sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
-    inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS n_inter
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                   / (len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks))) AS jaccard
         FROM cands c
-        JOIN toks ta ON ta.doc_id = c.id_a
-        JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
-        GROUP BY c.id_a, c.id_b
+        JOIN toksets ta ON ta.doc_id = c.id_a
+        JOIN toksets tb ON tb.doc_id = c.id_b
     )
-    SELECT i.id_a, i.id_b,
-           round(i.n_inter / (sa.set_size + sb.set_size - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter / (sa.set_size + sb.set_size - i.n_inter) >= 0.7
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM scored WHERE jaccard >= 0.7
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,18 +274,30 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs each doc with its bucket canonical only (linear output; the
     all-pairs form is quadratic in duplicate-cluster size). The shingle
     variant below is the looser/realistic-selectivity path."""
-    d = load_table(spark, sf_dir, "documents")
-    # Cache the hash-heavy intermediates: the band join and the three
-    # jaccard legs would otherwise each recompute the md5 minhash
-    # expressions (at cluster scale this is an exchange-reuse/checkpoint).
-    sigs = d.select(
-        "doc_id", D.minhash_signature(D.tokens_col(F.col("text")), k=8).alias("sig")
-    ).cache()
-    cands = D.lsh_canonical_pairs(sigs, "doc_id", "sig", bands=1, rows=8)
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(D.tokens_col(F.col("text")))).alias("tok")
-    ).cache()
-    scored = D.exact_jaccard(cands, toks, "doc_id", "tok")
+    from numalogic_prometheus_spark.functions.hashing import hash32
+
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    # Two-stage materialization (VERDICT.md next-round #3/#7). Stage 1
+    # pins the distinct-token arrays: minhash_signature duplicates its
+    # input EXPRESSION into every seed branch, and higher-order functions
+    # are interpreted (no codegen CSE), so feeding it the raw
+    # split-distinct expression would re-run that build k+1 times per
+    # row — the checkpoint turns it into a bound column reference.
+    tok_arrays = d.select(
+        "doc_id", F.array_distinct(D.tokens_col(F.col("text"))).alias("toks0")
+    ).localCheckpoint(eager=True)
+    # Stage 2 pins one compact feature row per doc (k=8 signature + the
+    # hashed token set — ints, same portable hash as the oracle), read by
+    # the banding self-join sides and both verify legs. No full-corpus
+    # cache, no exploded-item joins; the verify is a per-row
+    # array_intersect Jaccard on int sets.
+    feat = tok_arrays.select(
+        "doc_id",
+        D.minhash_signature(F.col("toks0"), k=8).alias("sig"),
+        F.array_distinct(F.transform("toks0", hash32)).alias("toks"),
+    ).localCheckpoint(eager=True)
+    cands = D.lsh_canonical_pairs(feat, "doc_id", "sig", bands=1, rows=8)
+    scored = D.jaccard_by_sets(cands, feat, "doc_id", "toks")
     return scored.filter(F.col("jaccard") >= 0.7).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -319,7 +333,7 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures: 32 sign-voted bits per doc, pure row expression
     (zero shuffle). Near-dup candidates = small Hamming distance; the
     pairing stage reuses LSH banding on signature prefixes at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id",
         D.simhash_signature(D.tokens_col(F.col("text")), bits=32).alias("simhash"),
@@ -387,11 +401,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket canonical only (linear output — all-pairs was quadratic on
     this corpus's dense signature clusters); verify with exact Hamming via
     bit_count(xor)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     sigs = d.select(
         "doc_id",
         D.simhash_signature(D.tokens_col(F.col("text")), bits=32).alias("simhash"),
-    ).cache()
+    )
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -406,19 +420,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 256
         ),
     )
-    canon = banded.groupBy("band_idx", "band_key").agg(F.min("doc_id").alias("id_a"))
-    cands = (
-        banded.join(canon, ["band_idx", "band_key"])
-        .filter(F.col("doc_id") != F.col("id_a"))
-        .select("id_a", F.col("doc_id").alias("id_b"))
-        .distinct()
+    # The canonical member's signature rides along via min_by, and the
+    # candidate's own signature is already on the banded row — so no
+    # join back to `sigs` at all. (Round 1 broadcast the full signature
+    # relation twice here: an OOM at 100× corpus — VERDICT.md #4.)
+    # canon's groupBy and the join below hash-partition the same `banded`
+    # subtree on the same keys, so Catalyst reuses one exchange and the
+    # md5 simhash expressions are computed once.
+    canon = banded.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("id_a"),
+        F.min_by("simhash", "doc_id").alias("sim_a"),
     )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cands.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        banded.join(canon, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select(
+            "id_a",
+            "sim_a",
+            F.col("doc_id").alias("id_b"),
+            F.col("simhash").alias("sim_b"),
+        )
+        .distinct()  # sim_a/sim_b are functions of the ids: safe under distinct
         .filter(hamming <= 6)
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
     )
@@ -455,49 +478,56 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ),
-    -- shuffle hashed shingles (8 bytes) instead of shingle strings:
-    -- same engine on both sides ⇒ identical (hash-distinct) counts
-    items AS (SELECT doc_id, unnest(list_transform(shingles,
-                  t -> {hash32_sql('t')})) AS item FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS set_size FROM items GROUP BY doc_id),
-    inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS n_inter
+    -- verify on hashed shingle sets (8-byte ints, same portable hash both
+    -- engines ⇒ identical hash-distinct intersection counts)
+    hsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shingles,
+                   t -> {hash32_sql('t')})) AS hset
+        FROM sh
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.hset, sb.hset))::DOUBLE
+                   / (len(sa.hset) + len(sb.hset)
+                      - len(list_intersect(sa.hset, sb.hset)))
+                   AS shingle_jaccard
         FROM cands c
-        JOIN items ta ON ta.doc_id = c.id_a
-        JOIN items tb ON tb.doc_id = c.id_b AND tb.item = ta.item
-        GROUP BY c.id_a, c.id_b
+        JOIN hsets sa ON sa.doc_id = c.id_a
+        JOIN hsets sb ON sb.doc_id = c.id_b
     )
-    SELECT i.id_a, i.id_b,
-           round(i.n_inter / (sa.set_size + sb.set_size - i.n_inter), 6)
-               AS shingle_jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter / (sa.set_size + sb.set_size - i.n_inter) >= 0.2
+    SELECT id_a, id_b, round(shingle_jaccard, 6) AS shingle_jaccard
+    FROM scored WHERE shingle_jaccard >= 0.2
     """,
 )
 def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (3-token shingle) Jaccard near-dup: same MinHash→LSH→verify
     machinery over shingle sets (k=4, 2 bands) — shingles preserve local
     word order, catching reorder-invariant unigram false positives."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(D.shingles_col(F.col("text"), w=3)).alias("shingles"),
-    ).cache()
-    sigs = sh.select(
-        "doc_id", D.minhash_signature(F.col("shingles"), k=4).alias("sig")
-    ).cache()
-    cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=2, rows=2)
-    # Shuffle 8-byte shingle hashes, not shingle strings — same portable
-    # hash in the oracle, so the (hash-distinct) intersection counts are
-    # identical by construction.
     from numalogic_prometheus_spark.functions.hashing import hash32
 
-    items = sh.select(
-        "doc_id", F.explode(F.transform("shingles", hash32)).alias("item")
-    ).cache()
-    scored = D.exact_jaccard(cands, items, "doc_id", "item")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    # Two-stage materialization (VERDICT.md next-round #7). Stage 1 pins
+    # the shingle arrays — the dominant map cost, and minhash_signature
+    # would otherwise re-run that construction expression once per seed
+    # branch (higher-order functions are interpreted; no codegen CSE).
+    # Stage 2 pins one compact feature row per doc — signature (4 longs)
+    # + hashed shingle set (ints, same portable hash as the oracle so
+    # hash-distinct intersection counts match) — read by the band
+    # self-join sides and both verify legs. Executor-local disk, no
+    # full-corpus string cache (round 1 cached three string-heavy
+    # intermediates here and still recomputed the self-join side).
+    sh_arrays = d.select(
+        "doc_id",
+        F.array_distinct(D.shingles_col(F.col("text"), w=3)).alias("sh0"),
+    ).localCheckpoint(eager=True)
+    feat = sh_arrays.select(
+        "doc_id",
+        D.minhash_signature(F.col("sh0"), k=4).alias("sig"),
+        F.array_distinct(F.transform("sh0", hash32)).alias("hset"),
+    ).localCheckpoint(eager=True)
+    cands = D.lsh_candidate_pairs(feat, "doc_id", "sig", bands=2, rows=2)
+    scored = D.jaccard_by_sets(cands, feat, "doc_id", "hset")
     return scored.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("shingle_jaccard")
     )

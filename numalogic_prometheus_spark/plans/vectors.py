@@ -114,24 +114,46 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sign-bucket: bit i = (embedding[i] > 0) for the first 8 dims.
+# Sign-bucket: bit i = (embedding[offset+i] > 0) over `bits` dims — an
+# axis-aligned random-hyperplane LSH family. `bits` controls bucket count
+# (2^bits): at 100× corpus the in-bucket candidate count is O(N / 2^bits),
+# so bits must GROW with the corpus (≥16-24 at cluster scale; VERDICT.md
+# next-round #4) — recall is then recovered by OR-ing several bands
+# (different dim ranges), not by coarser buckets. The 8-bit single-band
+# form is kept as the oracle-checked fixture config (2000 vectors → 256
+# buckets ≈ 8/bucket); `vec_ann_multiband_topk` is the scale shape.
 _BUCKET_SQL = (
     "list_aggregate(list_transform(range(0, 8), "
     "i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END), 'sum')"
 )
 
 
-def _bucket_col(emb) -> F.Column:
+def _bucket_col(emb, bits: int = 8, offset: int = 0) -> F.Column:
     return F.aggregate(
         F.zip_with(
-            F.slice(emb, 1, 8),
-            F.sequence(F.lit(0), F.lit(7)),
+            F.slice(emb, offset + 1, bits),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
             lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
                 F.lit(0).cast("long")
             ),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def _banded_vectors(b: DataFrame, bits: int, bands: int) -> DataFrame:
+    """Explode each vector into `bands` (band_idx, band_key) rows; band i
+    hashes dims [i*bits, (i+1)*bits). Map-only — the only shuffle in the
+    ANN pipeline stays the (band_idx, band_key) candidate join."""
+    return b.select(
+        "vec_id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[_bucket_col(F.col("v"), bits, band * bits) for band in range(bands)]
+            )
+        ).alias("band_idx", "band_key"),
     )
 
 
@@ -159,11 +181,14 @@ def _bucket_col(emb) -> F.Column:
     """,
 )
 def vec_ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (the scale path): sign-bit bucket over the first 8
-    dims (an axis-aligned hyperplane family) assigns each vector to 1 of
-    256 buckets map-side; candidates are only same-bucket vectors, so the
-    cross product never materializes. Equi-join on bucket → AQE-planned,
-    skew-splittable — this is the shape that survives 100 TB."""
+    """LSH-bucketed ANN: sign-bit bucket over the first 8 dims (an
+    axis-aligned hyperplane family) assigns each vector to 1 of 256
+    buckets map-side; candidates are only same-bucket vectors, so the
+    cross product never materializes. 8 bits is the fixture config sized
+    to this corpus (2000 vectors ≈ 8/bucket) — at 100× the corpus the
+    bucket width must grow with N or the in-bucket self-join re-becomes
+    quadratic; `vec_ann_multiband_topk` is that scale configuration of
+    the same parameterized operator."""
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
@@ -180,6 +205,91 @@ def vec_ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "vec_ann_multiband_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    banded AS (
+        SELECT vec_id, v, band_idx,
+               list_aggregate(list_transform(range(0, 10),
+                   i -> CASE WHEN v[band_idx * 10 + i + 1] > 0
+                             THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS band_key
+        FROM b, (VALUES (0), (1)) bands(band_idx)
+    ),
+    q AS (SELECT vec_id AS query_id, band_idx, band_key
+          FROM banded WHERE {_QUERY_FILTER}),
+    cands AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN banded c
+          ON c.band_idx = q.band_idx AND c.band_key = q.band_key
+         AND c.vec_id != q.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               round(list_dot_product(qv.v, cv.v)
+                     / (sqrt(list_aggregate(list_transform(qv.v, x -> x*x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(cv.v, x -> x*x), 'sum'))),
+                     6) AS cos_sim
+        FROM cands cd
+        JOIN b qv ON qv.vec_id = cd.query_id
+        JOIN b cv ON cv.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ann_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-bands ANN — the 100× scale shape (VERDICT.md next-round #4):
+    2 bands × 10 sign bits (1,024 buckets per band — sized so the 2,000
+    vector fixture still yields candidates; at cluster scale raise to
+    16-24 bits) bound the in-bucket candidate count at O(N/2^bits) per
+    band, while OR-ing the bands recovers the recall a single fine bucket
+    would lose. Candidates = union of
+    same-(band, key) vectors, deduped BEFORE the exact-cosine re-rank so
+    each pair is scored once. At larger corpora scale `bits` up and add
+    bands — the plan shape (map-side banding, one candidate equi-join,
+    per-query top-k) is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    banded = _banded_vectors(b, bits=10, bands=2)
+    q = banded.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_key"
+    )
+    cands = (
+        q.join(banded.select("vec_id", "band_idx", "band_key"), ["band_idx", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cands.join(
+            b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+            "query_id",
+        )
+        .join(
+            b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")

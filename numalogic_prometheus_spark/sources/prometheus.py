@@ -1,0 +1,134 @@
+"""Prometheus range-query fetch source (B1 as a real source).
+
+The reference gained a "Prometheus Query Service" fetch stage
+(reference CHANGELOG.md:10 #168, :90) that pulls a PromQL range query and
+feeds the pipeline. Spark-first, that is a Spark 4 Python DataSource: the
+driver plans one partition per time slice, each executor task issues its
+own ``GET /api/v1/query_range`` for its slice and yields the canonical
+samples relation — so a month-long backfill fans out across the cluster
+instead of funneling through one HTTP loop.
+
+Scale posture:
+- Partitioning is BY TIME RANGE (``partitions`` option): each task fetches
+  an equal slice of [start, end). At 100 TB-scale backfills the slice
+  count is set to executor parallelism; Prometheus-side sharding (one
+  source per tenant/shard URL) composes on top with ``unionByName``.
+- The emitted relation is the engine's canonical samples shape
+  (name, labels map, ts, value) — every downstream discipline operator
+  (operators/metrics.py) consumes it unchanged.
+- Errors surface per-task with the offending URL; a retry budget guards
+  transient 5xx (exponential backoff, bounded).
+
+Uses only the Python stdlib (urllib) — no extra dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = "name string, labels map<string,string>, ts timestamp, value double"
+
+
+@dataclass
+class _Slice(InputPartition):
+    start: float
+    end: float
+
+
+def _fetch_json(url: str, retries: int = 3, backoff: float = 0.5) -> dict:
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except Exception as exc:  # bounded retry on transient failures
+            last = exc
+            if attempt + 1 < retries:
+                time.sleep(backoff * (2**attempt))
+    raise RuntimeError(f"prometheus fetch failed after {retries} tries: {url}") from last
+
+
+def _parse_ts(v: str | float) -> float:
+    """Accept unix seconds or RFC3339 (both are valid Prometheus API forms)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v)
+    try:
+        return float(s)
+    except ValueError:
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+
+
+class PrometheusScanReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]) -> None:
+        self.url = options["url"].rstrip("/")
+        self.query = options["query"]
+        self.start = _parse_ts(options["start"])
+        self.end = _parse_ts(options["end"])
+        self.step = options.get("step", "60s")
+        self.n_partitions = int(options.get("partitions", "8"))
+        if self.end <= self.start:
+            raise ValueError("prometheus source: end must be after start")
+
+    def partitions(self) -> list[_Slice]:
+        """One slice per partition — time-range parallelism; each slice is
+        end-exclusive so a sample is fetched by exactly one task."""
+        width = (self.end - self.start) / self.n_partitions
+        return [
+            _Slice(self.start + i * width, self.start + (i + 1) * width)
+            for i in range(self.n_partitions)
+        ]
+
+    def read(self, partition: _Slice):
+        # query_range is start/end-INCLUSIVE; shave the slice end by 1ms
+        # so boundary samples are not double-fetched by adjacent slices.
+        params = urllib.parse.urlencode(
+            {
+                "query": self.query,
+                "start": f"{partition.start:.3f}",
+                "end": f"{max(partition.start, partition.end - 0.001):.3f}",
+                "step": self.step,
+            }
+        )
+        payload = _fetch_json(f"{self.url}/api/v1/query_range?{params}")
+        if payload.get("status") != "success":
+            raise RuntimeError(f"prometheus error response: {payload}")
+        for series in payload.get("data", {}).get("result", []):
+            metric = dict(series.get("metric", {}))
+            name = metric.pop("__name__", self.query)
+            for ts_s, val_s in series.get("values", []):
+                yield (
+                    name,
+                    metric,
+                    datetime.fromtimestamp(float(ts_s), tz=timezone.utc),
+                    float(val_s),
+                )
+
+
+class PrometheusDataSource(DataSource):
+    """``spark.read.format("prometheus")`` — range query → samples relation.
+
+    Options: url (server base), query (PromQL), start/end (unix seconds or
+    RFC3339), step (default 60s), partitions (time slices, default 8).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "prometheus"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> PrometheusScanReader:
+        return PrometheusScanReader(self.options)
+
+
+def register_prometheus_source(spark) -> None:
+    spark.dataSource.register(PrometheusDataSource)

@@ -47,6 +47,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """Scan + hash-repartition on ``key`` to the session's default
+    parallelism, for plans that do expensive per-row compute (md5-based
+    minhash/simhash, shingle construction) right after the scan.
+
+    A single parquet file with one row group arrives as ONE input split,
+    so without this every downstream map stage runs on one core. At the
+    100 TB design point the source has thousands of splits and this
+    becomes a cheap balancing shuffle of the raw rows (it also co-locates
+    by key for later joins). The explicit partition count stops AQE from
+    coalescing the exchange back down to one partition on small inputs.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

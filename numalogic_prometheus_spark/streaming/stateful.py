@@ -34,8 +34,10 @@ def stateful_running_stats(grouped) -> DataFrame:
         else:
             n, s, s2 = 0, 0.0, 0.0
         for pdf in pdfs:
-            v = pdf["value"]
-            n += int(v.count())
+            # dropna once so count/sum/sumsq see the same rows — len() is
+            # O(1) where Series.count() would re-scan for non-null.
+            v = pdf["value"].dropna()
+            n += len(v)
             s += float(v.sum())
             s2 += float((v * v).sum())
         state.update((n, s, s2))

@@ -26,7 +26,10 @@ def _canon_cell(v):
             return "nan"
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        return f"{round(v, 6):.6f}"
+        # `+ 0.0` collapses -0.0 to 0.0: two engines rounding to signed
+        # zeros on opposite sides would otherwise print "-0.000000" vs
+        # "0.000000" — a false mismatch inside the 1e-6 tolerance.
+        return f"{round(v, 6) + 0.0:.6f}"
     if isinstance(v, (pd.Timestamp, datetime)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:

@@ -50,6 +50,42 @@ def test_gauge_discipline_last_write_wins(samples):
     assert out["a"]["last_ts"] == _ts("2024-01-01T00:02:00")
 
 
+def test_counter_guarded_rejects_negative_nan_null(spark):
+    # reference metrics.py:64-68 + pinned prometheus-client: inc(amount<0)
+    # raises ValueError; relationally the invalid samples divert to a
+    # dead-letter side relation. NaN must be caught explicitly — Spark
+    # orders NaN above every number, so `value >= 0` alone accepts it.
+    rows = [
+        Row(key="a", value=1.0),
+        Row(key="a", value=-2.0),       # negative increment → rejected
+        Row(key="a", value=float("nan")),  # NaN → rejected
+        Row(key="a", value=None),       # null → rejected
+        Row(key="a", value=3.0),
+        Row(key="b", value=0.0),        # zero increment is legal
+    ]
+    df = spark.createDataFrame(rows, "key string, value double")
+    accepted, rejected = M.counter_guarded(df, ["key"])
+    acc = {r["key"]: r for r in accepted.collect()}
+    assert acc["a"]["n_samples"] == 2 and acc["a"]["total"] == 4.0
+    assert acc["b"]["n_samples"] == 1 and acc["b"]["total"] == 0.0
+    rej = rejected.collect()
+    assert len(rej) == 3 and all(r["key"] == "a" for r in rej)
+
+
+def test_gauge_latest_tiebreak_on_ts_collision(spark):
+    # two samples at the SAME max ts: the event_id tiebreak must pin the
+    # pick (without it max_by is free to return either value)
+    rows = [
+        Row(key="a", ts=_ts("2024-01-01T00:01:00"), event_id=1, value=5.0),
+        Row(key="a", ts=_ts("2024-01-01T00:02:00"), event_id=2, value=7.0),
+        Row(key="a", ts=_ts("2024-01-01T00:02:00"), event_id=3, value=9.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = M.gauge_latest(df, ["key"], tiebreak="event_id").collect()[0]
+    assert out["gauge_value"] == 9.0  # highest (ts, event_id)
+    assert out["last_ts"] == _ts("2024-01-01T00:02:00")
+
+
 def test_summary_discipline_count_sum(samples):
     out = {r["key"]: r for r in M.summary(samples, ["key"], quantiles=[0.5]).collect()}
     assert out["a"]["obs_count"] == 3 and out["a"]["obs_sum"] == 7.0
