@@ -279,3 +279,129 @@ def promql_topk_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         per_user, ["hour"], "sum_value", 3, tiebreak=["user_id"]
     ).select("hour", "user_id", "sum_value")
+
+
+@register(
+    "promql_clamp_values",
+    oracle="""
+    SELECT event_type,
+           round(sum(least(greatest(value, 2.0), 15.0)), 4) AS clamped_sum,
+           sum(CASE WHEN value < 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_below,
+           sum(CASE WHEN value > 15.0 THEN 1 ELSE 0 END)::BIGINT AS n_above
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def promql_clamp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `clamp(v, min, max)` (and the clamp_min/clamp_max pair)
+    analog: per-sample clamp then aggregate — a pure row expression, the
+    sum stays a single-exchange hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    clamped = F.least(F.greatest(F.col("value"), F.lit(2.0)), F.lit(15.0))
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(clamped), 4).alias("clamped_sum"),
+        F.sum(F.when(F.col("value") < 2.0, 1).otherwise(0)).alias("n_below"),
+        F.sum(F.when(F.col("value") > 15.0, 1).otherwise(0)).alias("n_above"),
+    )
+
+
+@register(
+    "promql_absent_series",
+    oracle="""
+    WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    present AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hour, event_type FROM events
+    )
+    SELECT h.hour, t.event_type, 1::BIGINT AS absent
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN present p ON p.hour = h.hour AND p.event_type = t.event_type
+    WHERE p.hour IS NULL
+    """,
+)
+def promql_absent_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `absent()` analog over the (hour × series) grid: emit 1 for
+    every grid cell with NO samples — the alerting primitive for dead
+    series. The grid dims are tiny aggregates (distinct hours, distinct
+    types) so both broadcast; the anti-join against the fact side is the
+    only real work and shuffles once on the grid key."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    present = ev.select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).distinct()
+    return (
+        grid.join(present, ["hour", "event_type"], "left_anti")
+        .select("hour", "event_type", F.lit(1).cast("long").alias("absent"))
+    )
+
+
+@register(
+    "promql_irate_last_delta",
+    oracle="""
+    -- epoch_us on both sides: second-granularity epoch truncates the
+    -- fixture's sub-second ts and fractional epochs differ per engine
+    SELECT event_type,
+           round((CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v1 END)
+                 * 1000000.0 / (epoch_us(t1) - epoch_us(t0)), 6) AS irate
+    FROM (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN cum END) AS v1,
+               max(CASE WHEN rn = 2 THEN cum END) AS v0,
+               max(CASE WHEN rn = 1 THEN ts END) AS t1,
+               max(CASE WHEN rn = 2 THEN ts END) AS t0
+        FROM (
+            SELECT event_type, ts,
+                   sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM (SELECT event_type, ts, event_id, round(value, 2) AS value
+                  FROM events)
+        ) WHERE rn <= 2
+        GROUP BY event_type
+    )
+    """,
+)
+def promql_irate_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `irate()` analog: instantaneous rate from the LAST two points
+    of a cumulative counter per series, with the counter-reset rule (if the
+    counter dropped, the post-reset value is the increase). The synthetic
+    cumulative series is a running sum of 2dp-rounded values — integer-like
+    units so the cross-engine prefix sum is exact (window prefix sums over
+    raw doubles are not reproducible across engines)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cum_w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = ev.select(
+        "event_type", "ts", "event_id",
+        F.sum(F.round("value", 2)).over(cum_w).alias("cum"),
+    )
+    last2 = with_cum.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ),
+    ).filter(F.col("rn") <= 2)
+    pivoted = last2.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cum"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cum"))).alias("v0"),
+        F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 2, F.col("ts"))).alias("t0"),
+    )
+    increase = F.when(F.col("v1") >= F.col("v0"), F.col("v1") - F.col("v0")).otherwise(
+        F.col("v1")
+    )
+    dt_us = F.unix_micros(F.col("t1")) - F.unix_micros(F.col("t0"))
+    return pivoted.select(
+        "event_type", F.round(increase * F.lit(1000000.0) / dt_us, 6).alias("irate")
+    )

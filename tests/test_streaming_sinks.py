@@ -94,3 +94,59 @@ def test_foreachbatch_config_reload(spark, sf_dir):
     finally:
         q.stop()
     assert seen_weights and all(w is not None for w in seen_weights)
+
+
+def test_stateful_checkpoint_restart(spark):
+    """Kill + resume from checkpoint (B5 stateful scaler durability,
+    reference CHANGELOG.md:456 Redis-backed preproc state): a second
+    streaming query started from the SAME checkpoint must restore the
+    per-key running stats, not recompute from scratch — the file source's
+    checkpoint also pins which input files were already consumed, so new
+    output reflecting old+new rows proves state survived the restart."""
+    import tempfile
+
+    from numalogic_prometheus_spark.streaming.stateful import (
+        stateful_running_stats,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        data, ckpt = f"{tmp}/data", f"{tmp}/ckpt"
+        schema = "key string, value double"
+
+        def run_once(extra_rows):
+            if extra_rows:
+                spark.createDataFrame(extra_rows, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(data)
+            # foreachBatch, not the memory sink: memory does not support
+            # recovering from a checkpoint (AnalysisException on restart)
+            emitted: list = []
+
+            def capture(batch_df, epoch_id: int) -> None:
+                emitted.extend(batch_df.collect())
+
+            stream = spark.readStream.schema(schema).parquet(data)
+            out = stateful_running_stats(stream.groupBy("key"))
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(capture)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return {r["key"]: r for r in emitted}
+
+        first = run_once([("a", 1.0), ("a", 2.0), ("b", 10.0)])
+        assert first["a"]["n"] == 2 and first["a"]["mean"] == 1.5
+        assert first["b"]["n"] == 1
+
+        # restart: new query, same checkpoint, one NEW file with one row
+        second = run_once([("a", 4.0)])
+        # update mode emits only keys touched in the new batch; n=3 proves
+        # the (2, 3.0, 5.0) state tuple was restored across the restart
+        assert set(second) == {"a"}
+        assert second["a"]["n"] == 3
+        assert abs(second["a"]["mean"] - 7.0 / 3.0) < 1e-9
