@@ -209,22 +209,20 @@ def counter_monotonic_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned prometheus-client: negative increments raise ValueError;
     VERDICT.md "What's missing" #2). Relationally the invalid samples
     become a dead-letter side relation; this query reports accepted vs
-    rejected sample counts per series. The fixture has no invalid rows
-    (driver check degenerates to n_rejected=0); crafted negative/NaN
-    inputs are covered by tests/test_golden_semantics.py."""
+    rejected sample counts per series — fused into ONE conditional
+    aggregate (single scan, single exchange; the two-relation side-output
+    form is `counter_guarded`, exercised with crafted negative/NaN/null
+    rows in tests/test_golden_semantics.py). The fixture has no invalid
+    rows, so the driver check degenerates to n_rejected=0."""
     ev = load_table(spark, sf_dir, "events")
-    accepted, rejected = M.counter_guarded(ev, ["event_type"])
-    rej_counts = rejected.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_rejected")
+    valid = (
+        F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.col("value") >= 0)
     )
-    return (
-        accepted.select("event_type", "n_samples")
-        .join(rej_counts, "event_type", "left")
-        .select(
-            "event_type",
-            "n_samples",
-            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
-        )
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_samples"),
+        F.sum(F.when(valid, 0).otherwise(1)).alias("n_rejected"),
     )
 
 

@@ -39,10 +39,16 @@ def mllib_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = MinMaxScaler(inputCol="features", outputCol="scaled").fit(hourly)
     out = model.transform(hourly)
+    # Unpack the scaled vector to scalar columns: the driver's rows-only
+    # canonicalizer still sorts the frame and cannot hash array cells
+    # (the round-1 agg_approx_quantiles failure mode).
+    scaled = vector_to_array("scaled")
     return out.select(
         "user_id",
         "hour",
-        vector_to_array("scaled").alias("scaled_features"),
+        F.round(scaled.getItem(0), 6).alias("scaled_n"),
+        F.round(scaled.getItem(1), 6).alias("scaled_sum"),
+        F.round(scaled.getItem(2), 6).alias("scaled_avg"),
     )
 
 

@@ -150,3 +150,44 @@ def test_stateful_checkpoint_restart(spark):
         assert set(second) == {"a"}
         assert second["a"]["n"] == 3
         assert abs(second["a"]["mean"] - 7.0 / 3.0) < 1e-9
+
+
+def test_exposition_http_serving_seam(spark, sf_dir):
+    """A10 end-to-end (reference numaprom/monitoring/__init__.py:16-24):
+    foreachBatch renders the counter family per micro-batch and an HTTP
+    endpoint serves the latest scrape at /metrics."""
+    import urllib.request
+
+    from numalogic_prometheus_spark.streaming.exposition_http import (
+        ExpositionServer,
+    )
+
+    server = ExpositionServer().start()
+    try:
+        def render(batch_df):
+            counts = batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            return M.exposition_lines(counts, "events_total", ["event_type"], "n")
+
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.outputMode("append")
+            .foreachBatch(server.foreach_batch(render))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        with urllib.request.urlopen(server.url, timeout=10) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode("utf-8")
+        lines = [ln for ln in body.splitlines() if ln]
+        assert lines and all(
+            ln.startswith('events_total{event_type="') for ln in lines
+        )
+        assert lines == sorted(lines)  # exposition determinism (§4.3)
+    finally:
+        server.stop()
