@@ -405,3 +405,38 @@ def promql_irate_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "event_type", F.round(increase * F.lit(1000000.0) / dt_us, 6).alias("irate")
     )
+
+
+@register(
+    "promql_predict_linear",
+    oracle="""
+    SELECT user_id,
+           round(regr_intercept(value, floor(epoch(ts))::BIGINT)
+                 + regr_slope(value, floor(epoch(ts))::BIGINT)
+                   * (max(floor(epoch(ts))::BIGINT) + 3600), 4)
+               AS predicted_1h,
+           count(*) AS n_samples
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+)
+def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `predict_linear(v[range], 3600)` analog: least-squares
+    extrapolation one hour past each series' last sample — slope and
+    intercept are single-pass regr_* aggregates sharing one exchange with
+    the max-ts pick (same integer-second x axis as promql_deriv)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.regr_intercept(F.col("value"), x)
+                + F.regr_slope(F.col("value"), x) * (F.max(x) + 3600),
+                4,
+            ).alias("predicted_1h"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .filter(F.col("n_samples") >= 2)
+    )

@@ -531,3 +531,62 @@ def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("shingle_jaccard")
     )
+
+
+_SIMHASH_EDGES_SQL = """
+    , banded AS (
+        SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (b * 8)) & 255 AS band_key
+        FROM sigs, (VALUES (0), (1), (2), (3)) bands(b)
+    ),
+    canon AS (
+        SELECT band_idx, band_key, min(doc_id) AS id_a
+        FROM banded GROUP BY band_idx, band_key
+    ),
+    cands AS (
+        SELECT DISTINCT c.id_a, b.doc_id AS id_b
+        FROM banded b
+        JOIN canon c ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+                    AND b.doc_id != c.id_a
+    ),
+    edges AS (
+        SELECT cd.id_a, cd.id_b
+        FROM cands cd
+        JOIN sigs sa ON sa.doc_id = cd.id_a
+        JOIN sigs sb ON sb.doc_id = cd.id_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_SIMHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _SIMHASH_EDGES_SQL
+    + """
+    , sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach AS (
+        SELECT a AS id, a AS lbl FROM sym
+        UNION
+        SELECT e.b AS id, r.lbl AS lbl
+        FROM reach r JOIN sym e ON e.a = r.id
+    )
+    SELECT id AS doc_id, min(lbl)::BIGINT AS component
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution ([north-star] dedup final stage): the
+    SimHash near-dup pairs become edges of an undirected graph; connected
+    components assign every clustered doc its canonical (min-id) survivor.
+    Spark side is BSP min-label propagation (join + aggregate per round,
+    O(diameter) rounds, lineage truncated per round); the oracle computes
+    the same fixpoint with a DuckDB recursive CTE — an iterative algorithm
+    the differential harness can still check exactly."""
+    edges = dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = D.connected_components(edges)
+    return comp.select(F.col("id").alias("doc_id"), "component")

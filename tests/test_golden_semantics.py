@@ -192,3 +192,16 @@ def test_asof_join_takes_latest_at_or_before(spark):
     assert out["q0"] is None  # nothing at or before ts=5
     assert out["q1"] == 2.0  # ties take the right row (>= semantics)
     assert out["q2"] == 3.0
+
+
+def test_connected_components_chain_and_clusters(spark):
+    # chain 1-2-3-4 (propagation must cross >1 hop), pair {10,11},
+    # and an isolated pair {20,21}; component = min member id
+    from numalogic_prometheus_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
