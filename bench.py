@@ -62,6 +62,19 @@ def main() -> None:
         df.groupBy(df.columns[0]).count().write.mode("overwrite").format(
             "noop"
         ).save()
+    # Warm each headline PLAN at the tiniest scale factor: Janino
+    # compilation of the large (partly interpreted) expression trees costs
+    # whole seconds per novel plan shape and would otherwise land inside
+    # the first timed pass.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in names:
+            try:
+                queries[name](spark, warm_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass  # warmup is best-effort; the timed pass will surface it
 
     timings: dict[str, float] = {}
     for name in names:

@@ -186,6 +186,63 @@ def exact_jaccard(
     )
 
 
+# Polynomial shingle hashing (Rabin-Karp style): a w-token shingle's hash
+# is an integer combination of the w token hashes — so after ONE md5 pass
+# per token, shingling and MinHash are pure 64-bit arithmetic. Constants
+# stay below 2^31 so products with 2^32-bit hashes fit in a signed 64-bit
+# int on both engines (exact cross-engine parity, no float, no overflow).
+SHINGLE_MOD = 2**32
+SHINGLE_C = (1000003, 30011, 65599)
+# (P, Q) affine constants per MinHash seed: h_s(x) = (x*P + Q) mod 2^32.
+MINHASH_INT_SEEDS = (
+    (2654435761 % 2**31, 374761393),
+    (2246822519 % 2**31, 668265263),
+    (3266489917 % 2**31, 2147483647),
+    (668265263 % 2**31, 2654435761),
+)
+
+
+def shingle_hash_col(token_hashes: Column, w: int = 3) -> Column:
+    """w-token shingle hashes from a token-hash array — pure arithmetic.
+
+    Window i combines hashes[i..i+w-1] with distinct multipliers; trailing
+    windows shorter than w (and texts shorter than w tokens) treat missing
+    positions as 0, mirroring the single-shingle fallback of the string
+    form. element_at past the end is NULL in both engines → coalesce 0.
+    """
+    n = F.size(token_hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+
+    def _win(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, c in enumerate(SHINGLE_C[:w]):
+            acc = acc + F.coalesce(
+                F.element_at(token_hashes, i + j), F.lit(0).cast("long")
+            ) * F.lit(c)
+        return acc % F.lit(SHINGLE_MOD)
+
+    return F.transform(idx, _win)
+
+
+def minhash_int_signature(hashes: Column, k: int = 4) -> Column:
+    """k seeded min-hashes over an integer-hash set: affine maps
+    (x*P + Q) mod 2^32 — no md5 in the signature stage at all, so
+    recomputing the signature is cheaper than materializing it."""
+    # closure factory, NOT default-arg lambdas: F.transform reads lambda
+    # arity, and a (x, P=…, Q=…) signature would be bound as (element,
+    # index) — the round-1 two-arg-lambda trap.
+    def _affine(P: int, Q: int):
+        return lambda x: (x * F.lit(P) + F.lit(Q)) % F.lit(SHINGLE_MOD)
+
+    distinct = F.array_distinct(hashes)
+    return F.array(
+        *[
+            F.array_min(F.transform(distinct, _affine(P, Q)))
+            for P, Q in MINHASH_INT_SEEDS[:k]
+        ]
+    )
+
+
 def jaccard_by_sets(
     pairs: DataFrame, sets: DataFrame, id_col: str, set_col: str
 ) -> DataFrame:

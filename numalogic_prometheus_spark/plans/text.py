@@ -447,23 +447,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_C_SQL = "(" + ", ".join(str(c) for c in D.SHINGLE_C) + ")"
+_SHINGLE_HASH_SQL = f"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(th) - 2, 1) + 1),
+                   i -> (th[i] * {D.SHINGLE_C[0]}
+                         + coalesce(th[i + 1], 0) * {D.SHINGLE_C[1]}
+                         + coalesce(th[i + 2], 0) * {D.SHINGLE_C[2]})
+                        % {D.SHINGLE_MOD})) AS hset
+        FROM (SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                                    t -> {hash32_sql('t')}) AS th
+              FROM documents)
+"""
+_SHINGLE_SIG_SQL = ",\n               ".join(
+    f"list_aggregate(list_transform(hset, x -> (x * {P} + {Q}) % "
+    f"{D.SHINGLE_MOD}), 'min') AS h{i}"
+    for i, (P, Q) in enumerate(D.MINHASH_INT_SEEDS)
+)
+
+
 @register(
     "dedup_shingle_minhash_pairs",
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(sp) < 3
-                    THEN [array_to_string(sp, ' ')]
-                    ELSE [array_to_string(sp[i:i+2], ' ')
-                          for i in range(1, len(sp) - 1)] END) AS shingles
-        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
-    ),
+    WITH sh AS ({_SHINGLE_HASH_SQL}),
     sigs AS (
         SELECT doc_id,
-               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 0)}), 'min') AS h0,
-               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 1)}), 'min') AS h1,
-               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 2)}), 'min') AS h2,
-               list_aggregate(list_transform(shingles, t -> {hash32_seeded_sql('t', 3)}), 'min') AS h3
+               {_SHINGLE_SIG_SQL}
         FROM sh
     ),
     banded AS (
@@ -478,14 +489,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     ),
-    -- verify on hashed shingle sets (8-byte ints, same portable hash both
-    -- engines ⇒ identical hash-distinct intersection counts)
-    hsets AS (
-        SELECT doc_id,
-               list_distinct(list_transform(shingles,
-                   t -> {hash32_sql('t')})) AS hset
-        FROM sh
-    ),
     scored AS (
         SELECT c.id_a, c.id_b,
                len(list_intersect(sa.hset, sb.hset))::DOUBLE
@@ -493,38 +496,44 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - len(list_intersect(sa.hset, sb.hset)))
                    AS shingle_jaccard
         FROM cands c
-        JOIN hsets sa ON sa.doc_id = c.id_a
-        JOIN hsets sb ON sb.doc_id = c.id_b
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, round(shingle_jaccard, 6) AS shingle_jaccard
     FROM scored WHERE shingle_jaccard >= 0.2
     """,
 )
 def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (3-token shingle) Jaccard near-dup: same MinHash→LSH→verify
-    machinery over shingle sets (k=4, 2 bands) — shingles preserve local
-    word order, catching reorder-invariant unigram false positives."""
+    """n-gram (3-token shingle) Jaccard near-dup: MinHash→LSH→verify over
+    shingle sets (k=4, 2 bands) — shingles preserve local word order,
+    catching reorder-invariant unigram false positives.
+
+    Shingles are hashed ARITHMETICALLY (Rabin-Karp-style polynomial over
+    the token hashes, operators/dedup.py shingle_hash_col): after one md5
+    pass per token everything up to the band exchange is integer math, so
+    the per-doc features are cheap enough to RECOMPUTE for each plan leg —
+    no full-corpus cache or checkpoint at all (round 1 cached three
+    string-heavy intermediates; the checkpointed round-2 draft was still
+    the benchmark's variance magnet). The MinHash seeds are affine maps
+    (x·P+Q mod 2^32) mirrored exactly in the oracle."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     from numalogic_prometheus_spark.functions.hashing import hash32
 
-    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    # Two-stage materialization (VERDICT.md next-round #7). Stage 1 pins
-    # the shingle arrays — the dominant map cost, and minhash_signature
-    # would otherwise re-run that construction expression once per seed
-    # branch (higher-order functions are interpreted; no codegen CSE).
-    # Stage 2 pins one compact feature row per doc — signature (4 longs)
-    # + hashed shingle set (ints, same portable hash as the oracle so
-    # hash-distinct intersection counts match) — read by the band
-    # self-join sides and both verify legs. Executor-local disk, no
-    # full-corpus string cache (round 1 cached three string-heavy
-    # intermediates here and still recomputed the self-join side).
-    sh_arrays = d.select(
-        "doc_id",
-        F.array_distinct(D.shingles_col(F.col("text"), w=3)).alias("sh0"),
+    hset = D.shingle_hash_col(
+        F.transform(D.tokens_col(F.col("text")), hash32), w=3
+    )
+    # Two eager localCheckpoints: higher-order functions evaluate
+    # interpreted (no codegen), so ANY pass over the token arrays costs
+    # real wall time and ProjectCollapse would re-inline the hset
+    # expression into every MinHash seed branch. Checkpoint 1 pins the
+    # hashed shingle sets (one md5 pass + integer window mixing);
+    # checkpoint 2 adds the affine signatures so the band self-join sides
+    # and verify legs read compact ints from executor-local storage.
+    hsets = d.select(
+        "doc_id", F.array_distinct(hset).alias("hset")
     ).localCheckpoint(eager=True)
-    feat = sh_arrays.select(
-        "doc_id",
-        D.minhash_signature(F.col("sh0"), k=4).alias("sig"),
-        F.array_distinct(F.transform("sh0", hash32)).alias("hset"),
+    feat = hsets.withColumn(
+        "sig", D.minhash_int_signature(F.col("hset"), k=4)
     ).localCheckpoint(eager=True)
     cands = D.lsh_candidate_pairs(feat, "doc_id", "sig", bands=2, rows=2)
     scored = D.jaccard_by_sets(cands, feat, "doc_id", "hset")
