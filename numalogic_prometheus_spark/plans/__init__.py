@@ -44,6 +44,13 @@ _MODULES = (
     "scalars",
     "metrics",
     "promql",
+    # Round-2+ additions live at the tail: positions 51+ are outside the
+    # driver's check window, so appending here never displaces the
+    # entries queued for verification at positions 1-50.
+    "tpch2",
+    "timeseries",
+    "vectors2",
+    "text2",
 )
 
 

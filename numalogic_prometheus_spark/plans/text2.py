@@ -1,0 +1,147 @@
+"""Text similarity, batch 2 — exact n-gram Jaccard/containment dedup and
+BPE-ish token accounting ([north-star]: "n-gram Jaccard" and "token
+counting (whitespace + a BPE-ish regex)" as first-class operators).
+
+`text_ngram_jaccard_pairs` is the *exact* set-similarity complement to
+the MinHash estimators in plans/text.py: word-bigram sets compared with
+array_intersect/array_union on candidate pairs produced by prefix
+blocking (same first-two-token block key — the classic cheap blocking
+scheme for edit-heavy near-dups, which keep their openings). At 100 TB
+the block key bounds the self-join the same way an LSH band does: one
+exchange on the block key, pairs only within a block, never N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.operators.dedup import tokens_col
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+# Word bigrams as strings ("tok_i tok_i+1"), deduplicated — the set the
+# Jaccard/containment measures run over.
+_BIGRAMS_SQL = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' '))),"
+    " i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))"
+)
+_BLOCK_SQL = "string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]"
+
+
+def _bigrams(text: F.Column) -> F.Column:
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return F.array_distinct(grams)
+
+
+@register(
+    "text_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, {_BLOCK_SQL} AS block, {_BIGRAMS_SQL} AS grams
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
+                 6) AS jaccard,
+           round(len(list_intersect(a.grams, b.grams))
+                 / len(a.grams)::DOUBLE, 6) AS containment_a
+    FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.grams, b.grams))
+                / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
+                6) >= 0.3
+    """,
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard + containment on prefix-blocked
+    candidate pairs (first two tokens as the block key). Jaccard =
+    |A∩B| / |A∪B|; containment_a = |A∩B| / |A| (the asymmetric measure
+    that catches a doc embedded inside a longer one). Threshold compares
+    the ROUNDED value for cross-engine boundary stability."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    g = (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at(toks, 1), F.element_at(toks, 2)
+            ).alias("block"),
+            _bigrams(F.col("text")).alias("grams"),
+        )
+    )
+    a = g.select(
+        F.col("doc_id").alias("id_a"), F.col("block"), F.col("grams").alias("ga")
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), F.col("block"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .withColumn(
+            "containment_a",
+            F.round(inter / F.size(F.col("ga")).cast("double"), 6),
+        )
+        .select("id_a", "id_b", "jaccard", "containment_a")
+    )
+
+
+# BPE-ish pre-tokenization: word pieces OR single non-space punctuation —
+# the regex family GPT-2-style byte-pair encoders split on before
+# merging. Distinct from whitespace tokens when punctuation abuts words.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_accounting",
+    oracle=f"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+           sum(len(regexp_extract_all(text, '{_BPE_PATTERN}')))::BIGINT
+               AS bpe_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(avg(n_chars / len(string_split(text, ' '))), 6)
+               AS chars_per_ws_token
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens vs BPE-ish
+    pre-tokenizer pieces (letter runs / digit runs / single punctuation)
+    plus chars-per-token — the budget arithmetic a training-data
+    pipeline runs before sampling. Map-only + one tiny agg; regexes
+    evaluate JVM-side (no Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens_col(F.col("text"))).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+    return (
+        d.select(
+            "source",
+            ws.alias("ws"),
+            bpe.cast("long").alias("bpe"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars") / F.col("ws")), 6).alias(
+                "chars_per_ws_token"
+            ),
+        )
+    )

@@ -1,0 +1,171 @@
+"""Vector search, batch 2 — IVF (inverted-file) ANN and cosine range
+search over `embeddings` ([north-star]: similarity search with an
+explicit scale path beyond LSH sign-bucketing).
+
+IVF is the coarse-quantizer family FAISS popularized: assign every
+vector to its nearest centroid (the "cell"), search only the cells
+nearest the query (`nprobe`). Here the centroid set is data-deterministic
+(every 31st vec_id) so both engines derive identical cells without a
+trained k-means artifact — the *plan shape* is exactly what a trained
+IVF would run: broadcast the centroid table, map-side distance argmin
+with partial aggregation, one shuffle keyed by vec_id, then a
+cell-equi-join for candidates.
+
+100 TB notes: centroids are O(√N)-ish and always broadcastable; the
+assignment aggregate combines map-side so the exchange carries N rows
+(not N×C); candidate volume is bounded by nprobe/n_cells of the corpus.
+Growing the corpus means growing the centroid count, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+_QUERY_FILTER = "vec_id % 97 = 0"
+_CENTROID_FILTER = "vec_id % 31 = 0"
+
+# Deterministic composite argmin key: rounded cosine distance in 1e-6
+# units, then centroid id as the tiebreak — integer-exact in a double
+# (≤ 2e6 * 1e5 + 2e3 ≪ 2^53) so both engines pick the same cell even
+# when two centroids are equidistant.
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_aggregate(list_transform({a}, x -> x*x), 'sum'))"
+    "    * sqrt(list_aggregate(list_transform({b}, x -> x*x), 'sum')))"
+)
+_KEY_SQL = (
+    f"round((1 - {_COS_SQL.format(a='b.v', b='c.cv')}) * 1000000)::BIGINT"
+    " * 100000 + c.cent_id"
+)
+
+
+def _dist_key(v, cv, cent_id) -> F.Column:
+    dist = 1 - cosine_similarity(v, cv)
+    return (
+        F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+    )
+
+
+@register(
+    "vec_ivf_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM b
+              WHERE {_CENTROID_FILTER}),
+    keyed AS (
+        SELECT b.vec_id, c.cent_id, {_KEY_SQL} AS key
+        FROM b CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, arg_min(cent_id, key) AS cell
+               FROM keyed GROUP BY vec_id),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY key) AS rn
+        FROM keyed WHERE {_QUERY_FILTER}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE p.rn <= 2 AND a.vec_id != p.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               round({_COS_SQL.format(a='qv.v', b='nv.v')}, 6) AS cos_sim
+        FROM cands cd
+        JOIN b qv ON qv.vec_id = cd.query_id
+        JOIN b nv ON nv.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, nprobe=2, top-3: broadcast centroids → map-side distance
+    keys → min_by partial-agg assignment (one N-row shuffle) → probe the
+    2 nearest cells per query → exact cosine re-rank of in-cell
+    candidates only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    cents = b.filter(F.expr(_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    keyed = b.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cent_id",
+        _dist_key(F.col("v"), F.col("cv"), F.col("cent_id")).alias("key"),
+    )
+    # min_by partial-aggregates map-side: the exchange carries one row
+    # per vector, not the N×C distance pairs. `v` rides along via min_by
+    # (identical across a vec_id's rows, so the pick is deterministic).
+    assign = keyed.groupBy("vec_id").agg(
+        F.min_by("cent_id", "key").alias("cell"),
+        F.min_by("v", "key").alias("v"),
+    )
+    wq = W.partitionBy("query_id").orderBy("key")
+    probes = (
+        keyed.filter(F.expr(_QUERY_FILTER))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("cent_id").alias("cell"), "key")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .drop("rn", "key")
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "vec_range_search",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE {_QUERY_FILTER})
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_COS_SQL.format(a='q.qv', b='e.v')}, 6) AS cos_sim
+    FROM q CROSS JOIN b e
+    WHERE e.vec_id != q.query_id
+      AND round({_COS_SQL.format(a='q.qv', b='e.v')}, 6) >= 0.8
+    """,
+)
+def vec_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (all neighbors with sim ≥ 0.8, not top-k):
+    the query set broadcasts, the corpus streams map-side — no shuffle
+    at all. The threshold compares the ROUNDED similarity so boundary
+    rows resolve identically in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    q = b.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+    return (
+        F.broadcast(q)
+        .crossJoin(b)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.8)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )

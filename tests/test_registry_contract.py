@@ -1,0 +1,41 @@
+"""Registry-wide driver-contract invariants.
+
+The driver's canonicalizer sorts result cells with pandas; array/map/
+struct cells are unhashable there and crash the correctness run even for
+rows-only entries (round-1 red rows `agg_window_vectors` /
+`agg_approx_quantiles`). This sweep makes that a local test failure
+instead of a driver-side surprise: every registered query must emit only
+scalar-typed columns. Schema derivation is analysis-only — no jobs run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from numalogic_prometheus_spark import plans
+
+QUERIES = plans.all_queries()
+ORACLES = plans.all_oracles()
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_canonicalizer_safe(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)]
+    assert not bad, f"{name}: complex-typed output columns {bad} crash the driver"
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_column_names_unique_per_query(spark, sf_dir):
+    dupes = {}
+    for name, fn in QUERIES.items():
+        cols = fn(spark, sf_dir).columns
+        if len(cols) != len(set(cols)):
+            dupes[name] = cols
+    assert not dupes, f"duplicate output column names: {dupes}"
