@@ -51,6 +51,8 @@ _MODULES = (
     "timeseries",
     "vectors2",
     "text2",
+    "streaming2",
+    "ml2",
 )
 
 

@@ -440,3 +440,58 @@ def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_samples") >= 2)
     )
+
+
+@register(
+    "promql_sort_desc",
+    oracle="""
+    WITH latest AS (
+        SELECT event_type, value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type, value,
+           row_number() OVER (ORDER BY value DESC, event_type) AS sort_rank
+    FROM latest WHERE rn = 1
+    """,
+)
+def promql_sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `sort_desc()` analog (VERDICT.md missing #5): the instant
+    vector (latest sample per series, event_id-tiebroken) ordered by
+    value descending, with the rank materialized as a column so the
+    result is order-insensitively comparable. Series cardinality is tiny
+    relative to samples, so the global ranking window is a no-op at any
+    scale — the cost stays in the per-series max_by partial agg."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("event_type").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("value")
+    )
+    w = W.orderBy(F.col("value").desc(), "event_type")
+    return latest.withColumn("sort_rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "promql_count_values",
+    oracle="""
+    SELECT event_type, round(value, 0) AS value_bucket,
+           count(*)::BIGINT AS n_series
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY event_type, round(value, 0)
+    """,
+)
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `count_values("bucket", v)` analog: histogram of distinct
+    sample values (unit-rounded so float identity is well-defined across
+    engines) per family over one day. Map-side partial count, single
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .groupBy("event_type", F.round("value", 0).alias("value_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_series"))
+    )

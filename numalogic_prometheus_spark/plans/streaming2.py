@@ -1,0 +1,108 @@
+"""Streaming queries, batch 2 — stream-stream join and streaming top-k.
+
+The stream-stream join is the engine-surface row plans/streaming_queries
+left open: two independently-watermarked streams joined on key + event-
+time range, the shape a metrics pipeline uses to correlate request and
+error streams per entity. Structured Streaming buffers both sides in
+state keyed by the join key; the watermark + time-range condition is
+what lets it evict state — without the `p.ts BETWEEN c.ts AND c.ts + 1h`
+bound the state store would grow without limit at 100 TB/day.
+
+Inner joins emit eagerly (no watermark wait), so driving both file
+sources to completion yields the exact batch-join result — which is the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.streaming import run_stream_to_memory, stream_events
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           round(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to clicks by the
+    same user within the following hour. Both sides carry a 2-hour
+    watermark; the event-time range condition bounds the state either
+    side must retain. Result equals the batch range join — the unified-
+    model guarantee, checked exactly."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 4).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+    ).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+    return run_stream_to_memory(joined, output_mode="append")
+
+
+@register(
+    "stream_topk_event_types",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-k: complete-mode aggregation with sort+limit
+    inside the streaming query (legal only in complete mode — the sink
+    re-renders the full ranking every trigger). The micro-batch plan
+    still uses TakeOrderedAndProject over the aggregate, so the ranking
+    cost is bounded by the family cardinality, not the sample count."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(3)
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
