@@ -43,6 +43,10 @@ HEADLINE = [
     "text_stats",                 # map-only text analysis
     "pipeline_anomaly_scores",    # composed B2-B10 anomaly pipeline
     "tpch_q5_region_volume",      # six-table join under AQE
+    "tpch_q18_large_volume_customers",  # HAVING-driven semi join
+    "vec_ivf_topk",               # IVF coarse-quantizer ANN
+    "ts_step_resample",           # join-free grid alignment
+    "text_ngram_jaccard_pairs",   # exact n-gram Jaccard (blocked)
 ]
 
 

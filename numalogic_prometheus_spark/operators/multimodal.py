@@ -122,3 +122,46 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return assets.mapInPandas(_resize, schema=ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, frame_offset long, "
+    "frame_bytes long, frame_checksum long"
+)
+
+
+def frame_sample(assets: DataFrame, frame_size: int = 32, every: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: treat the payload as a sequence of
+    fixed-size frames and emit every `every`-th one as its own row
+    (frame index, byte offset, size, checksum) — the 1→N row expansion a
+    real demuxer produces. Deterministic fake frames, real contract:
+    mapInPandas so one input batch may yield many output rows without a
+    per-row UDF, no shuffle, and the downstream sees a plain relation it
+    can filter/join like any other.
+
+    At 100 TB the expansion factor (payload_bytes / frame_size / every)
+    multiplies rows map-side; keep `maxRecordsPerBatch` small enough
+    that a batch of expanded frames fits the Arrow buffer."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "asset_id": [], "frame_idx": [], "frame_offset": [],
+                "frame_bytes": [], "frame_checksum": [],
+            }
+            vids = pdf[pdf["media_type"] == "video"]
+            for aid, payload in zip(vids["asset_id"], vids["payload"]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // frame_size)
+                for idx in range(0, n_frames, every):
+                    off = idx * frame_size
+                    chunk = payload[off : off + frame_size]
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(len(chunk))
+                    rows["frame_checksum"].append(sum(chunk) % 65536)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -53,6 +53,7 @@ _MODULES = (
     "text2",
     "streaming2",
     "ml2",
+    "extras2",
 )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.operators.dedup import tokens_col
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import load_table, load_table_spread
 
 # Word bigrams as strings ("tok_i tok_i+1"), deduplicated — the set the
 # Jaccard/containment measures run over.
@@ -64,7 +64,11 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| / |A∪B|; containment_a = |A∩B| / |A| (the asymmetric measure
     that catches a doc embedded inside a longer one). Threshold compares
     the ROUNDED value for cross-engine boundary stability."""
-    d = load_table(spark, sf_dir, "documents")
+    # Spread first (testdata parquet is one row group → a 1-task scan
+    # would serialize the per-doc bigram build), and pin the computed
+    # gram arrays eagerly so the self-join's two sides read the
+    # materialized arrays instead of re-deriving them per side.
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens_col(F.col("text"))
     g = (
         d.filter(F.size(toks) >= 3)
@@ -75,23 +79,36 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("block"),
             _bigrams(F.col("text")).alias("grams"),
         )
+        .withColumn("n_grams", F.size("grams"))
+        .localCheckpoint(eager=True)
     )
     a = g.select(
-        F.col("doc_id").alias("id_a"), F.col("block"), F.col("grams").alias("ga")
+        F.col("doc_id").alias("id_a"), F.col("block"),
+        F.col("grams").alias("ga"), F.col("n_grams").alias("na"),
     )
     b = g.select(
-        F.col("doc_id").alias("id_b"), F.col("block"), F.col("grams").alias("gb")
+        F.col("doc_id").alias("id_b"), F.col("block"),
+        F.col("grams").alias("gb"), F.col("n_grams").alias("nb"),
     )
+    # |A∪B| = |A|+|B|−|A∩B|: one array_intersect per pair, never an
+    # array_union materialization.
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= 0.3)
         .withColumn(
             "containment_a",
-            F.round(inter / F.size(F.col("ga")).cast("double"), 6),
+            F.round(F.col("n_inter") / F.col("na").cast("double"), 6),
         )
         .select("id_a", "id_b", "jaccard", "containment_a")
     )

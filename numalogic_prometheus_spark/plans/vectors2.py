@@ -24,10 +24,12 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
     cosine_similarity,
+    dot_product,
+    l2_norm,
     to_double_array,
 )
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import load_table, load_table_spread
 
 _QUERY_FILTER = "vec_id % 97 = 0"
 _CENTROID_FILTER = "vec_id % 31 = 0"
@@ -95,40 +97,76 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys → min_by partial-agg assignment (one N-row shuffle) → probe the
     2 nearest cells per query → exact cosine re-rank of in-cell
     candidates only."""
-    e = load_table(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    # Norms are hoisted to per-row columns: higher-order functions are
+    # interpreted and re-derive their input per call, so cosine-per-pair
+    # would otherwise re-walk both arrays 3× per (vector, centroid).
+    # With norms bound, the N×C expansion runs ONE array pass (the dot).
+    b = e.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", l2_norm(F.col("v")))
     cents = b.filter(F.expr(_CENTROID_FILTER)).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
     )
+
+    def dist_key(v, nv, cv, nc, cent_id) -> F.Column:
+        dist = 1 - dot_product(v, cv) / (nv * nc)
+        return F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+
+    # The N×C expansion carries ONLY (vec_id, cent_id, key): the 64-dim
+    # vector is consumed by the distance expression and dropped before
+    # any exchange, so the assignment aggregate stays a hash aggregate
+    # over three scalar columns (carrying `v` through min_by would both
+    # inflate the shuffle 64× and force a SortAggregate).
     keyed = b.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "v",
         "cent_id",
-        _dist_key(F.col("v"), F.col("cv"), F.col("cent_id")).alias("key"),
+        dist_key(
+            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"), F.col("cent_id")
+        ).alias("key"),
     )
-    # min_by partial-aggregates map-side: the exchange carries one row
-    # per vector, not the N×C distance pairs. `v` rides along via min_by
-    # (identical across a vec_id's rows, so the pick is deterministic).
-    assign = keyed.groupBy("vec_id").agg(
-        F.min_by("cent_id", "key").alias("cell"),
-        F.min_by("v", "key").alias("v"),
-    )
+    assign = keyed.groupBy("vec_id").agg(F.min_by("cent_id", "key").alias("cell"))
+    # Re-attach vectors to the N-row assignment (AQE broadcasts the
+    # small side at fixture scale; co-partitioned shuffle at 100×).
+    assign_v = assign.join(b, "vec_id")
+    # Probes re-derive keys from the |Q|-row query slice only.
     wq = W.partitionBy("query_id").orderBy("key")
+    q = b.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nqv"),
+    )
     probes = (
-        keyed.filter(F.expr(_QUERY_FILTER))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                F.col("cent_id").alias("cell"), "key")
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "nqv",
+            F.col("cent_id").alias("cell"),
+            dist_key(
+                F.col("qv"), F.col("nqv"), F.col("cv"), F.col("nc"),
+                F.col("cent_id"),
+            ).alias("key"),
+        )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 2)
         .drop("rn", "key")
     )
+    # probes is |Q|×nprobe rows — always broadcastable, so the candidate
+    # join never reshuffles the N-row assignment relation.
     scored = (
-        probes.join(assign, "cell")
+        F.broadcast(probes).join(assign_v, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot_product(F.col("qv"), F.col("v"))
+                / (F.col("nqv") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")

@@ -115,3 +115,54 @@ def test_multiband_ann_single_candidate_exchange(spark, sf_dir):
     assert "posexplode" in plan.lower() or "Generate" in plan
     # no cartesian anywhere — bucketing must keep the cross product dead
     assert "CartesianProduct" not in plan
+
+
+def test_q6_scan_only_aggregation(spark, sf_dir):
+    """Q6 analog: every predicate pushes to the parquet scan and the plan
+    is scan → filter → partial/final agg — no join, no wide shuffle
+    beyond the single-row final exchange."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_probes_broadcast_and_partial_assignment(spark, sf_dir):
+    """IVF ANN: centroid distance argmin must keep its map-side partial
+    phase (the exchange carries N assignment rows, not N×C distance
+    pairs), and the tiny probes relation broadcasts into the candidate
+    join so the assignment relation is never reshuffled for search."""
+    plan = _plan(spark, sf_dir, "vec_ivf_topk")
+    # min_by over the array-typed vector compiles to SortAggregate —
+    # still partial+final (map-side combine) around the exchange.
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_step_resample_is_join_free(spark, sf_dir):
+    """Grid alignment must stay a window over the interleaved union —
+    any join/cartesian here means the grid×samples product came back."""
+    plan = _plan(spark, sf_dir, "ts_step_resample")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_ngram_jaccard_no_forced_broadcast(spark, sf_dir):
+    """Exact n-gram Jaccard: the block self-join carries no broadcast
+    hint (AQE may still pick one at fixture scale — at 100× the corpus
+    both sides are O(N) and must be free to shuffle)."""
+    df = QUERIES["text_ngram_jaccard_pairs"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "UnresolvedHint" not in optimized
+
+
+def test_seasonal_baseline_broadcasts_stats(spark, sf_dir):
+    """ml_seasonal_zscore: the series×hour baseline joins back onto the
+    score slice as a broadcast — the fact slice is never reshuffled."""
+    plan = _plan(spark, sf_dir, "ml_seasonal_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -70,3 +70,28 @@ def test_multimodal_resize_stub(spark):
     resized = MM.resize_stub(assets, 32, 24).collect()[0]
     assert resized["width"] == 32 and resized["height"] == 24
     assert len(resized["payload"]) == 50
+
+
+def test_multimodal_frame_sample(spark):
+    # ids 2 and 5 are video (id % 3 == 2); payloads of 200 and 40 bytes
+    df = spark.createDataFrame(
+        [(2, "v" * 200), (5, "w" * 40), (0, "image-not-sampled" * 10)],
+        "doc_id long, text string",
+    )
+    assets = MM.synthesize_assets(df, "doc_id", "text")
+    frames = MM.frame_sample(assets, frame_size=32, every=2).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # only videos are demuxed
+    assert set(by_asset) == {2, 5}
+    # 200 bytes / 32 = 6 frames, every 2nd → idx 0,2,4
+    assert [r["frame_idx"] for r in sorted(by_asset[2], key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert all(r["frame_offset"] == r["frame_idx"] * 32 for r in by_asset[2])
+    # full frames are 32 bytes; the tail frame of asset 2 (idx 4: bytes
+    # 128..160) is still complete at 200 bytes payload
+    assert all(r["frame_bytes"] == 32 for r in by_asset[2])
+    # 40 bytes → 1 frame, idx 0, 32 bytes captured
+    assert len(by_asset[5]) == 1 and by_asset[5][0]["frame_bytes"] == 32
+    # checksum of 'v'*32 = 118*32 mod 65536
+    assert by_asset[2][0]["frame_checksum"] == (118 * 32) % 65536
