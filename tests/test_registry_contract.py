@@ -20,12 +20,27 @@ ORACLES = plans.all_oracles()
 
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
+# Queries whose semantics genuinely require an unconditioned cross join
+# (tiny bounded sides by construction). Everything else must never
+# compile to CartesianProduct — at 100 TB that plan is a non-starter.
+_CARTESIAN_OK = {"join_cross_small"}
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_output_schema_is_canonicalizer_safe(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     bad = [f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)]
     assert not bad, f"{name}: complex-typed output columns {bad} crash the driver"
+    if name not in _CARTESIAN_OK:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "CartesianProduct" not in buf.getvalue(), (
+            f"{name}: plan contains CartesianProduct — a 100×-scale killer"
+        )
 
 
 def test_every_oracle_has_a_query():
