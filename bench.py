@@ -86,7 +86,7 @@ def main() -> None:
         # for plan shapes not covered by the warmup; min reflects the
         # steady-state cost of the plan itself.
         best = float("inf")
-        passes = 2
+        passes = 3
         done = 0
         while done < passes:
             # clear BEFORE each pass: queries that self-materialize with
@@ -99,9 +99,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
             done += 1
             # this host shows sporadic external CPU contention that can
-            # inflate a whole min-of-2 window 10×; if the best pass still
+            # inflate a whole min-of-N window 10×; if the best pass still
             # looks contended, buy up to two extra passes to dodge it
-            if done == passes and best > 3.0 and passes < 4:
+            if done == passes and best > 3.0 and passes < 5:
                 passes += 1
         timings[name] = round(best, 4)
 

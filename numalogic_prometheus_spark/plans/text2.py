@@ -35,7 +35,11 @@ def _bigrams(text: F.Column) -> F.Column:
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
     )
-    return F.array_distinct(grams)
+    # Guard single-token docs: sequence(0, -1) DESCENDS in Spark, so the
+    # transform would index element_at(toks, 0) and error out.
+    return F.when(F.size(toks) >= 2, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 @register(

@@ -334,3 +334,46 @@ def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         ewma, "event_type string, ts timestamp, value double, ewma double"
     )
+
+
+@register("ts_holt_winters_level_trend")  # sequential recurrence → rows-only
+def ts_holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing per series (PromQL
+    `holt_winters(v[r], sf, tf)` analog): level/trend recurrence
+    l_i = α·v_i + (1−α)(l_{i−1}+b_{i−1}), b_i = β(l_i−l_{i−1}) +
+    (1−β)b_{i−1} with α=0.3, β=0.1. Sequential per series → Arrow-batched
+    applyInPandas, (ts, event_id)-sorted for determinism; emits the final
+    smoothed value and one-step forecast per series plus sample count."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = pdf["value"].to_numpy()
+        if len(v) < 2:
+            lvl, trend = (v[0] if len(v) else 0.0), 0.0
+        else:
+            lvl, trend = v[0], v[1] - v[0]
+            for x in v[1:]:
+                prev = lvl
+                lvl = 0.3 * x + 0.7 * (lvl + trend)
+                trend = 0.1 * (lvl - prev) + 0.9 * trend
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_samples": [np.int64(len(v))],
+                "level": [round(float(lvl), 6)],
+                "trend": [round(float(trend), 6)],
+                "forecast_1": [round(float(lvl + trend), 6)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, n_samples long, level double, "
+        "trend double, forecast_1 double",
+    )

@@ -70,3 +70,110 @@ def test_gauge_is_last_by_ts_not_max_value(spark, values):
     out = M.gauge_latest(df, ["key"]).collect()[0]
     assert math.isclose(out["gauge_value"], values[-1])
     assert out["last_ts"] == len(values) - 1
+
+
+_doc = st.text(alphabet="ab cd", min_size=5, max_size=40)
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=8))
+@_settings
+def test_ngram_jaccard_bounds_and_symmetry(spark, docs):
+    # Jaccard ∈ [0,1]; containment ∈ [0,1]; id_a < id_b canonical order;
+    # and a doc paired with an identical copy scores jaccard 1.
+    from numalogic_prometheus_spark.plans.text2 import _bigrams
+
+    rows = [(i, d) for i, d in enumerate([*docs, docs[0]])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = df.select("doc_id", _bigrams(F.col("text")).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    a = g.select(F.col("doc_id").alias("ia"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("ib"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = (F.size("ga") + F.size("gb") - inter).cast("double")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", (inter / union).alias("j"))
+        .collect()
+    )
+    for r in pairs:
+        assert 0.0 <= r["j"] <= 1.0
+    dup = [r for r in pairs if r["ia"] == 0 and r["ib"] == len(docs)]
+    if dup:  # identical copy pair survives the non-empty-grams filter
+        assert dup[0]["j"] == 1.0
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=10,
+    )
+)
+@_settings
+def test_ivf_assignment_is_argmin(spark, vecs):
+    # Every vector's assigned cell must be the true argmin-distance
+    # centroid (ties by centroid id) — checked brute-force in Python.
+    import math as m
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # centroids: every 2nd vector; skip degenerate zero-norm vectors
+    rows = [(i, v) for i, v in rows if m.sqrt(sum(x * x for x in v)) > 1e-9]
+    if len(rows) < 2:
+        return
+    cents = rows[::2]
+
+    def key(v, c, cid):
+        dot = sum(a * b for a, b in zip(v, c))
+        nv = m.sqrt(sum(a * a for a in v))
+        nc = m.sqrt(sum(a * a for a in c))
+        d = 1 - dot / (nv * nc)
+        # mirror the engine's integer composite key (round half-up)
+        return int(m.floor(d * 1000000 + 0.5)) * 100000 + cid
+
+    expect = {
+        i: min((key(v, c, cid), cid) for cid, c in cents)[1] for i, v in rows
+    }
+
+    from numalogic_prometheus_spark.functions.vectors import dot_product, l2_norm
+
+    b = spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "nv", l2_norm(F.col("v"))
+    )
+    cdf = spark.createDataFrame(cents, "cent_id long, cv array<double>").withColumn(
+        "nc", l2_norm(F.col("cv"))
+    )
+    dist = 1 - dot_product(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))
+    k = F.round(dist * 1000000, 0).cast("long") * 100000 + F.col("cent_id")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in b.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cent_id", k.alias("key"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cent_id", "key").alias("cell"))
+        .collect()
+    }
+    assert got == expect
+
+
+@given(payload_len=st.integers(min_value=1, max_value=300))
+@_settings
+def test_frame_sample_covers_payload(spark, payload_len):
+    # Sampled frame offsets are exactly 0, every*size, 2*every*size, …
+    # within the payload; every frame is non-empty and ≤ frame_size.
+    from numalogic_prometheus_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(2, "x" * payload_len)], "doc_id long, text string"
+    )
+    assets = MM.synthesize_assets(df, "doc_id", "text")
+    frames = MM.frame_sample(assets, frame_size=16, every=3).collect()
+    n_frames = max(1, payload_len // 16)
+    expect_idx = list(range(0, n_frames, 3))
+    assert sorted(r["frame_idx"] for r in frames) == expect_idx
+    for r in frames:
+        assert r["frame_offset"] == r["frame_idx"] * 16
+        assert 1 <= r["frame_bytes"] <= 16

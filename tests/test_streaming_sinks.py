@@ -191,3 +191,80 @@ def test_exposition_http_serving_seam(spark, sf_dir):
         assert lines == sorted(lines)  # exposition determinism (§4.3)
     finally:
         server.stop()
+
+
+def test_rate_source_drives_engine_transforms(spark):
+    """The engine's transformations run unchanged over a non-file source:
+    the built-in rate source feeds a windowed aggregation for a couple of
+    micro-batches — the local stand-in for Kafka-shaped infinite input."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .option("numPartitions", 2)
+        .load()
+    )
+    agg = (
+        rate.withColumn("bucket", (F.col("value") % 4).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_buckets")
+        .start()
+    )
+    try:
+        # rate is unbounded: wait for at least one non-empty micro-batch
+        import time
+
+        for _ in range(100):
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["bucket"]: r for r in spark.table("rate_buckets").collect()}
+    assert rows, "rate source produced no aggregated buckets"
+    assert set(rows) <= {0, 1, 2, 3}
+
+
+def test_foreachbatch_idempotent_replay(spark, sf_dir):
+    """Exactly-once sink discipline: foreachBatch may re-deliver a batch
+    after recovery, so the writer must be idempotent on (batchId). The
+    sink keys its commit on batchId and skips replays — re-invoking the
+    handler with an already-committed id must not change state."""
+    committed: dict[int, dict] = {}
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        if epoch_id in committed:  # replayed batch → no-op
+            return
+        counts = {
+            r["event_type"]: r["n"]
+            for r in batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        committed[epoch_id] = counts
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert committed
+    snapshot = {k: dict(v) for k, v in committed.items()}
+    # simulate the post-recovery replay of every delivered batch
+    first_id = next(iter(committed))
+    class _Fake:
+        def groupBy(self, *_):
+            raise AssertionError("replayed batch must short-circuit")
+    upsert(_Fake(), first_id)
+    assert committed == snapshot
