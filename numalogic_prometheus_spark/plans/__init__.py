@@ -54,6 +54,7 @@ _MODULES = (
     "streaming2",
     "ml2",
     "extras2",
+    "sampling",
 )
 
 

@@ -1,0 +1,181 @@
+"""Dataset sampling & mixing operators over `documents` ([north-star]:
+the selection arithmetic a training-data pipeline runs between cleaning
+and tokenization — stratified downsampling, mixture-weight replication
+("epochs" per source), and hash-bucketed train/val/test splits).
+
+All decisions key off the portable content hash
+`conv(substr(md5(id),1,8),16,10)` — the same value in Spark and DuckDB —
+so sampling is deterministic, reproducible across engines and runs, and
+requires NO stored random state. That property is what makes the ops
+scale-safe: a resampled pipeline re-derives identical membership on any
+cluster without shipping a seed table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+# Portable hash-bucket in [0, 100): Spark and DuckDB agree bit-for-bit
+# (spark-duckdb parity: conv/substr(md5) == ('0x'||substr(md5))::BIGINT).
+_BUCKET_SPARK = (
+    "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % 100"
+)
+_BUCKET_SQL = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+)
+
+# Per-source keep-rate (percent) for the stratified sample; unlisted
+# sources keep 20%.
+_RATES = {"src0": 60, "src1": 35, "src2": 80}
+_DEFAULT_RATE = 20
+
+_RATE_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+def _rate_col() -> F.Column:
+    col = F.lit(_DEFAULT_RATE)
+    expr = F.when(F.col("source") == list(_RATES)[0], F.lit(_RATES[list(_RATES)[0]]))
+    for s, r in list(_RATES.items())[1:]:
+        expr = expr.when(F.col("source") == s, F.lit(r))
+    return expr.otherwise(col)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_BUCKET_SQL} < {_RATE_SQL}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample: keep a per-source percentage of documents
+    by hash bucket. Pure map-side filter — no shuffle, no RNG state; the
+    keep decision for a document is a function of its id alone, so
+    incremental reruns keep exactly the same rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    return d.filter(bucket < _rate_col()).select("doc_id", "source", "lang")
+
+
+# Mixture ("epoch") weights: how many times each source's documents are
+# repeated in one training epoch of the blended corpus.
+_WEIGHTS = {"src0": 3, "src1": 1, "src2": 2}
+_DEFAULT_WEIGHT = 1
+_WEIGHT_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in _WEIGHTS.items())
+    + f" ELSE {_DEFAULT_WEIGHT} END"
+)
+
+
+@register(
+    "sample_mixture_epochs",
+    oracle=f"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           ({_WEIGHT_SQL})::BIGINT AS weight,
+           (count(*) * ({_WEIGHT_SQL}))::BIGINT AS n_epoch_rows,
+           (sum(n_chars) * ({_WEIGHT_SQL}))::BIGINT AS epoch_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight replication: each source's docs repeat `weight`
+    times per epoch via explode(sequence(1, weight)) — the Spark side
+    MATERIALIZES the replication (map-side 1→w expansion, no shuffle
+    before the per-source count) and the oracle checks it against the
+    closed-form arithmetic, proving the expansion is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = None
+    for s, wt in _WEIGHTS.items():
+        cond = F.col("source") == s
+        w = F.when(cond, F.lit(wt)) if w is None else w.when(cond, F.lit(wt))
+    w = w.otherwise(F.lit(_DEFAULT_WEIGHT))
+    return (
+        d.withColumn("weight", w.cast("long"))
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.col("weight"))))
+        .groupBy("source")
+        .agg(
+            (F.count(F.lit(1)) / F.first("weight")).cast("long").alias("n_docs"),
+            F.first("weight").alias("weight"),
+            F.count(F.lit(1)).alias("n_epoch_rows"),
+            F.sum("n_chars").alias("epoch_chars"),
+        )
+    )
+
+
+@register(
+    "sample_split_train_val_test",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM documents
+    GROUP BY source, split
+    """,
+)
+def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed 80/10/10 split: membership is a pure function of
+    doc_id, so train/val/test never leak across reruns or cluster sizes
+    and no split assignment table exists to ship or lose."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "sample_topk_hash_per_source",
+    oracle=f"""
+    SELECT doc_id, source, hash_bucket, rn FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   AS hash_bucket,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def sample_topk_hash_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform without-replacement k-per-group sample: rank documents by
+    content hash inside each source and keep the 10 smallest — a
+    deterministic reservoir. One exchange on source; at scale, pre-filter
+    with an approximate hash threshold so the window only ranks ~k
+    candidates per group instead of the full corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast(
+        "long"
+    )
+    win = W.partitionBy("source").orderBy("hash_bucket", "doc_id")
+    return (
+        d.select("doc_id", "source", h.alias("hash_bucket"))
+        .withColumn("rn", F.row_number().over(win).cast("long"))
+        .filter(F.col("rn") <= 10)
+    )
