@@ -166,3 +166,57 @@ def text_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("dedup_cdc_chunk_pairs")  # Python rolling-hash chunker → rows-only
+def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: each doc splits at rolling-hash
+    boundaries (operators/cdc.py) via mapInPandas (map-only 1→N); docs
+    sharing chunks pair up through one exchange on chunk_hash with
+    canonical min-doc pairing (linear in cluster size, the same shape as
+    LSH banding); containment = shared_chunks / doc_a_chunks ≥ 0.5.
+    Catches partial overlap — shared passages, boilerplate — that
+    whole-document signatures blur out."""
+    import pandas as pd
+
+    from numalogic_prometheus_spark.operators.cdc import chunk_text
+
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "text"
+    )
+
+    def chunker(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_hash": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                for _, _, h in chunk_text(txt or ""):
+                    out["doc_id"].append(did)
+                    out["chunk_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    chunks = d.mapInPandas(chunker, "doc_id long, chunk_hash string").dropDuplicates(
+        ["doc_id", "chunk_hash"]
+    )
+    n_chunks = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    # canonical pairing: every doc sharing a chunk pairs with the chunk's
+    # minimum doc_id — linear output even for huge duplicate clusters
+    canon = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("id_a"))
+    shared = (
+        chunks.join(canon, "chunk_hash")
+        .filter(F.col("doc_id") > F.col("id_a"))
+        .groupBy("id_a", F.col("doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    return (
+        shared.join(
+            n_chunks.select(F.col("doc_id").alias("id_a"),
+                            F.col("n_chunks").alias("chunks_a")),
+            "id_a",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared_chunks") / F.col("chunks_a"), 6),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select("id_a", "id_b", "shared_chunks", "chunks_a", "containment")
+    )

@@ -177,3 +177,36 @@ def test_frame_sample_covers_payload(spark, payload_len):
     for r in frames:
         assert r["frame_offset"] == r["frame_idx"] * 16
         assert 1 <= r["frame_bytes"] <= 16
+
+
+@given(
+    head=st.text(alphabet="qrs tuv", min_size=1, max_size=30),
+    body=st.text(alphabet="ab cd e", min_size=300, max_size=600),
+)
+@_settings
+def test_cdc_boundary_stability(head, body):
+    # THE content-defined-chunking property: inserting a head only
+    # perturbs chunks near the edit — the tail chunk hashes realign,
+    # which fixed-size chunking can never do (every offset shifts).
+    from numalogic_prometheus_spark.operators.cdc import chunk_text
+
+    base = chunk_text(body)
+    edited = [h for _, _, h in chunk_text(head + body)]
+    # resynchronization needs content boundaries (not force cuts) to
+    # exist; degenerate periodic bodies may have none
+    content_cuts = [c for c in base if c[1] != 160]
+    if len(base) >= 4 and len(content_cuts) >= 3:
+        tail = [h for _, _, h in base[2:]]
+        assert edited[-len(tail):] == tail
+
+
+def test_cdc_chunks_partition_the_input():
+    from numalogic_prometheus_spark.operators.cdc import chunk_bytes
+
+    data = ("lorem ipsum dolor " * 40).encode()
+    chunks = chunk_bytes(data)
+    assert sum(c[1] for c in chunks) == len(data)
+    assert chunks[0][0] == 0
+    for (off_a, len_a, _), (off_b, _, _) in zip(chunks, chunks[1:]):
+        assert off_b == off_a + len_a
+    assert all(c[1] <= 160 for c in chunks)
