@@ -11,7 +11,7 @@ the plain (unsalted) join: salting must be a pure physical rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.operators.multimodal import (
@@ -72,3 +72,118 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     assets = synthesize_assets(d, "doc_id", "text")
     return frame_sample(assets, frame_size=32, every=4)
+
+
+@register("agg_hll_mergeable_daily")  # Datasketches estimates → rows-only
+def agg_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB way to count users:
+    one HLL sketch per day (partial-aggregating, bytes per group, never
+    a distinct shuffle), then the WEEKLY estimate is a pure sketch union
+    — no rescan, no re-shuffle of raw rows. The union row demonstrates
+    re-aggregation from stored sketches, the pattern that lets daily
+    rollups serve any ad-hoc date range. Estimates are approximate →
+    rows-only (accuracy pinned by tests/test_golden_semantics.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.lit(None).cast("timestamp").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_day.unionByName(total)
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS reached_view,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END)::BIGINT AS reached_click,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END)::BIGINT AS reached_purchase
+    FROM stages
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view must precede
+    the first click which must precede the first purchase. One
+    conditional-min aggregate per stage (single exchange on user_id) +
+    a 1-row rollup — no joins, no per-stage rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    hit = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    v = F.col("t_view").isNotNull()
+    vc = v & (F.col("t_click") > F.col("t_view"))
+    vcp = vc & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        hit(v).alias("reached_view"),
+        hit(vc).alias("reached_click"),
+        hit(vcp).alias("reached_purchase"),
+    )
+
+
+@register(
+    "scd2_event_type_intervals",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    transitions AS (
+        SELECT user_id, event_type, ts, event_id FROM changes
+        WHERE prev_type IS NULL OR event_type != prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM transitions
+    """,
+)
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse consecutive
+    same-state events, then each surviving transition opens a validity
+    interval closed by the next one (open-ended current state = null
+    valid_to). Both windows and the filter share one user_id exchange —
+    the standard change-capture shape for dimension history at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return transitions.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
