@@ -495,3 +495,67 @@ def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.round("value", 0).alias("value_bucket"))
         .agg(F.count(F.lit(1)).alias("n_series"))
     )
+
+
+@register(
+    "promql_bottomk_users",
+    oracle="""
+    SELECT user_id, round(sum(value), 4) AS total_value,
+           row_number() OVER (ORDER BY round(sum(value), 4), user_id) AS rk
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value, user_id
+    LIMIT 5
+    """,
+)
+def promql_bottomk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `bottomk(5, sum by(user_id))` analog: the k smallest
+    aggregated series. Sort key rounded before ranking; compiles to
+    TakeOrderedAndProject over the aggregate, so the global sort never
+    materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total_value"))
+    w = W.orderBy("total_value", "user_id")
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("total_value", "user_id")
+    )
+
+
+@register(
+    "promql_offset_day_over_day",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 4) AS day_value
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, day_value,
+           lag(day_value) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev_day_value,
+           round(day_value - coalesce(lag(day_value) OVER (
+               PARTITION BY event_type ORDER BY day), 0), 4) AS delta
+    FROM daily
+    """,
+)
+def promql_offset_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `offset 1d` comparison analog: each series' daily total
+    beside its previous-day value and the delta — the offset modifier
+    re-expressed as a lag over the pre-aggregated (small) daily relation,
+    so the raw samples are scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("day_value").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        prev.alias("prev_day_value"),
+        F.round(F.col("day_value") - F.coalesce(prev, F.lit(0.0)), 4).alias(
+            "delta"
+        ),
+    )

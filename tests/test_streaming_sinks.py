@@ -268,3 +268,26 @@ def test_foreachbatch_idempotent_replay(spark, sf_dir):
             raise AssertionError("replayed batch must short-circuit")
     upsert(_Fake(), first_id)
     assert committed == snapshot
+
+
+def test_available_now_trigger_drains_and_stops(spark, sf_dir):
+    """Trigger.AvailableNow: process everything currently available in
+    bounded micro-batches, then stop — the batch-drain mode scheduled
+    backfills use (vs processAllAvailable which needs a live driver
+    loop)."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive, "availableNow query must self-terminate"
+    rows = {r["event_type"]: r["n"] for r in spark.table("avail_now").collect()}
+    assert sum(rows.values()) > 0
