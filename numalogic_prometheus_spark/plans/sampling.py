@@ -179,3 +179,63 @@ def sample_topk_hash_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(win).cast("long"))
         .filter(F.col("rn") <= 10)
     )
+
+
+_PACK_BUDGET = 512  # token budget per packed training sequence
+
+
+@register(
+    "pack_sequences_contiguous",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        FROM toks
+    ),
+    binned AS (
+        SELECT *, ((cum_tokens - n_tokens) // {_PACK_BUDGET})::BIGINT AS bin_id
+        FROM cum
+    )
+    SELECT bin_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM binned
+    GROUP BY bin_id
+    """,
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    bins by contiguous cumulative sum over the deterministic doc order —
+    a doc starts in the bin its running-total start offset falls in.
+    Integer cumsum keeps the assignment engine-reproducible (double
+    prefix sums are not); the global window is the fixture shape — at
+    scale the same op runs per (shard key) partition so each packer
+    window is one task, which is also how real packers parallelize."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    binned = toks.withColumn(
+        "bin_id",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(_PACK_BUDGET)
+        ).cast("long"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
