@@ -187,3 +187,72 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    WITH err AS (
+        SELECT event_id AS err_id, ts AS s1, ts + INTERVAL 10 MINUTE AS e1
+        FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+        SELECT event_id AS pur_id, ts AS s2, ts + INTERVAL 10 MINUTE AS e2
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT err_id, pur_id,
+           round(epoch(least(e1, e2) - greatest(s1, s2)), 3) AS overlap_s
+    FROM err JOIN pur ON s1 <= e2 AND s2 <= e1
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe interval-overlap join: instead of the O(N×M)
+    nested-loop a raw `s1 <= e2 AND s2 <= e1` predicate forces, each
+    interval explodes into the hour buckets it touches, the join becomes
+    an EQUI-join on the bucket, and the true overlap predicate filters
+    residually; distinct collapses multi-bucket matches. Interval length
+    (10 min) ≪ bucket width (1 h) keeps the expansion ≤ 2×. This is the
+    manual form of a range-join optimization — semantics oracle-checked
+    against the plain inequality join."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def intervals(etype: str, idc: str, s: str, e: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(idc),
+            F.col("ts").alias(s),
+            (F.col("ts") + F.expr("interval 10 minutes")).alias(e),
+        )
+
+    err = intervals("error", "err_id", "s1", "e1").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s1"),
+                F.date_trunc("hour", "e1"),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    pur = intervals("purchase", "pur_id", "s2", "e2").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s2"),
+                F.date_trunc("hour", "e2"),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    overlap = F.unix_micros(F.least("e1", "e2")) - F.unix_micros(
+        F.greatest("s1", "s2")
+    )
+    return (
+        err.join(pur, "bucket")
+        .filter((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
+        .select(
+            "err_id",
+            "pur_id",
+            F.round(overlap / 1_000_000.0, 3).alias("overlap_s"),
+        )
+        .distinct()
+    )

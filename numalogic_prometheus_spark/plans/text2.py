@@ -13,7 +13,7 @@ exchange on the block key, pairs only within a block, never N².
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.operators.dedup import tokens_col
@@ -219,4 +219,65 @@ def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.5)
         .select("id_a", "id_b", "shared_chunks", "chunks_a", "containment")
+    )
+
+
+@register(
+    "pipeline_text_cleaning",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               md5(text) AS content_hash
+        FROM documents
+    ),
+    lang_kept AS (SELECT * FROM scored WHERE lang = 'en'),
+    len_kept AS (SELECT * FROM lang_kept
+                 WHERE n_chars BETWEEN 120 AND 1000),
+    survivors AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_hash
+                                         ORDER BY doc_id) AS rn
+            FROM len_kept
+        ) WHERE rn = 1
+    )
+    SELECT 'p0_ingested' AS stage, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars FROM scored
+    UNION ALL
+    SELECT 'p1_lang', count(*)::BIGINT, sum(n_chars)::BIGINT FROM lang_kept
+    UNION ALL
+    SELECT 'p2_length', count(*)::BIGINT, sum(n_chars)::BIGINT FROM len_kept
+    UNION ALL
+    SELECT 'p3_dedup', count(*)::BIGINT, sum(n_chars)::BIGINT FROM survivors
+    """,
+)
+def pipeline_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning funnel a corpus pipeline runs before
+    tokenization — language filter → length band → exact-dedup survivors
+    — reported as per-stage (docs, chars) attrition. One scan feeds all
+    stages (each is a narrower filter of the last; Catalyst collapses
+    the projections); only the dedup stage shuffles, on content hash.
+    The text analog of pipeline_anomaly_scores' composed plan."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.md5("text")
+    )
+    p1 = d.filter(F.col("lang") == "en")
+    p2 = p1.filter(F.col("n_chars").between(120, 1000))
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    p3 = (
+        p2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+
+    return (
+        stage("p0_ingested", d)
+        .unionByName(stage("p1_lang", p1))
+        .unionByName(stage("p2_length", p2))
+        .unionByName(stage("p3_dedup", p3))
     )
