@@ -166,3 +166,13 @@ def test_seasonal_baseline_broadcasts_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ml_seasonal_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_bucketed_join_is_equi(spark, sf_dir):
+    """The bucketed interval join must compile to an equi-join on the
+    bucket (hash or broadcast), never the nested-loop form the raw
+    overlap predicate forces."""
+    plan = _plan(spark, sf_dir, "join_interval_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin/SMJ side
