@@ -559,3 +559,43 @@ def promql_offset_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta"
         ),
     )
+
+
+@register(
+    "promql_delta_gauge",
+    oracle="""
+    WITH samples AS (
+        SELECT event_type, ts, max(value) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        GROUP BY event_type, ts
+    )
+    SELECT event_type,
+           round(arg_min(value, ts), 4) AS first_value,
+           round(arg_max(value, ts), 4) AS last_value,
+           round(arg_max(value, ts) - arg_min(value, ts), 4) AS delta,
+           count(*)::BIGINT AS n_samples
+    FROM samples
+    GROUP BY event_type
+    """,
+)
+def promql_delta_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `delta(gauge[7d])` analog: last minus first sample per
+    series over the range — the gauge counterpart of increase() (no
+    reset logic, value may go negative). Samples dedupe to one row per
+    (series, ts) first so first/last picks are ties-free; one
+    partial-aggregating exchange for both the dedup and the min_by/
+    max_by rollup."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-22").cast("timestamp"))
+    )
+    samples = ev.groupBy("event_type", "ts").agg(F.max("value").alias("value"))
+    first_v = F.min_by("value", "ts")
+    last_v = F.max_by("value", "ts")
+    return samples.groupBy("event_type").agg(
+        F.round(first_v, 4).alias("first_value"),
+        F.round(last_v, 4).alias("last_value"),
+        F.round(last_v - first_v, 4).alias("delta"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
