@@ -24,10 +24,35 @@ layer; these operators extend dedup to content similarity.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.hashing import hash32, hash32_seeded
+
+
+def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Cut lineage between BSP rounds / reused compact subplans.
+
+    ``localCheckpoint`` is the right local default (no DFS round-trip),
+    but it pins blocks to executor memory/disk with NO recompute path —
+    an executor loss at cluster scale kills the job. For cluster
+    deployments pass ``reliable=True`` (or set the session conf
+    ``spark.numalogic.reliableCheckpoint=true`` and a
+    ``sparkContext.setCheckpointDir``) to write reliable checkpoints to
+    the DFS instead, making the lineage cut survivable.
+    """
+    if reliable is None:
+        reliable = (
+            str(
+                df.sparkSession.conf.get(
+                    "spark.numalogic.reliableCheckpoint", "false"
+                )
+            ).lower()
+            == "true"
+        )
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
 
 def tokens_col(text: Column) -> Column:
@@ -316,7 +341,11 @@ def simhash_signature(items: Column, bits: int = 32) -> Column:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over a near-dup
     pair relation → (id, component) with component = min member id.
@@ -332,29 +361,27 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
+    labels = truncate_lineage(
+        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id")),
+        reliable,
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
+        new_labels = truncate_lineage(
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
                 "id",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
-            )
+            ),
             # truncate lineage per round: without this the plan doubles
             # every iteration and analysis/codegen time goes exponential
-            .localCheckpoint(eager=True)
+            reliable,
         )
         changed = (
             new_labels.alias("n")
@@ -365,4 +392,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A truncated run looks exactly like a converged one — surface it.
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); labels are an upper bound "
+            "on the true components. Raise max_iter for deeper graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("lbl").alias("component"))

@@ -20,20 +20,9 @@ _ORACLES: dict[str, str] = {}
 
 # Query modules, imported lazily so a bug in one module doesn't take down
 # the whole registry surface at import time.
-# Module order controls queries() iteration order, which is the driver's
-# correctness-check order (it verifies a prefix of the registry). Round 1
-# checked the first 50 entries and left dedup/vec/text/ml/tpch/udf/subquery/
-# streaming unverified (VERDICT.md "What's wrong" #1), so those modules go
-# first; modules whose every entry earned a green row in round 1 go last.
-# NOTE: the round-1 red rows (agg_window_vectors, agg_approx_quantiles) sit
-# at positions 49-50 — register NEW queries only in modules at or after
-# `mllib_queries`, or they shift those fixes out of the check window.
-#
-# ROUND-3 PLAN: once the round-2 driver run confirms positions 1-50 green,
-# reorder so the round-2 tail additions (tpch2, timeseries, vectors2,
-# text2, streaming2, ml2, extras2, sampling — ~35 entries — plus the
-# promql tail promql_sort_desc/count_values/bottomk/offset_day_over_day)
-# occupy the next check window, keeping a handful of green sentinels.
+# Registration order is per-module; the DRIVER-FACING order (the driver
+# verifies a 50-entry prefix of queries()) is controlled by _CHECK_FIRST
+# below, which all_queries()/all_oracles() move to the front.
 _MODULES = (
     "text",
     "vectors",
@@ -61,6 +50,70 @@ _MODULES = (
     "ml2",
     "extras2",
     "sampling",
+    # Round-3+ additions: any position is fine — new entries are NOT in
+    # _CHECK_FIRST, so they land behind the check window automatically.
+    "promql2",
+)
+
+# ROUND-3 ROTATION (VERDICT r2 next-round #1): the driver verifies the
+# first 50 entries of queries(); rounds 1+2 verified 98 of 148 with zero
+# mismatches, leaving exactly these 50 without a driver row (the round-2
+# session-2 tail). They are pinned to positions 1-50 for the round-3 run.
+# Cumulative driver coverage after this run: 148/148.
+# ROUND-4 PLAN: drop this list (or repopulate it with the round-3
+# additions + any red rows) once CORRECTNESS_r03 lands; per COVERAGE.md
+# every entry must get a driver row within two rounds of registration.
+_CHECK_FIRST = (
+    "mllib_minmax_scaler",
+    "mllib_brp_lsh_neighbors",
+    "mllib_kmeans_profiles",
+    "counter_monotonic_guard",
+    "exposition_all_families",
+    "promql_clamp_values",
+    "promql_absent_series",
+    "promql_irate_last_delta",
+    "promql_predict_linear",
+    "promql_sort_desc",
+    "promql_count_values",
+    "promql_bottomk_users",
+    "promql_offset_day_over_day",
+    "promql_delta_gauge",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_high_balance",
+    "ts_step_resample",
+    "ts_linear_interpolate",
+    "ts_ohlc_hourly",
+    "ts_sessionize_gap",
+    "ts_ewma_irregular",
+    "ts_holt_winters_level_trend",
+    "vec_ivf_topk",
+    "vec_range_search",
+    "text_ngram_jaccard_pairs",
+    "text_token_accounting",
+    "dedup_cdc_chunk_pairs",
+    "pipeline_text_cleaning",
+    "stream_stream_join",
+    "stream_topk_event_types",
+    "ml_seasonal_zscore",
+    "ml_conformal_threshold",
+    "join_salted_skew",
+    "multimodal_frame_sample",
+    "agg_hll_mergeable_daily",
+    "funnel_view_click_purchase",
+    "scd2_event_type_intervals",
+    "join_interval_bucketed",
+    "sample_stratified_hash",
+    "sample_mixture_epochs",
+    "sample_split_train_val_test",
+    "sample_topk_hash_per_source",
+    "pack_sequences_contiguous",
 )
 
 
@@ -87,11 +140,16 @@ def _load_all() -> None:
             IMPORT_ERRORS[mod] = exc
 
 
+def _front_load(d: dict) -> dict:
+    front = {k: d[k] for k in _CHECK_FIRST if k in d}
+    return {**front, **{k: v for k, v in d.items() if k not in front}}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _front_load(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _front_load(_ORACLES)

@@ -353,13 +353,25 @@ def promql_absent_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN rn = 1 THEN ts END) AS t1,
                max(CASE WHEN rn = 2 THEN ts END) AS t0
         FROM (
-            SELECT event_type, ts,
-                   sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum,
+            -- one point per (event_type, ts): ts collisions in the fixture
+            -- would otherwise make t1 = t0 and the rate divide by zero
+            -- (NULL on Spark, inf on DuckDB — a parity flake)
+            SELECT event_type, ts, cum,
                    row_number() OVER (PARTITION BY event_type
-                                      ORDER BY ts DESC, event_id DESC) AS rn
-            FROM (SELECT event_type, ts, event_id, round(value, 2) AS value
-                  FROM events)
+                                      ORDER BY ts DESC) AS rn
+            FROM (
+                SELECT event_type, ts, cum,
+                       row_number() OVER (PARTITION BY event_type, ts
+                                          ORDER BY event_id DESC) AS rn_ts
+                FROM (
+                    SELECT event_type, ts, event_id,
+                           sum(value) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM (SELECT event_type, ts, event_id, round(value, 2) AS value
+                          FROM events)
+                )
+            ) WHERE rn_ts = 1
         ) WHERE rn <= 2
         GROUP BY event_type
     )
@@ -384,13 +396,19 @@ def promql_irate_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "event_id",
         F.sum(F.round("value", 2)).over(cum_w).alias("cum"),
     )
-    last2 = with_cum.withColumn(
-        "rn",
+    # Dedupe to one point per (event_type, ts) — last event_id wins, i.e.
+    # the cumulative value after all same-ts samples — so the final two
+    # points always have t1 > t0 and the rate never divides by zero
+    # (Spark's non-ANSI x/0 is NULL, DuckDB's is inf: a parity flake).
+    per_ts = with_cum.withColumn(
+        "rn_ts",
         F.row_number().over(
-            W.partitionBy("event_type").orderBy(
-                F.col("ts").desc(), F.col("event_id").desc()
-            )
+            W.partitionBy("event_type", "ts").orderBy(F.col("event_id").desc())
         ),
+    ).filter(F.col("rn_ts") == 1)
+    last2 = per_ts.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("event_type").orderBy(F.col("ts").desc())),
     ).filter(F.col("rn") <= 2)
     pivoted = last2.groupBy("event_type").agg(
         F.max(F.when(F.col("rn") == 1, F.col("cum"))).alias("v1"),

@@ -285,7 +285,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row — the checkpoint turns it into a bound column reference.
     tok_arrays = d.select(
         "doc_id", F.array_distinct(D.tokens_col(F.col("text"))).alias("toks0")
-    ).localCheckpoint(eager=True)
+    ).transform(D.truncate_lineage)
     # Stage 2 pins one compact feature row per doc (k=8 signature + the
     # hashed token set — ints, same portable hash as the oracle), read by
     # the banding self-join sides and both verify legs. No full-corpus
@@ -295,7 +295,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         D.minhash_signature(F.col("toks0"), k=8).alias("sig"),
         F.array_distinct(F.transform("toks0", hash32)).alias("toks"),
-    ).localCheckpoint(eager=True)
+    ).transform(D.truncate_lineage)
     cands = D.lsh_canonical_pairs(feat, "doc_id", "sig", bands=1, rows=8)
     scored = D.jaccard_by_sets(cands, feat, "doc_id", "toks")
     return scored.filter(F.col("jaccard") >= 0.7).select(
@@ -531,10 +531,10 @@ def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and verify legs read compact ints from executor-local storage.
     hsets = d.select(
         "doc_id", F.array_distinct(hset).alias("hset")
-    ).localCheckpoint(eager=True)
+    ).transform(D.truncate_lineage)
     feat = hsets.withColumn(
         "sig", D.minhash_int_signature(F.col("hset"), k=4)
-    ).localCheckpoint(eager=True)
+    ).transform(D.truncate_lineage)
     cands = D.lsh_candidate_pairs(feat, "doc_id", "sig", bands=2, rows=2)
     scored = D.jaccard_by_sets(cands, feat, "doc_id", "hset")
     return scored.filter(F.col("jaccard") >= 0.2).select(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from numalogic_prometheus_spark.operators import dedup as D
 from numalogic_prometheus_spark.operators.dedup import tokens_col
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table, load_table_spread
@@ -84,7 +85,7 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bigrams(F.col("text")).alias("grams"),
         )
         .withColumn("n_grams", F.size("grams"))
-        .localCheckpoint(eager=True)
+        .transform(D.truncate_lineage)
     )
     a = g.select(
         F.col("doc_id").alias("id_a"), F.col("block"),

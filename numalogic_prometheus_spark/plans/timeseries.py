@@ -312,7 +312,10 @@ def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        t_us = pdf["ts"].astype("int64").to_numpy()
+        # Arrow hands timestamps to pandas as datetime64[ns]; the decay
+        # constant is in microseconds, so convert ns -> us here or Δt/τ
+        # runs 1000x hot and the 1-hour constant decays in ~3.6s.
+        t_us = pdf["ts"].astype("int64").to_numpy() // 1_000
         v = pdf["value"].to_numpy()
         out = np.empty(len(v))
         state = v[0] if len(v) else 0.0

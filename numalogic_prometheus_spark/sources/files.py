@@ -99,8 +99,29 @@ def read_csv(
     pin_session_invariants(spark)
     lines = spark.read.text(path)
     if header:
+        # Drop the header as the FIRST header-looking line per file, not
+        # every line equal to the header string: a legitimate data row
+        # that happens to equal "col_a,col_b,..." must survive. The
+        # header is line 1 of its file, so among the rows matching the
+        # header string it holds the file's minimum monotonic id (split
+        # planning orders ids by file offset). The matching set is tiny
+        # (≤1 row/file in the normal case) → broadcast anti-join, no
+        # per-file window shuffle. A header with different column order
+        # or quoting doesn't match and lands in `rejected` — safe.
         header_line = ",".join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("value") != header_line)
+        tagged = lines.select(
+            "value",
+            F.input_file_name().alias("_file"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        header_rows = (
+            tagged.filter(F.col("value") == header_line)
+            .groupBy("_file")
+            .agg(F.min("_mid").alias("_mid"))
+        )
+        lines = tagged.join(
+            F.broadcast(header_rows), ["_file", "_mid"], "left_anti"
+        ).select("value")
     parsed = F.from_csv(
         F.col("value"),
         _ddl(schema),

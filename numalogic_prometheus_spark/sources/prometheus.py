@@ -55,6 +55,18 @@ def _fetch_json(url: str, retries: int = 3, backoff: float = 0.5) -> dict:
     raise RuntimeError(f"prometheus fetch failed after {retries} tries: {url}") from last
 
 
+_STEP_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def _step_seconds(step: str) -> float:
+    """Prometheus duration ('30s', '1m', '1h', bare seconds) → seconds."""
+    s = str(step).strip()
+    for suffix, mult in sorted(_STEP_UNITS.items(), key=lambda kv: -len(kv[0])):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
+    return float(s)
+
+
 def _parse_ts(v: str | float) -> float:
     """Accept unix seconds or RFC3339 (both are valid Prometheus API forms)."""
     if isinstance(v, (int, float)):
@@ -78,22 +90,34 @@ class PrometheusScanReader(DataSourceReader):
             raise ValueError("prometheus source: end must be after start")
 
     def partitions(self) -> list[_Slice]:
-        """One slice per partition — time-range parallelism; each slice is
-        end-exclusive so a sample is fetched by exactly one task."""
-        width = (self.end - self.start) / self.n_partitions
-        return [
-            _Slice(self.start + i * width, self.start + (i + 1) * width)
-            for i in range(self.n_partitions)
-        ]
+        """Slices aligned to the step grid so the union of per-slice
+        query_range responses reproduces EXACTLY the tick set of one
+        un-sliced query. query_range evaluates at start + k*step for
+        k = 0..floor((end-start)/step); naive equal-width slices restart
+        the grid at each slice start (shifted/duplicate ticks unless the
+        width divides the step). Instead the global ticks are split into
+        contiguous runs and each slice's start/end are both ticks — both
+        endpoints inclusive, no tick shared between adjacent slices."""
+        step = _step_seconds(self.step)
+        n_ticks = int((self.end - self.start) / step) + 1
+        n_parts = max(1, min(self.n_partitions, n_ticks))
+        out = []
+        for i in range(n_parts):
+            first = i * n_ticks // n_parts
+            last = (i + 1) * n_ticks // n_parts - 1  # inclusive
+            out.append(
+                _Slice(self.start + first * step, self.start + last * step)
+            )
+        return out
 
     def read(self, partition: _Slice):
-        # query_range is start/end-INCLUSIVE; shave the slice end by 1ms
-        # so boundary samples are not double-fetched by adjacent slices.
+        # Slice endpoints are both on the global tick grid and inclusive;
+        # query_range(start=end=tick) returns exactly that one evaluation.
         params = urllib.parse.urlencode(
             {
                 "query": self.query,
                 "start": f"{partition.start:.3f}",
-                "end": f"{max(partition.start, partition.end - 0.001):.3f}",
+                "end": f"{partition.end:.3f}",
                 "step": self.step,
             }
         )

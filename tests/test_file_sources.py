@@ -69,3 +69,19 @@ def test_compaction_round_trip(spark, jsonl_dir, tmp_path):
     }
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got[1] == "alpha beta"
+
+
+def test_csv_header_dropped_per_file_not_by_value(spark, tmp_path):
+    """ADVICE r2: a DATA row that happens to equal the header string must
+    not vanish — only the first header-looking line of each file is the
+    header. Here that row can't parse as data (doc_id='doc_id' is not a
+    long) so it must surface in `rejected`, not be silently dropped."""
+    hdr = "doc_id,text,lang,source,n_chars"
+    (tmp_path / "a.csv").write_text(
+        f"{hdr}\n1,hello,en,s0,5\n{hdr}\n2,welt,de,s1,4\n"
+    )
+    (tmp_path / "b.csv").write_text(f"{hdr}\n3,salut,fr,s0,5\n")
+    valid, rejected = read_csv(spark, str(tmp_path), DOCUMENTS_SCHEMA)
+    assert {r["doc_id"] for r in valid.collect()} == {1, 2, 3}
+    rej = [r["raw_record"] for r in rejected.collect()]
+    assert rej == [hdr]  # the mid-file imposter row, quarantined not lost

@@ -233,3 +233,60 @@ def test_hll_sketch_estimates_track_exact_counts(spark, sf_dir):
         assert abs(r["est_users"] - exact) <= max(2, 0.05 * exact), (
             f"day={r['day']}: est {r['est_users']} vs exact {exact}"
         )
+
+
+def test_ewma_irregular_time_constant(spark, tmp_path):
+    """Golden EWMA check (ADVICE r2, medium): two samples 1h apart with
+    τ = 1h must mix with α = 1 − e^(−1) ≈ 0.632121 — the ns-vs-µs bug
+    made α ≈ 1 for any gap over a few seconds, which this pins down."""
+    import math
+
+    from numalogic_prometheus_spark.plans.timeseries import ts_ewma_irregular
+
+    rows = [
+        ("e", _ts("2024-01-01T00:00:00"), 1, 10.0),
+        ("e", _ts("2024-01-01T01:00:00"), 2, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["ts"]: r["ewma"]
+        for r in ts_ewma_irregular(spark, str(tmp_path)).collect()
+    }
+    assert out[_ts("2024-01-01T00:00:00")] == 10.0
+    alpha = 1.0 - math.exp(-1.0)
+    expect = alpha * 20.0 + (1.0 - alpha) * 10.0  # ≈ 16.321206
+    assert abs(out[_ts("2024-01-01T01:00:00")] - expect) < 1e-6
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    import warnings as W_
+
+    from numalogic_prometheus_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5: min-label needs >1 round; max_iter=1 truncates
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with W_.catch_warnings(record=True) as caught:
+        W_.simplefilter("always")
+        connected_components(edges, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The `reliable` switch must produce identical labels through
+    df.checkpoint() (DFS-backed, executor-loss-survivable)."""
+    from numalogic_prometheus_spark.operators.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, reliable=True).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -40,9 +40,11 @@ class _FakeProm(BaseHTTPRequestHandler):
             self.end_headers()
             return
         start, end = float(qs["start"]), float(qs["end"])
-        # deterministic grid: one sample per STEP tick inside [start, end]
-        first = int(-(-start // STEP)) * STEP  # ceil to grid
-        ticks = [t for t in range(first, int(end) + 1, STEP)]
+        # faithful to the real API: query_range evaluates at
+        # start + k*step for k = 0..floor((end-start)/step) — the grid is
+        # anchored at the REQUEST start, not a wall-clock boundary
+        n = int((end - start) // STEP) + 1
+        ticks = [int(start) + k * STEP for k in range(n)]
         result = [
             {
                 "metric": {"__name__": "http_requests_total", "job": "api",
@@ -89,10 +91,14 @@ def test_prometheus_source_reads_canonical_samples(spark, fake_prom):
     rows = df.collect()
     # schema is the canonical samples relation
     assert [f.name for f in df.schema.fields] == ["name", "labels", "ts", "value"]
-    # 2 series × one sample per minute tick; end-exclusive slices must not
-    # double-fetch boundary ticks: ticks in [START, START+7200) = 120
-    assert len(rows) == 2 * 120
+    # Sliced fetch must reproduce EXACTLY the single-query tick set
+    # (ADVICE r2): one un-sliced query_range evaluates at START + k*60
+    # for k = 0..120 inclusive → 121 ticks per series, no tick fetched
+    # twice, none shifted off-grid, the global-end tick included.
+    assert len(rows) == 2 * 121
     assert len({(r["labels"]["instance"], r["ts"]) for r in rows}) == len(rows)
+    got_ticks = sorted({r["ts"].timestamp() for r in rows})
+    assert got_ticks == [float(START + k * STEP) for k in range(121)]
     sample = rows[0]
     assert sample["name"] == "http_requests_total"
     assert sample["labels"]["job"] == "api"
