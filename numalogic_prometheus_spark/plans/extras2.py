@@ -36,30 +36,34 @@ _SALT = 8
     """,
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted fact-fact equi-join: the probe side scatters each key over
-    `_SALT` composite keys (deterministic salt from l_linenumber so the
-    result is reproducible); the build side replicates each row across
-    all salts via a posexplode — a hot orderkey's rows now land on 8
-    partitions instead of 1. The aggregate result must equal the plain
-    join bit-for-bit (salting is physical, not logical)."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % _SALT).cast("int")
+    """Hot-key-only salted fact-fact equi-join (r2 verdict #4: the old
+    form replicated the ENTIRE build side ×8). A skew-immune frequency
+    pass finds heavy-hitter orderkeys; only those probe rows get a
+    deterministic salt (l_linenumber) and only the matching build rows
+    replicate across the salts — build-side rows = |orders| +
+    (_SALT-1)·|hot keys|. The cold remainder takes the plain join, and
+    the union must equal the unsalted join bit-for-bit (salting is
+    physical, not logical). hot_threshold=4 is fixture-scale config so
+    both paths execute (TPC-H has ≤7 lineitems/order); production sets
+    it near rows-per-partition."""
+    from numalogic_prometheus_spark.operators.relational import skew_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = skew_salted_join(
+        li,
+        o,
+        "l_orderkey",
+        "o_orderkey",
+        F.col("l_linenumber"),
+        n_salt=_SALT,
+        hot_threshold=4,
     )
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
-        .withColumn("salt", F.col("salt").cast("int"))
-    )
-    return (
-        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-        )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
     )
 
 

@@ -58,3 +58,35 @@ def test_partitioned_counts_match_unpartitioned(spark, partitioned_events):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     a = spark.read.parquet(partitioned_events).count()
     assert a == ev.count()
+
+
+def test_skew_salted_join_salts_only_hot_keys(spark):
+    """r2 verdict #4: build-side replication must be |build| +
+    (n_salt-1)*|hot keys|, not n_salt*|build| — and the union of the
+    salted-hot and plain-cold joins must equal the unsalted join."""
+    from pyspark.sql import functions as F
+
+    from numalogic_prometheus_spark.operators.relational import skew_salted_join
+
+    # key 1 is hot (12 rows), keys 2..6 are cold (2 rows each)
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(12)] + [(k, i) for k in range(2, 7) for i in range(2)],
+        "k long, line int",
+    )
+    build = spark.createDataFrame([(k, f"v{k}") for k in range(1, 9)], "bk long, v string")
+    out = skew_salted_join(
+        probe, build, "k", "bk", F.col("line"), n_salt=4, hot_threshold=5
+    )
+    plain = probe.join(build, probe.k == build.bk)
+    assert sorted(map(tuple, out.select("k", "line", "v").collect())) == sorted(
+        map(tuple, plain.select("k", "line", "v").collect())
+    )
+    # the hot set is exactly {1}: build rows replicated = 1*(4-1) = 3,
+    # visible as the explode feeding only the semi-joined (hot) branch
+    explain = out._jdf.queryExecution().optimizedPlan().toString()
+    assert explain.lower().count("generate explode") == 1
+    # degenerate all-cold path: threshold above every freq → plain join
+    out_cold = skew_salted_join(
+        probe, build, "k", "bk", F.col("line"), n_salt=4, hot_threshold=100
+    )
+    assert out_cold.count() == plain.count()
