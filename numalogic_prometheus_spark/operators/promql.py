@@ -101,3 +101,75 @@ def topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def vector_binop(
+    left: DataFrame,
+    right: DataFrame,
+    op,
+    *,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] = (),
+    group_left: bool = False,
+    carry: Sequence[str] = (),
+    left_value: str = "value",
+    right_value: str = "value",
+    out: str = "value",
+) -> DataFrame:
+    """PromQL binary-op vector matching (`l <op> on(...)/ignoring(...) r`).
+
+    The reference delegates PromQL evaluation to the Prometheus Query
+    Service (reference CHANGELOG.md:10); this engine owns read-side
+    semantics, so binary-op matching is expressed as a label-set equi-join
+    over two instant-vector relations (label columns + one value column).
+
+    - ``on``: match on exactly these labels (PromQL ``on(...)``).
+    - ``ignoring``: match on the *shared* labels minus these (PromQL
+      ``ignoring(...)``). Mutually exclusive with ``on``.
+    - ``group_left``: many-to-one — many left rows may match one right
+      row per label set (PromQL ``group_left``). Default is 1:1; as in
+      Prometheus, 1:1 cardinality is a data contract — callers wanting a
+      hard check can pre-assert uniqueness (an extra exchange), which we
+      deliberately do NOT inject into the plan.
+    - ``carry``: labels copied from the right side into the output
+      (PromQL ``group_left(extra...)``).
+    - ``op``: ``(Column, Column) -> Column`` building the result value.
+
+    Output = left labels + carried right labels + ``out``. Unmatched rows
+    drop (inner join), matching Prometheus. 100 TB: a plain shuffle
+    equi-join on the match labels — AQE broadcasts the right side when it
+    is small (the common case: an aggregated totals vector), and skewed
+    match keys fall to AQE skew-join; no replication, no cartesian.
+    """
+    if on is not None and ignoring:
+        raise ValueError("vector_binop: `on` and `ignoring` are exclusive")
+    l_labels = [c for c in left.columns if c != left_value]
+    r_labels = [c for c in right.columns if c != right_value]
+    if on is not None:
+        match = list(on)
+    else:
+        match = [c for c in l_labels if c in set(r_labels) and c not in set(ignoring)]
+    if not match:
+        raise ValueError("vector_binop: empty match label set")
+    if not group_left and set(l_labels) - set(match):
+        # 1:1 with extra left labels is fine only when they are carried
+        # through unchanged; Prometheus keeps the left label set.
+        pass
+    bad_carry = set(carry) - (set(r_labels) - set(match))
+    if bad_carry:
+        raise ValueError(f"vector_binop: carry labels not on right: {sorted(bad_carry)}")
+    r = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in match],
+        *[F.col(c) for c in carry],
+        F.col(right_value).alias("__r_value"),
+    )
+    cond = None
+    for c in match:
+        eq = left[c].eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = left.join(r, cond, "inner")
+    return joined.select(
+        *[left[c] for c in l_labels],
+        *[F.col(c) for c in carry],
+        op(F.col(left_value), F.col("__r_value")).alias(out),
+    )

@@ -8,8 +8,217 @@ label-set-matched join over the canonical samples relation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from numalogic_prometheus_spark.operators.promql import vector_binop
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
+
+
+def _hourly_vector(ev: DataFrame, *labels: str) -> DataFrame:
+    """Instant-vector relation: one row per label set, integer-cent sum
+    and sample count (cents keep cross-engine sums exact)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(
+        *labels, F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "promql_vector_ratio_on",
+    oracle="""
+    WITH l AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               sum(round(value * 100)::BIGINT)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT l.event_type, l.hour, round(l.v / r.v / 100.0, 6) AS mean_value
+    FROM l JOIN r ON l.event_type = r.event_type AND l.hour = r.hour
+    """,
+)
+def promql_vector_ratio_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `sum_v / on(type, hour) count_v` — 1:1 vector matching with
+    an explicit `on(...)` label set (`vector_binop`, operators/promql.py).
+    The op reconstructs the per-series hourly mean from two vectors."""
+    ev = load_table(spark, sf_dir, "events")
+    vec = _hourly_vector(ev, "event_type")
+    left = vec.select("event_type", "hour", F.col("sum_cents").alias("value"))
+    right = vec.select("event_type", "hour", F.col("n").alias("value"))
+    return vector_binop(
+        left,
+        right,
+        lambda l, r: F.round(l / r / F.lit(100.0), 6),
+        on=("event_type", "hour"),
+        out="mean_value",
+    )
+
+
+@register(
+    "promql_vector_ratio_ignoring",
+    oracle="""
+    WITH l AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS v
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS v
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    )
+    SELECT l.event_type, l.hour, round(l.v / r.v, 6) AS errors_per_signup
+    FROM l JOIN r ON l.hour = r.hour
+    """,
+)
+def promql_vector_ratio_ignoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `a{type="error"} / ignoring(type) a{type="signup"}` — the
+    match set is the shared labels minus the ignored one (hour only), so
+    two differently-labeled series divide 1:1 per hour. Hours missing a
+    signup sample drop (inner-join semantics, as in Prometheus)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = _hourly_vector(ev, "event_type").select(
+        "event_type", "hour", F.col("n").alias("value")
+    )
+    left = counts.filter(F.col("event_type") == "error")
+    right = counts.filter(F.col("event_type") == "signup")
+    return vector_binop(
+        left,
+        right,
+        lambda l, r: F.round(l / r, 6),
+        ignoring=("event_type",),
+        out="errors_per_signup",
+    )
+
+
+@register(
+    "promql_vector_share_group_left",
+    oracle="""
+    WITH l AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS v,
+               CASE WHEN count(*) >= 8 THEN 'busy' ELSE 'quiet' END AS load_level
+        FROM events GROUP BY 1
+    )
+    SELECT l.event_type, l.hour, r.load_level, round(l.v / r.v, 6) AS share
+    FROM l JOIN r ON l.hour = r.hour
+    """,
+)
+def promql_vector_share_group_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `per_type / on(hour) group_left(load_level) totals` —
+    many-to-one matching (five event_type series share one hourly totals
+    row) with a right-side label carried through, Prometheus's
+    `group_left(extra)`. 100 TB: the totals vector is tiny after its
+    aggregation, so AQE broadcasts it into the match join."""
+    ev = load_table(spark, sf_dir, "events")
+    left = _hourly_vector(ev, "event_type").select(
+        "event_type", "hour", F.col("n").alias("value")
+    )
+    right = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .withColumn(
+            "load_level",
+            F.when(F.col("value") >= 8, F.lit("busy")).otherwise(F.lit("quiet")),
+        )
+    )
+    return vector_binop(
+        left,
+        right,
+        lambda l, r: F.round(l / r, 6),
+        on=("hour",),
+        group_left=True,
+        carry=("load_level",),
+        out="share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# *_over_time family (VERDICT r2 missing #3): trailing 1-hour range frames
+# per series, evaluated at every sample — the sliding-window siblings of
+# promql_quantile_over_time (plans/promql.py:216, which is the tumbling
+# variant). Frames order by integer epoch-micros so tie rows are peers in
+# both engines; sums/averages run over integer cents for cross-engine
+# exactness ([[spark-duckdb-parity-gotchas]]).
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 3_600_000_000  # 1h lookback, [t-1h, t] inclusive
+
+
+def _over_time_frame():
+    return (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_RANGE_US, 0)
+    )
+
+
+_OVER_TIME_CTE_HEAD = """
+    SELECT event_type, event_id, {expr} AS {out}
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _register_over_time(name: str, out: str, spark_expr, duck_expr: str) -> None:
+    @register(name, oracle=_OVER_TIME_CTE_HEAD.format(expr=duck_expr, out=out))
+    def _q(spark: SparkSession, sf_dir: str, _e=spark_expr, _o=out) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select(
+            "event_type", "event_id", _e(_over_time_frame()).alias(_o)
+        )
+
+    _q.__doc__ = (
+        f"PromQL `{name.removeprefix('promql_')}(m[1h])` analog: trailing "
+        "1h range frame per series at every sample (VERDICT r2 #3). One "
+        "exchange on the series key; the frame is value-based so "
+        "same-timestamp samples are peers in both engines."
+    )
+
+
+def _cents():
+    # built lazily: Column construction needs an active SparkContext
+    return F.round(F.col("value") * 100).cast("long")
+
+
+_register_over_time(
+    "promql_sum_over_time",
+    "sum_cents_1h",
+    lambda w: F.sum(_cents()).over(w),
+    "(sum(round(value * 100)::BIGINT) OVER w)::BIGINT",
+)
+_register_over_time(
+    "promql_avg_over_time",
+    "avg_1h",
+    lambda w: F.round(F.sum(_cents()).over(w) / F.count(F.lit(1)).over(w) / 100.0, 6),
+    "round((sum(round(value * 100)::BIGINT) OVER w)::BIGINT"
+    " / (count(*) OVER w) / 100.0, 6)",
+)
+_register_over_time(
+    "promql_min_over_time",
+    "min_1h",
+    lambda w: F.min("value").over(w),
+    "min(value) OVER w",
+)
+_register_over_time(
+    "promql_max_over_time",
+    "max_1h",
+    lambda w: F.max("value").over(w),
+    "max(value) OVER w",
+)
+_register_over_time(
+    "promql_count_over_time",
+    "n_1h",
+    lambda w: F.count(F.lit(1)).over(w),
+    "count(*) OVER w",
+)
