@@ -207,3 +207,87 @@ def vec_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.8)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     )
+
+
+@register(
+    "vec_ann_tuned_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    banded AS (
+        SELECT vec_id, v, band_idx,
+               list_aggregate(list_transform(range(0, 6),
+                   i -> CASE WHEN v[band_idx * 6 + i + 1] > 0
+                             THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS band_key
+        FROM b, (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) bands(band_idx)
+    ),
+    q AS (SELECT vec_id AS query_id, band_idx, band_key
+          FROM banded WHERE {_QUERY_FILTER}),
+    cands AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM q JOIN banded c
+          ON c.band_idx = q.band_idx AND c.band_key = q.band_key
+         AND c.vec_id != q.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               round({_COS_SQL.format(a='qv.v', b='cv.v')}, 6) AS cos_sim
+        FROM cands cd
+        JOIN b qv ON qv.vec_id = cd.query_id
+        JOIN b cv ON cv.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ann_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-tuned configuration of the OR-of-bands ANN: 10 bands ×
+    6 sign bits — chosen from the measured recall/cost curve in
+    tests/test_ann_recall.py (recall@3 = 0.667 while scanning ~14% of the
+    corpus; the fixture config's 2×10 bits scans 0.1% but recalls 0 on
+    these near-uniform embeddings). Same plan shape as
+    `vec_ann_multiband_topk` — map-side banding, one (band, key)
+    candidate equi-join, dedup, exact cosine re-rank — only the
+    parameters differ, which is the point: bits/bands are deployment
+    tuning knobs justified by the harness, not code changes."""
+    from numalogic_prometheus_spark.plans.vectors import _banded_vectors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    banded = _banded_vectors(b, bits=6, bands=10)
+    q = banded.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_key"
+    )
+    cands = (
+        q.join(
+            banded.select("vec_id", "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cands.join(
+            b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+            "query_id",
+        )
+        .join(
+            b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,128 @@
+"""ANN quality harness (VERDICT r2 next-round #8): recall@k of the
+LSH-banded and IVF ANN variants against the brute-force cosine ground
+truth (`vec_cosine_topk`), with the candidate-set cost that recall was
+bought at.
+
+The fixture embeddings are near-uniform random (top-3 neighbor cosine
+~0.33 → ~70° angles), which is the WORST case for hyperplane LSH: per-bit
+collision probability for a true neighbor is only ~0.61, so recall decays
+as 0.61^bits per band. The measured tradeoff (pinned below; deterministic
+— no RNG anywhere in the pipeline):
+
+    bits=10 bands= 2   recall@3 0.000   scans 0.1% of corpus  (fixture cfg)
+    bits= 6 bands=10   recall@3 0.667   scans ~14%            (tuned cfg)
+    bits= 4 bands=16   recall@3 0.944   scans ~63%
+
+Real corpora have cluster structure (much higher neighbor cosine), which
+moves every row of this table up — the harness exists so bits/bands at
+deployment are chosen from measured recall on the actual data, not vibes.
+SCALE.md §ANN documents the method.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+from numalogic_prometheus_spark.plans import all_queries
+from numalogic_prometheus_spark.plans.vectors import _QUERY_FILTER, _banded_vectors
+
+K = 3
+N_CORPUS = 500
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+
+
+@pytest.fixture(scope="module")
+def ground_truth(corpus):
+    """Brute-force cosine top-K per query — same shape as vec_cosine_topk."""
+    q = corpus.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    pdf = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .toPandas()
+    )
+    return pdf.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+
+
+def _banded_candidates(corpus, bits: int, bands: int) -> dict[int, set[int]]:
+    banded = _banded_vectors(corpus, bits=bits, bands=bands)
+    q = banded.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_key"
+    )
+    cands = (
+        q.join(banded.select("vec_id", "band_idx", "band_key"), ["band_idx", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+        .toPandas()
+    )
+    return cands.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+
+
+def _recall_and_cost(cand_map, gt) -> tuple[float, float]:
+    recalls, fracs = [], []
+    for qid, true_nn in gt.items():
+        c = cand_map.get(qid, set())
+        recalls.append(len(c & true_nn) / len(true_nn))
+        fracs.append(len(c) / N_CORPUS)
+    return sum(recalls) / len(recalls), sum(fracs) / len(fracs)
+
+
+@pytest.mark.parametrize(
+    "bits,bands,min_recall,max_cost",
+    [
+        # fixture config of vec_ann_multiband_topk: cheap, recall-free on
+        # random data — kept as the oracle-checked plan-shape witness
+        (10, 2, 0.0, 0.01),
+        # tuned config (vec_ann_tuned_topk): the measured knee
+        (6, 10, 0.60, 0.20),
+        # high-recall config: recall ≳0.9 costs ~2/3 of brute force HERE —
+        # the number that justifies IVF/structure for uniform-ish data
+        (4, 16, 0.90, 0.70),
+    ],
+)
+def test_banded_recall_thresholds(corpus, ground_truth, bits, bands, min_recall, max_cost):
+    recall, cost = _recall_and_cost(
+        _banded_candidates(corpus, bits, bands), ground_truth
+    )
+    assert recall >= min_recall, f"recall@{K} {recall:.3f} < {min_recall} at {bits=} {bands=}"
+    assert cost <= max_cost, f"candidate fraction {cost:.3f} > {max_cost} at {bits=} {bands=}"
+
+
+def test_recall_monotone_in_bands(corpus, ground_truth):
+    """OR-ing more bands can only add candidates — recall must not drop."""
+    r8, _ = _recall_and_cost(_banded_candidates(corpus, 6, 8), ground_truth)
+    r10, _ = _recall_and_cost(_banded_candidates(corpus, 6, 10), ground_truth)
+    assert r10 >= r8
+
+
+def test_ivf_recall_floor(spark, sf_dir, ground_truth):
+    """IVF nprobe=2 over data-sampled centroids: pinned at its measured
+    0.389 with slack — the structure-free floor for cell-probing ANN."""
+    ann = all_queries()["vec_ivf_topk"](spark, sf_dir).toPandas()
+    cand_map = ann.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    recall, _ = _recall_and_cost(cand_map, ground_truth)
+    assert recall >= 0.30
