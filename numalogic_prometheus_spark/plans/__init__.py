@@ -53,6 +53,7 @@ _MODULES = (
     # Round-3+ additions: any position is fine — new entries are NOT in
     # _CHECK_FIRST, so they land behind the check window automatically.
     "promql2",
+    "tpch3",
 )
 
 # ROUND-3 ROTATION (VERDICT r2 next-round #1): the driver verifies the
