@@ -54,6 +54,7 @@ _MODULES = (
     # _CHECK_FIRST, so they land behind the check window automatically.
     "promql2",
     "tpch3",
+    "rollups",
 )
 
 # ROUND-3 ROTATION (VERDICT r2 next-round #1): the driver verifies the

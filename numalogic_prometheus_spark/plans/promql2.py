@@ -222,3 +222,88 @@ _register_over_time(
     lambda w: F.count(F.lit(1)).over(w),
     "count(*) OVER w",
 )
+
+
+# ---------------------------------------------------------------------------
+# resets() / changes() — the two remaining PromQL counter-introspection
+# functions: both one lag() pass per series, no joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promql_resets_per_series",
+    oracle="""
+    WITH counter AS (
+        SELECT event_type, ts, event_id,
+               (sum(round(value * 100)::BIGINT) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id))::BIGINT % 1000 AS c
+        FROM events
+    ),
+    deltas AS (
+        SELECT event_type,
+               c - lag(c) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS raw_delta
+        FROM counter
+    )
+    SELECT event_type, count(CASE WHEN raw_delta < 0 THEN 1 END)::BIGINT AS resets
+    FROM deltas GROUP BY event_type
+    """,
+)
+def promql_resets_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `resets(m[range])`: number of monotonicity breaks per
+    series in the synthetic wraparound counter (same counter relation as
+    promql_increase_total, plans/promql.py:43). A reset is raw_delta < 0
+    — one lag() window pass, one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wsum = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wlag = W.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    counter = ev.select(
+        "event_type", (F.sum(cents).over(wsum) % 1000).alias("c"),
+        F.col("ts"), F.col("event_id"),
+    )
+    deltas = counter.select(
+        "event_type", (F.col("c") - F.lag("c").over(wlag)).alias("raw_delta")
+    )
+    return deltas.groupBy("event_type").agg(
+        F.count(F.when(F.col("raw_delta") < 0, 1)).alias("resets")
+    )
+
+
+@register(
+    "promql_changes_per_series",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type,
+               round(value * 100)::BIGINT AS v,
+               lag(round(value * 100)::BIGINT) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS prev_v
+        FROM events
+    )
+    SELECT event_type,
+           count(CASE WHEN prev_v IS NOT NULL AND v <> prev_v THEN 1 END)::BIGINT
+               AS changes
+    FROM ordered GROUP BY event_type
+    """,
+)
+def promql_changes_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `changes(m[range])`: how many times the sample value
+    actually changed per series (integer cents so equality is exact).
+    First sample has no predecessor and counts as no change."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ordered = ev.select(
+        "event_type", cents.alias("v"), F.lag(cents).over(w).alias("prev_v")
+    )
+    return ordered.groupBy("event_type").agg(
+        F.count(
+            F.when(
+                F.col("prev_v").isNotNull() & (F.col("v") != F.col("prev_v")), 1
+            )
+        ).alias("changes")
+    )

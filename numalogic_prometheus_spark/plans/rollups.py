@@ -1,0 +1,101 @@
+"""Hypertable-style hierarchical rollups: coarse aggregates computed by
+RE-AGGREGATING finer rollups rather than re-scanning raw data — the
+pattern that turns a 100 TB daily-report scan into a merge over an
+hourly rollup table ~4 orders of magnitude smaller.
+
+The algebra: sum/count/min/max are mergeable as-is; avg is carried as
+(sum, count) and divided at the end; distinct-count is carried as an HLL
+sketch (`agg_hll_mergeable_daily`, plans/extras2.py). The oracle
+computes the coarse aggregate DIRECTLY from raw events, so a green row
+proves the two-level merge is exact, not approximately right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+def hourly_rollup(ev: DataFrame) -> DataFrame:
+    """The fine-grain rollup a streaming pipeline would maintain
+    per-trigger: mergeable partials per (series, hour) in integer cents."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+
+
+def reaggregate(rollup: DataFrame, bucket: F.Column) -> DataFrame:
+    """Merge a finer rollup into a coarser bucket — pure partial-merge,
+    never touches raw data."""
+    return rollup.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.sum("sum_cents").alias("sum_cents"),
+        F.sum("n").alias("n"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+
+
+@register(
+    "rollup_daily_from_hourly",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS bucket,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(*) AS n,
+           min(round(value * 100)::BIGINT)::BIGINT AS min_cents,
+           max(round(value * 100)::BIGINT)::BIGINT AS max_cents,
+           round(sum(round(value * 100)::BIGINT)::BIGINT
+                 / count(*) / 100.0, 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats derived by merging the hourly rollup (never re-reading
+    events); the oracle aggregates raw events directly — equality proves
+    sum/count/min/max re-aggregate exactly and avg survives as
+    sum÷count. At scale the second aggregation shuffles |series|×24 rows
+    per day instead of the raw sample stream."""
+    daily = reaggregate(
+        hourly_rollup(load_table(spark, sf_dir, "events")),
+        F.date_trunc("day", "hour"),
+    )
+    return daily.select(
+        "event_type",
+        "bucket",
+        "sum_cents",
+        "n",
+        "min_cents",
+        "max_cents",
+        F.round(F.col("sum_cents") / F.col("n") / 100.0, 6).alias("avg_value"),
+    )
+
+
+@register(
+    "rollup_monthly_from_hourly",
+    oracle="""
+    SELECT event_type, date_trunc('month', ts) AS bucket,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(*) AS n,
+           min(round(value * 100)::BIGINT)::BIGINT AS min_cents,
+           max(round(value * 100)::BIGINT)::BIGINT AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_monthly_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second merge level (hour → month) through the SAME reaggregate
+    operator — mergeability is transitive, so any rollup ladder
+    (hour→day→month→year) composes from one primitive."""
+    return reaggregate(
+        hourly_rollup(load_table(spark, sf_dir, "events")),
+        F.date_trunc("month", "hour"),
+    )

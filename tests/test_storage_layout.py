@@ -1,0 +1,112 @@
+"""Plan-shape pins for the storage-layout scale claims
+(sources/layout.py): bucketed co-located joins run with ZERO shuffle,
+and partitioned layouts prune at file-listing time (proved from the
+scan's executed numFiles metric, not just the plan string)."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.sources.layout import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_metrics(df) -> dict[str, int]:
+    """Leaf-scan metrics summed over the executed plan (run the df first
+    so AQE has finalized and metrics are populated). Read ONCE per df:
+    a second collect() resets the accumulators."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total: dict[str, int] = {}
+    for i in range(leaves.size()):
+        it = leaves.apply(i).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            total[kv._1()] = total.get(kv._1(), 0) + kv._2().value()
+    return total
+
+
+@contextmanager
+def _conf(spark, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed_table(li, "t_lineitem_b", ["l_orderkey"], 8, ["l_orderkey"])
+    yield
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    """Co-bucketed fact×fact join: the hash distribution was paid once
+    at write time, so the join needs NO Exchange of either kind —
+    the property that makes repeated joins on the same key free at
+    100 TB, where neither fact side is broadcastable (broadcast is
+    disabled here to model exactly that)."""
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        o = spark.table("t_orders_b")
+        li = spark.table("t_lineitem_b")
+        join_only = o.join(li, o.o_orderkey == li.l_orderkey).select("o_orderkey")
+        assert join_only.count() > 0
+        assert "Exchange" not in _physical_plan(join_only), _physical_plan(join_only)
+
+        # control: the same join over raw parquet MUST shuffle both sides
+        o_raw = load_table(spark, sf_dir, "orders")
+        li_raw = load_table(spark, sf_dir, "lineitem")
+        with_shuffle = o_raw.join(
+            li_raw, o_raw.o_orderkey == li_raw.l_orderkey
+        ).select("o_orderkey")
+        with_shuffle.collect()
+        assert "Exchange" in _physical_plan(with_shuffle)
+
+
+def test_bucketed_agg_on_bucket_key_has_no_exchange(spark, bucketed_tables):
+    agg = spark.table("t_lineitem_b").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    agg.collect()
+    assert "Exchange" not in _physical_plan(agg)
+
+
+def test_partition_pruning_scans_only_matching_dirs(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    pruned = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    full = spark.read.parquet(path)
+
+    # pruning happens at listing time: 1 of the 5 event_type directories
+    m_pruned = _scan_metrics(pruned)
+    m_full = _scan_metrics(full)
+    assert m_pruned["numPartitions"] == 1
+    assert 0 < m_pruned["numFiles"] < m_full["numFiles"]
+
+    plan = _physical_plan(pruned)
+    assert "PartitionFilters" in plan, plan
+
+    # and still exactly the right rows
+    assert pruned.count() == ev.filter(F.col("event_type") == "error").count()
