@@ -47,6 +47,12 @@ HEADLINE = [
     "vec_ivf_topk",               # IVF coarse-quantizer ANN
     "ts_step_resample",           # join-free grid alignment
     "text_ngram_jaccard_pairs",   # exact n-gram Jaccard (blocked)
+    "tpch_q8_market_share",       # widest star join (7 tables)
+    "tpch_q21_sole_late_supplier",    # semi+anti join on one key
+    "promql_vector_share_group_left", # PromQL vector matching
+    "promql_avg_over_time",       # sliding range frame per series
+    "rollup_daily_from_hourly",   # two-level re-aggregation
+    "vec_ann_tuned_topk",         # recall-tuned LSH config
 ]
 
 

@@ -176,3 +176,51 @@ def test_interval_bucketed_join_is_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin/SMJ side
+
+
+def test_q8_star_join_broadcasts_all_dims(spark, sf_dir):
+    """Q8's seven-table star: every dimension side must broadcast; the
+    only shuffle joins allowed are lineitem↔orders (fact×fact)."""
+    plan = _plan(spark, sf_dir, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q21_sole_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_one_window_pass(spark, sf_dir):
+    """The correlated min must NOT re-aggregate or re-join the cost
+    relation — one Window over the partial-aggregated relation."""
+    plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("Window") >= 1
+    # cost relation scanned once: only one lineitem scan in the plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_vector_binop_totals_side_broadcasts(spark, sf_dir):
+    """PromQL group_left match: the aggregated totals vector is tiny and
+    must broadcast into the match join."""
+    plan = _plan(spark, sf_dir, "promql_vector_share_group_left")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_over_time_is_single_exchange_range_frame(spark, sf_dir):
+    """*_over_time: one exchange on the series key, a RANGE frame, no
+    joins — the shape that scales with samples-per-series, not windows."""
+    plan = _plan(spark, sf_dir, "promql_avg_over_time")
+    assert plan.count("Exchange (") == 1, plan
+    assert "Join" not in plan
+    assert "RangeFrame" in plan
+
+
+def test_rollup_reaggregation_never_rescans_raw(spark, sf_dir):
+    """Daily-from-hourly must read events ONCE (the hourly pass); the
+    merge runs over the rollup, not the raw table."""
+    plan = _plan(spark, sf_dir, "rollup_daily_from_hourly")
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
