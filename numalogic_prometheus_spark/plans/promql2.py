@@ -224,6 +224,70 @@ _register_over_time(
 )
 
 
+def _var_numer(w) -> F.Column:
+    # Population variance from integer-cent sums: n*Σc² − (Σc)², exact in
+    # int64 (c ≤ 5e4 → c² ≤ 2.5e9; even a 10⁴-row frame keeps both terms
+    # < 2.6e17 ≪ 2^63) and ≥ 0 by Cauchy–Schwarz, so sqrt() is safe in
+    # DuckDB (which raises on negative input). The float division/sqrt
+    # happen once on identical integers — IEEE-deterministic both sides.
+    c = _cents()
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(c).over(w)
+    s2 = F.sum(c * c).over(w)
+    return (n * s2 - s1 * s1, n)
+
+
+_VAR_NUMER_SQL = (
+    "(count(*) OVER w) * (sum(round(value*100)::BIGINT * round(value*100)::BIGINT) OVER w)::BIGINT"
+    " - ((sum(round(value*100)::BIGINT) OVER w)::BIGINT"
+    "    * (sum(round(value*100)::BIGINT) OVER w)::BIGINT)"
+)
+
+_register_over_time(
+    "promql_stdvar_over_time",
+    "stdvar_1h",
+    lambda w: (lambda nu, n: F.round(nu / (n * n) / 10000.0, 6))(*_var_numer(w)),
+    f"round(({_VAR_NUMER_SQL}) / ((count(*) OVER w) * (count(*) OVER w)) / 10000.0, 6)",
+)
+_register_over_time(
+    "promql_stddev_over_time",
+    "stddev_1h",
+    lambda w: (lambda nu, n: F.round(F.sqrt(nu / (n * n)) / 100.0, 6))(*_var_numer(w)),
+    f"round(sqrt(({_VAR_NUMER_SQL}) / ((count(*) OVER w) * (count(*) OVER w))) / 100.0, 6)",
+)
+
+
+@register(
+    "promql_last_over_time",
+    oracle="""
+    WITH dedup AS (
+        SELECT event_type, ts, max(value) AS value
+        FROM events GROUP BY event_type, ts
+    )
+    SELECT event_type, epoch_us(ts)::BIGINT AS ts_us,
+           arg_max(value, epoch_us(ts)) OVER w AS last_1h
+    FROM dedup
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `last_over_time(m[1h])`: most recent sample value in the
+    trailing hour. Samples are first deduped to one row per
+    (event_type, ts) — max(value), the registry's same-ts convention
+    (see promql_irate_last_delta) — so `max_by(value, ts)` is
+    deterministic in both engines despite range-frame ties. One exchange
+    on the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    dedup = ev.groupBy("event_type", "ts").agg(F.max("value").alias("value"))
+    us = F.unix_micros(F.col("ts"))
+    return dedup.select(
+        "event_type",
+        us.alias("ts_us"),
+        F.max_by("value", us).over(_over_time_frame()).alias("last_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # resets() / changes() — the two remaining PromQL counter-introspection
 # functions: both one lag() pass per series, no joins.
