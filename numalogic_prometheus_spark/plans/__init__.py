@@ -55,6 +55,9 @@ _MODULES = (
     "promql2",
     "tpch3",
     "rollups",
+    "text3",
+    "quality",
+    "vectors3",
 )
 
 # ROUND-3 ROTATION (VERDICT r2 next-round #1): the driver verifies the

@@ -1,0 +1,258 @@
+"""Training-data quality gates, round 3: Gopher-style repetition
+filters and PII pattern redaction over `documents`.
+
+The Gopher/C4 cleaning rules (Rae et al. 2021 §A1.1; Raffel et al.
+2020) are threshold predicates over per-document token statistics:
+repetition fractions, length bounds, stopword presence. Everything here
+is ONE tokenize pass + ONE (doc_id, term) hash aggregate — the same
+scale shape as `text_token_accounting`; verdict flags are pure integer
+comparisons (`k*top_count <= n_tokens`) so no float threshold can
+diverge across engines.
+
+PII note: the synthetic corpus is lowercase words only, so the
+redaction query embeds deterministic contact strings (email + long
+digit run derived from doc_id) into the text first, then counts and
+redacts them — nonzero matches that exercise the regex machinery
+end-to-end while staying oracle-checkable. Patterns avoid
+backreferences/lookaround so Java regex (Spark) and RE2 (DuckDB) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+def _toks(spark_df: DataFrame) -> DataFrame:
+    return spark_df.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("toks"),
+    )
+
+
+_REP_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, term, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+        GROUP BY doc_id, term
+    ),
+    uagg AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_count,
+               count(*)::BIGINT AS n_distinct,
+               max(c * length(term))::BIGINT AS top_token_chars
+        FROM uni GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, gram, count(*)::BIGINT AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM base WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, gram
+    ),
+    bagg AS (
+        SELECT doc_id,
+               max(c * (length(gram) - 1))::BIGINT AS top_bigram_chars
+        FROM bi GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_count,
+           round(1 - u.n_distinct / (u.n_tokens::DOUBLE), 6) AS dup_token_frac,
+           round(u.top_count / (u.n_tokens::DOUBLE), 6) AS top_token_frac,
+           round(u.top_token_chars
+                 / (d.n_chars - u.n_tokens + 1)::DOUBLE, 6) AS top_token_char_frac,
+           round(coalesce(b.top_bigram_chars, 0)
+                 / (d.n_chars - u.n_tokens + 1)::DOUBLE, 6) AS top_bigram_char_frac
+    FROM uagg u
+    JOIN documents d USING (doc_id)
+    LEFT JOIN bagg b USING (doc_id)
+"""
+
+
+@register("quality_repetition_stats", oracle=_REP_ORACLE)
+def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per doc: duplicate-token fraction,
+    most-common-token fraction, and character fractions covered by the
+    top unigram / top word-bigram. Char denominators use the exact
+    non-space character count (`n_chars - n_tokens + 1` for
+    single-space-joined text); bigram char counts exclude the joiner
+    space. All numerators/denominators integer until one final rounded
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _toks(docs)
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uagg = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.col("c") * F.length("term")).alias("top_token_chars"),
+    )
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    bi = (
+        base.filter(n >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bagg = bi.groupBy("doc_id").agg(
+        F.max(F.col("c") * (F.length("gram") - 1)).alias("top_bigram_chars")
+    )
+    chars = (F.col("n_chars") - F.col("n_tokens") + 1).cast("double")
+    return (
+        uagg.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_count",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6)
+            .alias("dup_token_frac"),
+            F.round(F.col("top_count") / F.col("n_tokens").cast("double"), 6)
+            .alias("top_token_frac"),
+            F.round(F.col("top_token_chars") / chars, 6).alias("top_token_char_frac"),
+            F.round(
+                F.coalesce(F.col("top_bigram_chars"), F.lit(0)) / chars, 6
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+_VERDICT_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, term, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+        GROUP BY doc_id, term
+    ),
+    agg AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_count,
+               max(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0
+                   END)::BIGINT AS has_stop
+        FROM uni GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (n_tokens >= 20 AND n_tokens <= 5000) AS len_ok,
+           (8 * top_count <= n_tokens) AS rep_ok,
+           (has_stop = 1) AS stop_ok,
+           (n_tokens >= 20 AND n_tokens <= 5000
+            AND 8 * top_count <= n_tokens AND has_stop = 1) AS keep
+    FROM agg
+"""
+
+
+@register("quality_gopher_verdict", oracle=_VERDICT_ORACLE)
+def quality_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop gate (Gopher §A1.1 shape): token-count bounds,
+    top-token repetition cap (`8*top <= n`, i.e. ≤12.5%), stopword
+    presence — integer/boolean logic only, one (doc_id, term)
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        _toks(docs)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+        F.max(
+            F.when(F.col("term").isin("the", "a"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_stop"),
+    )
+    len_ok = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 5000)
+    rep_ok = 8 * F.col("top_count") <= F.col("n_tokens")
+    stop_ok = F.col("has_stop") == 1
+    return agg.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        rep_ok.alias("rep_ok"),
+        stop_ok.alias("stop_ok"),
+        (len_ok & rep_ok & stop_ok).alias("keep"),
+    )
+
+
+# Regex patterns shared verbatim by both engines: character classes and
+# bounded repetition only (no backrefs, no lookaround) — the Java/RE2
+# common subset.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+_LONGNUM_RE = "[0-9]{7,}"
+
+_PII_ORACLE = (
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               'reach ' || source || '.user' || doc_id::VARCHAR
+               || '@mail' || (doc_id % 7)::VARCHAR || '.example.com or call '
+               || (1000000 + doc_id * 37)::VARCHAR || ' now ' || text AS body
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(body, '"""
+    + _EMAIL_RE
+    + """'))::BIGINT AS n_emails,
+           len(regexp_extract_all(body, '"""
+    + _LONGNUM_RE
+    + """'))::BIGINT AS n_longnums,
+           regexp_replace(regexp_replace(body, '"""
+    + _EMAIL_RE
+    + """', '<EMAIL>', 'g'), '"""
+    + _LONGNUM_RE
+    + """', '<NUM>', 'g') AS redacted
+    FROM synth
+"""
+)
+
+
+@register("quality_pii_redaction", oracle=_PII_ORACLE)
+def quality_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails + long digit runs.
+    Map-only (zero shuffles) — the 100 TB shape of every
+    regex-scrubbing stage. Spark `regexp_replace` is global by default;
+    the oracle passes the 'g' flag for the same semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("reach "),
+        F.col("source"),
+        F.lit(".user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or call "),
+        (F.lit(1000000) + F.col("doc_id") * 37).cast("string"),
+        F.lit(" now "),
+        F.col("text"),
+    )
+    synth = docs.select("doc_id", body.alias("body"))
+    return synth.select(
+        "doc_id",
+        F.regexp_count("body", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("body", F.lit(_LONGNUM_RE)).cast("long").alias("n_longnums"),
+        F.regexp_replace(
+            F.regexp_replace("body", _EMAIL_RE, "<EMAIL>"),
+            _LONGNUM_RE,
+            "<NUM>",
+        ).alias("redacted"),
+    )
