@@ -100,13 +100,20 @@ def summary(df: DataFrame, keys: Sequence[str | Column], value: str = "value",
     At scale swap `F.percentile` for `F.percentile_approx` (t-digest-style
     mergeable sketch) — exact percentile is used here for oracle parity.
     """
-    aggs = [
+    # One ARRAY-fraction percentile call: N separate percentile aggregates
+    # each materialize their own per-group value-count buffer over the
+    # whole relation; the array form shares one buffer and one final sort
+    # for all requested quantiles.
+    qarr = F.array(*[F.lit(q) for q in quantiles])
+    out = df.groupBy(*keys).agg(
         F.count(value).alias("obs_count"),
         F.sum(value).alias("obs_sum"),
+        F.percentile(value, qarr).alias("_qs"),
+    )
+    qcols = [
+        F.col("_qs")[i].alias(f"q{int(q * 100)}") for i, q in enumerate(quantiles)
     ]
-    for q in quantiles:
-        aggs.append(F.percentile(value, F.lit(q)).alias(f"q{int(q * 100)}"))
-    return df.groupBy(*keys).agg(*aggs)
+    return out.select(*[c for c in out.columns if c != "_qs"], *qcols)
 
 
 def histogram_buckets(df: DataFrame, keys: Sequence[str], value: str = "value",
