@@ -58,6 +58,7 @@ _MODULES = (
     "text3",
     "quality",
     "vectors3",
+    "text4",
 )
 
 # ROUND-3 ROTATION (VERDICT r2 next-round #1): the driver verifies the
