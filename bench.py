@@ -53,6 +53,9 @@ HEADLINE = [
     "promql_avg_over_time",       # sliding range frame per series
     "rollup_daily_from_hourly",   # two-level re-aggregation
     "vec_ann_tuned_topk",         # recall-tuned LSH config
+    "vec_int8_quantized_topk",    # compressed-scan candidates + re-rank
+    "dedup_substring_spans",      # span-run dedup (single-explode)
+    "text_contamination_eval_overlap",  # broadcast eval-leak check
 ]
 
 

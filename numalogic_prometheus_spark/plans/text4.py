@@ -106,13 +106,27 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select("doc_id", F.posexplode(spans).alias("pos0", "span")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "span"
     )
-    dup = (
-        ex.groupBy("span")
-        .agg(F.count_distinct("doc_id").alias("df"))
+    # Span doc-frequency via two stacked windows over ONE exchange on
+    # span (row_number marks each doc's first occurrence, the
+    # full-partition sum counts marked rows = distinct docs). A
+    # groupBy(span)+join-back formulation recomputes the corpus explode
+    # once per consumer (4 scans in the executed plan); this shape
+    # explodes exactly once. The surviving hit set (duplicated spans
+    # only) is tiny relative to the corpus, so it is materialized
+    # eagerly before the self-join instead of re-deriving the explode
+    # per join side.
+    w_doc = W.partitionBy("span", "doc_id").orderBy("pos")
+    w_span = W.partitionBy("span")
+    hits = (
+        ex.withColumn(
+            "first_in_doc",
+            F.when(F.row_number().over(w_doc) == 1, 1).otherwise(0),
+        )
+        .withColumn("df", F.sum("first_in_doc").over(w_span))
         .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_DF_CAP))
-        .select("span")
+        .select("doc_id", "pos", "span")
+        .transform(D.truncate_lineage)
     )
-    hits = ex.join(dup, "span")
     a = hits.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "span")
     b = hits.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "span")
     pairs = (

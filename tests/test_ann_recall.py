@@ -119,6 +119,17 @@ def test_recall_monotone_in_bands(corpus, ground_truth):
     assert r10 >= r8
 
 
+def test_int8_quantized_recall(spark, sf_dir, ground_truth):
+    """int8 code-dot candidates + exact re-rank: quantization noise is
+    tiny relative to the 3x candidate oversampling, so recall is ~1.0
+    (measured 1.000 on the fixture) — the compressed-scan path costs
+    bandwidth, not quality."""
+    ann = all_queries()["vec_int8_quantized_topk"](spark, sf_dir).toPandas()
+    cand_map = ann.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    recall, _ = _recall_and_cost(cand_map, ground_truth)
+    assert recall >= 0.9
+
+
 def test_ivf_recall_floor(spark, sf_dir, ground_truth):
     """IVF nprobe=2 over data-sampled centroids: pinned at its measured
     0.389 with slack — the structure-free floor for cell-probing ANN."""

@@ -224,3 +224,30 @@ def test_rollup_reaggregation_never_rescans_raw(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rollup_daily_from_hourly")
     assert plan.count("events.parquet") == 1, plan
     assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_substring_spans_explodes_once(spark, sf_dir):
+    """Span dedup must derive doc-frequency and both self-join sides from
+    ONE explode of the corpus: the checkpointed hit set truncates the
+    plan, so no Generate/parquet scan may appear downstream, and the only
+    exchanges left are the islands window and the final pair aggregate."""
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "Generate" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The benchmark gram set is MB-scale by construction — it must
+    broadcast so the training corpus streams map-side."""
+    plan = _plan(spark, sf_dir, "text_contamination_eval_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_int8_ann_broadcasts_query_codes(spark, sf_dir):
+    """Quantized ANN: the query-code side is tiny and must broadcast;
+    the corpus scan stays on the probe side (the compressed-stream
+    design), never a CartesianProduct."""
+    plan = _plan(spark, sf_dir, "vec_int8_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
