@@ -371,3 +371,68 @@ def promql_changes_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("changes")
     )
+
+
+# ---------------------------------------------------------------------------
+# PromQL SUBQUERY semantics: f(inner[w])[range:step] — evaluate an inner
+# range function on a step grid, then range-aggregate the grid values.
+# The reference delegates all PromQL evaluation to Prometheus
+# (CHANGELOG.md:10 "Prometheus Query Service"); this is the two-level
+# composition a Spark-side evaluator needs beyond the flat *_over_time
+# family above.
+# ---------------------------------------------------------------------------
+
+_STEP_US = 300_000_000  # 5m inner step
+
+
+@register(
+    "promql_subquery_max_rate",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, epoch_us(ts) // {_STEP_US} AS b,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type, b
+    ),
+    r AS (
+        SELECT event_type, b * {_STEP_US} AS bucket_us,
+               round(n / 300.0, 6) AS rate_5m
+        FROM g
+    )
+    SELECT event_type, bucket_us, rate_5m,
+           max(rate_5m) OVER (
+               PARTITION BY event_type ORDER BY bucket_us
+               RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW
+           ) AS max_rate_1h
+    FROM r
+    """,
+)
+def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery `max_over_time(rate(m[5m])[1h:5m])` analog: the
+    inner rate evaluates on a 5-minute step grid (events-per-second in
+    each bucket; empty grid steps yield no vector sample, as in
+    PromQL), and the outer max_over_time range-frames the grid values
+    over a trailing hour.
+
+    Scale shape: one partial+final aggregate collapses samples to the
+    grid (map-side combine does most of the work), then ONE exchange on
+    the series key drives the outer range frame over the tiny grid
+    relation — samples are shuffled once, grid rows once."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer `div` keeps the bucket index exact (float division of
+    # epoch-micros loses integer precision past 2^53)
+    b = F.expr(f"unix_micros(ts) div {_STEP_US}")
+    grid = (
+        ev.groupBy("event_type", b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            (F.col("b") * _STEP_US).alias("bucket_us"),
+            F.round(F.col("n") / 300.0, 6).alias("rate_5m"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rangeBetween(-_RANGE_US, 0)
+    )
+    return grid.withColumn("max_rate_1h", F.max("rate_5m").over(w))

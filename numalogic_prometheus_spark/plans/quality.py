@@ -256,3 +256,84 @@ def quality_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<NUM>",
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset constraint checks (Deequ-style "unit tests for data"): declared
+# expectations evaluated in ONE aggregate pass, emitted as one verdict row
+# per check. Pass/fail compares INTEGER counts (numer == n), never the
+# float metric, so no rounding boundary can flip a verdict across engines.
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_ORACLE = """
+    WITH m AS (
+        SELECT count(*)::BIGINT AS n,
+               count(DISTINCT o_orderkey)::BIGINT AS c_unique,
+               count(o_custkey)::BIGINT AS c_complete,
+               count(*) FILTER (o_totalprice > 0)::BIGINT AS c_positive,
+               count(*) FILTER (o_orderstatus IN ('O', 'F', 'P'))::BIGINT
+                   AS c_domain,
+               count(*) FILTER (o_orderdate >= TIMESTAMP '1995-01-01'
+                                AND o_orderdate < TIMESTAMP '2000-01-01')
+                   ::BIGINT AS c_daterange
+        FROM orders
+    ),
+    checks AS (
+        SELECT 'orderkey_unique' AS check_name, c_unique AS numer, n FROM m
+        UNION ALL SELECT 'custkey_complete', c_complete, n FROM m
+        UNION ALL SELECT 'totalprice_positive', c_positive, n FROM m
+        UNION ALL SELECT 'status_in_domain', c_domain, n FROM m
+        UNION ALL SELECT 'orderdate_in_range', c_daterange, n FROM m
+    )
+    SELECT check_name, round(numer / n::DOUBLE, 6) AS metric,
+           (CASE WHEN numer = n THEN 1 ELSE 0 END)::BIGINT AS passed
+    FROM checks
+"""
+
+
+@register("quality_constraint_checks", oracle=_CONSTRAINT_ORACLE)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over `orders`: key uniqueness,
+    completeness, positivity, categorical domain, and date-range
+    freshness — all measured in a single partial+final aggregate scan
+    (the uniqueness check is the only exchange-bearing term), then
+    unpivoted to one verdict row per check. `orderdate_in_range`
+    deliberately FAILS on the fixture (dates run past 2000-01-01), so
+    the harness proves verdicts go both ways."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("c_unique"),
+        F.count("o_custkey").alias("c_complete"),
+        F.count(F.when(F.col("o_totalprice") > 0, 1)).alias("c_positive"),
+        F.count(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("c_domain"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("c_daterange"),
+    )
+    checks = m.select(
+        "n",
+        F.expr(
+            "stack(5,"
+            " 'orderkey_unique', c_unique,"
+            " 'custkey_complete', c_complete,"
+            " 'totalprice_positive', c_positive,"
+            " 'status_in_domain', c_domain,"
+            " 'orderdate_in_range', c_daterange"
+            ") AS (check_name, numer)"
+        ),
+    )
+    return checks.select(
+        "check_name",
+        F.round(F.col("numer") / F.col("n").cast("double"), 6).alias("metric"),
+        F.when(F.col("numer") == F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("passed"),
+    )

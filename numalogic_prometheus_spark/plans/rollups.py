@@ -12,7 +12,7 @@ proves the two-level merge is exact, not approximately right.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.plans import register
@@ -99,3 +99,73 @@ def rollup_monthly_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_rollup(load_table(spark, sf_dir, "events")),
         F.date_trunc("month", "hour"),
     )
+
+
+@register(
+    "rollup_quantile_sketch_daily",
+    oracle="""
+    WITH sk AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(value * 100)::BIGINT // 100 AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY event_type, day, bucket
+    ),
+    merged AS (
+        SELECT event_type, bucket, sum(cnt)::BIGINT AS cnt
+        FROM sk GROUP BY event_type, bucket
+    ),
+    cum AS (
+        SELECT event_type, bucket,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM merged
+    )
+    SELECT event_type, n::BIGINT AS n,
+           min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END)::BIGINT
+               AS p50_bucket,
+           min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END)::BIGINT
+               AS p90_bucket,
+           min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END)::BIGINT
+               AS p99_bucket
+    FROM cum GROUP BY event_type, n
+    """,
+)
+def rollup_quantile_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the percentile sibling of
+    `agg_hll_mergeable_daily`: exact percentiles do not re-aggregate
+    (you cannot merge two medians), so the daily rollup stores a
+    fixed-width histogram sketch (unit-value buckets, integer counts)
+    that merges by summing; quantiles are then read off the merged
+    sketch as the first bucket whose cumulative count crosses
+    ceil(q*n) — all-integer arithmetic end to end, so the sketch is
+    bit-exact under any merge order and any engine.
+
+    Scale shape: day-level sketches are built with one partial+final
+    agg over raw (map-side combine), the merge and the quantile read
+    run over sketch rows only (|series| x |buckets|), never raw data."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("CAST(round(value * 100) AS BIGINT) div 100")
+    sk = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        bucket.alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = sk.groupBy("event_type", "bucket").agg(F.sum("cnt").alias("cnt"))
+    wcum = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def _p(perc: int) -> F.Column:
+        thresh = F.expr(f"(n * {perc} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= thresh, F.col("bucket"))).alias(
+            f"p{perc}_bucket"
+        )
+
+    return cum.groupBy("event_type", "n").agg(_p(50), _p(90), _p(99))

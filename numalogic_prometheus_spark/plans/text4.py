@@ -310,3 +310,191 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id").isNull() | (F.col("component") == F.col("vec_id")))
         .select("vec_id", F.coalesce(F.col("n"), F.lit(1)).alias("n_members"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation funnel: every gate above + the document-level
+# passes from plans/text.py, applied in precedence order to produce ONE
+# verdict per document — the relation a pretraining pipeline actually
+# materializes before tokenization.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM d
+    ),
+    g AS (
+        SELECT doc_id, unnest({_GRAMS4_SQL}) AS gram
+        FROM d WHERE len(t) >= {_GRAM_LEN}
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+    cont AS (
+        SELECT doc_id, count(*) AS n_grams,
+               count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hit
+        FROM g GROUP BY doc_id
+    ),
+    qual AS (
+        SELECT doc_id, len(t) AS n_toks,
+               list_aggregate(list_transform(t, x -> len(x)), 'sum') AS sum_len
+        FROM d
+    ),
+    b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_aggregate(list_transform(range(0, 8),
+                   i -> CASE WHEN embedding[i + 1] > 0
+                        THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS bucket
+        FROM embeddings
+    ),
+    edges AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_dot_product(a.v, c.v)
+              / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+                 * sqrt(list_aggregate(list_transform(c.v, x -> x*x), 'sum')))
+              >= {_SEMANTIC_THRESHOLD}
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach AS (
+        SELECT a AS id, a AS lbl FROM sym
+        UNION SELECT e.b AS id, r.lbl AS lbl FROM reach r JOIN sym e ON e.a = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    verdicts AS (
+        SELECT d.doc_id,
+               CASE
+                   WHEN ex.rn > 1 THEN 'exact_duplicate'
+                   WHEN coalesce(cont.n_hit / cont.n_grams::DOUBLE, 0)
+                        >= {_CONTAM_FLAG} THEN 'contaminated'
+                   WHEN NOT (qual.n_toks BETWEEN 10 AND 1000
+                             AND qual.sum_len >= 2 * qual.n_toks
+                             AND qual.sum_len <= 12 * qual.n_toks)
+                       THEN 'low_quality'
+                   WHEN comp.component IS NOT NULL
+                        AND comp.component <> d.doc_id
+                       THEN 'semantic_duplicate'
+                   ELSE 'keep'
+               END AS reason
+        FROM d
+        JOIN ex ON ex.doc_id = d.doc_id
+        JOIN qual ON qual.doc_id = d.doc_id
+        LEFT JOIN cont ON cont.doc_id = d.doc_id
+        LEFT JOIN comp ON comp.id = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN reason = 'keep' THEN 'keep' ELSE 'drop' END AS verdict,
+           reason
+    FROM verdicts
+"""
+
+
+@register("pipeline_curation_verdicts", oracle=_CURATION_ORACLE)
+def pipeline_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation decision per document, gates in precedence
+    order: exact duplicate (md5 keep-first) -> benchmark contamination
+    (4-gram overlap >= flag vs the eval set, eval members drop as their
+    own near-copies) -> C4-ish quality bounds (10..1000 tokens, mean
+    word length 2..12 — compared as integer cross-products, no float
+    boundary) -> semantic duplicate (cosine cluster non-representative).
+    Emits (doc_id, verdict, reason) — the audit trail a curation run
+    ships with its output.
+
+    Scale shape: three map-side per-doc feature passes + the gram
+    explode and the (tiny) component relation from the gates above; the
+    final assembly is id-equi-joins AQE can broadcast (every gate
+    relation except the doc ids themselves collapses to doc-count rows
+    or less)."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = tokens_col(F.col("text"))
+
+    exw = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    ex = d.select("doc_id", F.row_number().over(exw).alias("rn"))
+
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_GRAM_LEN - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _GRAM_LEN)),
+        )
+    )
+    g = d.filter(F.size(toks) >= _GRAM_LEN).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    ev = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cont = (
+        g.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("hit").alias("n_hit"))
+    )
+
+    qual = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bv = emb.select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    ea = bv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    ec = bv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    edges = (
+        ea.join(ec, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= _SEMANTIC_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    comp = D.connected_components(edges)
+
+    frac = F.coalesce(
+        F.col("n_hit") / F.col("n_grams").cast("double"), F.lit(0.0)
+    )
+    quality_ok = (
+        F.col("n_toks").between(10, 1000)
+        & (F.col("sum_len") >= 2 * F.col("n_toks"))
+        & (F.col("sum_len") <= 12 * F.col("n_toks"))
+    )
+    reason = (
+        F.when(F.col("rn") > 1, F.lit("exact_duplicate"))
+        .when(frac >= _CONTAM_FLAG, F.lit("contaminated"))
+        .when(~quality_ok, F.lit("low_quality"))
+        .when(
+            F.col("component").isNotNull()
+            & (F.col("component") != F.col("doc_id")),
+            F.lit("semantic_duplicate"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("doc_id")
+        .join(ex, "doc_id")
+        .join(qual, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select("doc_id", reason.alias("reason"))
+        .select(
+            "doc_id",
+            F.when(F.col("reason") == "keep", F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+            "reason",
+        )
+    )
