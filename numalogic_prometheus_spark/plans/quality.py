@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import load_table, load_table_spread
 
 
 def _toks(spark_df: DataFrame) -> DataFrame:
@@ -336,4 +336,66 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (KenLM-proxy): corpus unigram stats -> per-token
+# log-probability -> per-doc mean log-prob. Float-sum order would differ
+# across engines, so token log-probs are FIXED-POINT integers
+# (round(ln(p) * 1e6)): the per-doc accumulation is an exact BIGINT sum
+# under any aggregation order, and the single final division is the only
+# float op. Fixture margin to the nearest rounding boundary is >= 0.03
+# (checked at sf0.001/sf0.01) — ~1e10 ULPs of slack, so libm last-bit
+# differences between Java StrictMath and DuckDB cannot flip a verdict.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    c AS (SELECT tk, count(*)::BIGINT AS n FROM tok GROUP BY tk),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c),
+    lp AS (
+        SELECT tk, round(ln(n / total::DOUBLE) * 1000000)::BIGINT AS lp_fp
+        FROM c, t
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_toks,
+           round(sum(lp_fp)::BIGINT / (count(*) * 1000000.0), 6)
+               AS mean_logprob
+    FROM tok JOIN lp USING (tk)
+    GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram model — the cheap stand-in for KenLM perplexity filtering
+    (low mean log-prob = rare-token-heavy / malformed text). Two
+    passes, like any IDF-family statistic: a token-count aggregate
+    (map-side combined), then the scoring explode joined to the
+    (broadcast) log-prob table — vocab is tiny relative to any corpus,
+    so the scoring pass is map-side."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk")
+    )
+    c = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    total = c.agg(F.sum("n").alias("total"))
+    lp = c.crossJoin(F.broadcast(total)).select(
+        "tk",
+        F.round(F.log(F.col("n") / F.col("total").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lp_fp"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.sum("lp_fp") / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("mean_logprob"),
+        )
     )

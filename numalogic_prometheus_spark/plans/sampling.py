@@ -239,3 +239,41 @@ def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n_toks,
+               least(90, greatest(10, len(string_split(text, ' '))))::BIGINT
+                   AS keep_pct
+        FROM documents
+    )
+    SELECT doc_id, source, n_toks, keep_pct
+    FROM q WHERE {_BUCKET_SQL} < keep_pct
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling (the DoReMi-family idea at its
+    deterministic core): each doc's acceptance probability is a
+    function of its own quality statistic (here token count, clamped
+    to [10%, 90%]), and the accept decision is the portable content
+    hash against that per-doc threshold — so re-runs, backfills and
+    engine swaps keep byte-identical samples, unlike RNG-state
+    sampling. Pure map-side filter, no shuffle, no state."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    keep = F.least(F.lit(90), F.greatest(F.lit(10), n_toks)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_toks.alias("n_toks"),
+            keep.alias("keep_pct"),
+            F.expr(_BUCKET_SPARK).alias("_b"),
+        )
+        .filter(F.col("_b") < F.col("keep_pct"))
+        .drop("_b")
+    )

@@ -414,8 +414,19 @@ def pipeline_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens_col(F.col("text"))
 
+    # exact-dup rank + quality stats share ONE documents pass (the md5
+    # window is the only exchange; the quality columns ride along free)
     exw = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    ex = d.select("doc_id", F.row_number().over(exw).alias("rn"))
+    feat = d.select(
+        "doc_id",
+        F.row_number().over(exw).alias("rn"),
+        F.size(toks).alias("n_toks"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+    )
 
     grams = F.array_distinct(
         F.transform(
@@ -436,16 +447,6 @@ def pipeline_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(F.broadcast(ev), "gram", "left")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"), F.count("hit").alias("n_hit"))
-    )
-
-    qual = d.select(
-        "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.aggregate(
-            F.transform(toks, lambda x: F.length(x)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -484,11 +485,8 @@ def pipeline_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return (
-        d.select("doc_id")
-        .join(ex, "doc_id")
-        .join(qual, "doc_id")
-        .join(cont, "doc_id", "left")
-        .join(comp, d["doc_id"] == comp["id"], "left")
+        feat.join(cont, "doc_id", "left")
+        .join(comp, feat["doc_id"] == comp["id"], "left")
         .select("doc_id", reason.alias("reason"))
         .select(
             "doc_id",
