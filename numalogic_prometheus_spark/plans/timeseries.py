@@ -168,9 +168,14 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("event_type").orderBy("e2")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # "nearest following" as a RUNNING frame over the REVERSED sort:
+    # Spark evaluates (0, unboundedFollowing) frames by re-scanning the
+    # partition tail per row — O(rows²) per series, ~50s at sf0.1 —
+    # while running (unboundedPreceding, 0) frames accumulate in O(rows).
+    # last(ignorenulls) over e2 DESC ≡ first(ignorenulls) over (0, ∞) ASC.
     wn = (
-        W.partitionBy("event_type").orderBy("e2")
-        .rowsBetween(0, W.unboundedFollowing)
+        W.partitionBy("event_type").orderBy(F.col("e2").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     g_us = F.unix_micros("gts")
     interp = F.when(
@@ -185,8 +190,8 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.withColumn("pv", F.last("value", ignorenulls=True).over(wp))
         .withColumn("pt", F.last("s_us", ignorenulls=True).over(wp))
-        .withColumn("nv", F.first("value", ignorenulls=True).over(wn))
-        .withColumn("nt", F.first("s_us", ignorenulls=True).over(wn))
+        .withColumn("nv", F.last("value", ignorenulls=True).over(wn))
+        .withColumn("nt", F.last("s_us", ignorenulls=True).over(wn))
         .filter(F.col("gts").isNotNull())
         .select(
             "event_type",
