@@ -61,65 +61,73 @@ _MODULES = (
     "text4",
 )
 
-# ROUND-3 ROTATION (VERDICT r2 next-round #1): the driver verifies the
-# first 50 entries of queries(); rounds 1+2 verified 98 of 148 with zero
-# mismatches, leaving exactly these 50 without a driver row (the round-2
-# session-2 tail). They are pinned to positions 1-50 for the round-3 run.
-# Cumulative driver coverage after this run: 148/148.
-# ROUND-4 PLAN: drop this list (or repopulate it with the round-3
-# additions + any red rows) once CORRECTNESS_r03 lands; per COVERAGE.md
-# every entry must get a driver row within two rounds of registration.
+# ROUND-5 ROTATION (VERDICT r3 next-round #1; round 4 stalled before the
+# planned rotation landed, so the r4 run re-checked the r3 window). The
+# driver verifies the first 50 entries of queries(). This window holds:
+#   * the 39 round-3 registrations still without a driver row (positions
+#     1-39, flagship curation surface first),
+#   * 5 round-5 additions (PromQL set ops + group_right, streaming
+#     counter-reset rate) so they ship WITH verification, per the
+#     COVERAGE.md two-round promise,
+#   * 6 long-green sentinels from earlier rounds to catch regressions.
+# Cumulative driver coverage after this run: 187 r3-era + 5 new = all.
 _CHECK_FIRST = (
-    "mllib_minmax_scaler",
-    "mllib_brp_lsh_neighbors",
-    "mllib_kmeans_profiles",
+    # -- flagship curation surface (round-3, unchecked) --
+    "pipeline_curation_verdicts",
+    "dedup_substring_spans",
+    "dedup_semantic_survivors",
+    "text_contamination_eval_overlap",
+    "vec_int8_quantized_topk",
+    # -- promql2 family (round-3, unchecked) --
+    "promql_vector_ratio_on",
+    "promql_vector_ratio_ignoring",
+    "promql_vector_share_group_left",
+    "promql_sum_over_time",
+    "promql_avg_over_time",
+    "promql_min_over_time",
+    "promql_max_over_time",
+    "promql_count_over_time",
+    "promql_stdvar_over_time",
+    "promql_stddev_over_time",
+    "promql_last_over_time",
+    "promql_resets_per_series",
+    "promql_changes_per_series",
+    "promql_subquery_max_rate",
+    # -- tpch3 (round-3, unchecked) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_inventory",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_sole_late_supplier",
+    # -- rollups / quality / text3 / vectors3 / sampling (round-3) --
+    "rollup_daily_from_hourly",
+    "rollup_monthly_from_hourly",
+    "rollup_quantile_sketch_daily",
+    "text_bm25_topk",
+    "quality_repetition_stats",
+    "quality_gopher_verdict",
+    "quality_pii_redaction",
+    "quality_constraint_checks",
+    "text_unigram_logprob",
+    "vec_ann_tuned_topk",
+    "sample_quality_weighted",
+    # -- round-5 additions (registered this round, verified this round) --
+    "promql_and_intersection",
+    "promql_or_union",
+    "promql_unless_difference",
+    "promql_ratio_group_right",
+    "stream_counter_rate",
+    # -- green sentinels (driver-green in earlier rounds) --
     "counter_monotonic_guard",
-    "exposition_all_families",
-    "promql_clamp_values",
-    "promql_absent_series",
-    "promql_irate_last_delta",
-    "promql_predict_linear",
-    "promql_sort_desc",
-    "promql_count_values",
-    "promql_bottomk_users",
-    "promql_offset_day_over_day",
-    "promql_delta_gauge",
     "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_high_balance",
-    "ts_step_resample",
+    "promql_irate_last_delta",
     "ts_linear_interpolate",
-    "ts_ohlc_hourly",
-    "ts_sessionize_gap",
-    "ts_ewma_irregular",
-    "ts_holt_winters_level_trend",
-    "vec_ivf_topk",
-    "vec_range_search",
-    "text_ngram_jaccard_pairs",
-    "text_token_accounting",
-    "dedup_cdc_chunk_pairs",
-    "pipeline_text_cleaning",
-    "stream_stream_join",
-    "stream_topk_event_types",
-    "ml_seasonal_zscore",
-    "ml_conformal_threshold",
     "join_salted_skew",
-    "multimodal_frame_sample",
-    "agg_hll_mergeable_daily",
-    "funnel_view_click_purchase",
-    "scd2_event_type_intervals",
-    "join_interval_bucketed",
-    "sample_stratified_hash",
-    "sample_mixture_epochs",
-    "sample_split_train_val_test",
-    "sample_topk_hash_per_source",
-    "pack_sequences_contiguous",
+    "vec_ivf_topk",
 )
 
 
