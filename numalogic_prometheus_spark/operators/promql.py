@@ -111,6 +111,7 @@ def vector_binop(
     on: Sequence[str] | None = None,
     ignoring: Sequence[str] = (),
     group_left: bool = False,
+    group_right: bool = False,
     carry: Sequence[str] = (),
     left_value: str = "value",
     right_value: str = "value",
@@ -131,8 +132,14 @@ def vector_binop(
       Prometheus, 1:1 cardinality is a data contract — callers wanting a
       hard check can pre-assert uniqueness (an extra exchange), which we
       deliberately do NOT inject into the plan.
-    - ``carry``: labels copied from the right side into the output
-      (PromQL ``group_left(extra...)``).
+    - ``group_right``: the mirror — one left row may match many right
+      rows; the output keeps the RIGHT label set and ``carry`` copies
+      labels from the left side (PromQL ``group_right(extra...)``).
+      Implemented by delegating to the ``group_left`` path with the
+      operands swapped and the op's argument order preserved, so the
+      two grouped modes cannot drift apart semantically.
+    - ``carry``: labels copied from the one-side into the output
+      (PromQL ``group_left(extra...)`` / ``group_right(extra...)``).
     - ``op``: ``(Column, Column) -> Column`` building the result value.
 
     Output = left labels + carried right labels + ``out``. Unmatched rows
@@ -143,6 +150,24 @@ def vector_binop(
     """
     if on is not None and ignoring:
         raise ValueError("vector_binop: `on` and `ignoring` are exclusive")
+    if group_left and group_right:
+        raise ValueError("vector_binop: `group_left` and `group_right` are exclusive")
+    if group_right:
+        # Mirror mode: swap operands into the group_left path, flipping the
+        # op's argument order so `op` still receives (left_value, right_value)
+        # in the caller's orientation. One code path ⇒ no semantic drift.
+        return vector_binop(
+            right,
+            left,
+            lambda a, b: op(b, a),
+            on=on,
+            ignoring=ignoring,
+            group_left=True,
+            carry=carry,
+            left_value=right_value,
+            right_value=left_value,
+            out=out,
+        )
     l_labels = [c for c in left.columns if c != left_value]
     r_labels = [c for c in right.columns if c != right_value]
     if on is not None:
@@ -173,3 +198,68 @@ def vector_binop(
         *[F.col(c) for c in carry],
         op(F.col(left_value), F.col("__r_value")).alias(out),
     )
+
+
+def vector_setop(
+    left: DataFrame,
+    right: DataFrame,
+    kind: str,
+    *,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] = (),
+    left_value: str = "value",
+    right_value: str = "value",
+) -> DataFrame:
+    """PromQL set operators `and` / `or` / `unless` over instant vectors.
+
+    The reference delegates these to the Prometheus Query Service
+    (reference CHANGELOG.md:10 #168); here they are label-set-matched
+    existence joins, which is what Prometheus computes:
+
+    - ``and``: left rows whose match-label set has at least one right row
+      (semi join — value and labels come from the LEFT operand only).
+    - ``unless``: left rows with NO right row on the match-label set
+      (anti join).
+    - ``or``: every left row, plus right rows whose match-label set has
+      no left row. Requires both operands to share one relational schema
+      (Prometheus unions arbitrary label sets; a relation cannot).
+
+    Matching follows `vector_binop`: ``on`` names the match labels,
+    otherwise the shared labels minus ``ignoring``. 100 TB: semi/anti
+    joins ship only the match-label projection of the probe side across
+    the exchange (no value/payload columns), AQE broadcasts it when
+    small; `or` is one union + one anti join — no replication anywhere.
+    """
+    if on is not None and ignoring:
+        raise ValueError("vector_setop: `on` and `ignoring` are exclusive")
+    if kind not in ("and", "or", "unless"):
+        raise ValueError(f"vector_setop: unknown kind {kind!r}")
+    l_labels = [c for c in left.columns if c != left_value]
+    r_labels = [c for c in right.columns if c != right_value]
+    if on is not None:
+        match = list(on)
+    else:
+        match = [c for c in l_labels if c in set(r_labels) and c not in set(ignoring)]
+    if not match:
+        raise ValueError("vector_setop: empty match label set")
+
+    def _cond(a: DataFrame, probe: DataFrame):
+        cond = None
+        for c in match:
+            eq = a[c].eqNullSafe(probe[f"__m_{c}"])
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    if kind in ("and", "unless"):
+        probe = right.select(*[F.col(c).alias(f"__m_{c}") for c in match])
+        how = "left_semi" if kind == "and" else "left_anti"
+        return left.join(probe, _cond(left, probe), how)
+    # kind == "or"
+    if set(left.columns) != set(right.columns):
+        raise ValueError(
+            "vector_setop('or'): operands must share one schema; got "
+            f"{sorted(left.columns)} vs {sorted(right.columns)}"
+        )
+    probe = left.select(*[F.col(c).alias(f"__m_{c}") for c in match])
+    right_only = right.join(probe, _cond(right, probe), "left_anti")
+    return left.unionByName(right_only)

