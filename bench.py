@@ -56,6 +56,8 @@ HEADLINE = [
     "vec_int8_quantized_topk",    # compressed-scan candidates + re-rank
     "dedup_substring_spans",      # span-run dedup (single-explode)
     "text_contamination_eval_overlap",  # broadcast eval-leak check
+    "ts_ewma_irregular",          # segmented-scan linear recurrence
+    "ts_holt_winters_level_trend",    # segmented 2-D recurrence
 ]
 
 
@@ -90,10 +92,13 @@ def main() -> None:
                 pass  # warmup is best-effort; the timed pass will surface it
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        # min of 2 passes: the first pass can absorb JIT/codegen compilation
+        # min of N passes: the first pass can absorb JIT/codegen compilation
         # for plan shapes not covered by the warmup; min reflects the
-        # steady-state cost of the plan itself.
+        # steady-state cost of the plan itself. One failing query must not
+        # abort the run — record it under `errors` and keep going (a
+        # 32-query bench degrades, it doesn't vanish).
         best = float("inf")
         passes = 3
         done = 0
@@ -102,9 +107,13 @@ def main() -> None:
             # .cache()/localCheckpoint must pay their full cost every pass
             spark.catalog.clearCache()
             start = time.perf_counter()
-            queries[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            try:
+                queries[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
             best = min(best, time.perf_counter() - start)
             done += 1
             # this host shows sporadic external CPU contention that can
@@ -112,13 +121,15 @@ def main() -> None:
             # looks contended, buy up to two extra passes to dodge it
             if done == passes and best > 3.0 and passes < 5:
                 passes += 1
-        timings[name] = round(best, 4)
+        if name not in errors:
+            timings[name] = round(best, 4)
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

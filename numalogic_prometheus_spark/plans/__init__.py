@@ -61,27 +61,19 @@ _MODULES = (
     "text4",
 )
 
-# ROUND-5 ROTATION (VERDICT r3 next-round #1; round 4 stalled before the
-# planned rotation landed, so the r4 run re-checked the r3 window). The
-# driver verifies the first 50 entries of queries(). This window holds:
-#   * the 39 round-3 registrations still without a driver row (positions
-#     1-39, flagship curation surface first),
-#   * 5 round-5 additions (PromQL set ops + group_right, streaming
-#     counter-reset rate) so they ship WITH verification, per the
-#     COVERAGE.md two-round promise,
-#   * 6 long-green sentinels from earlier rounds to catch regressions.
-# Cumulative driver coverage after this run: 187 r3-era + 5 new = all.
+# ROUND-6 ROTATION (VERDICT r5 next-round #3). The driver verifies the
+# first 50 entries of queries(). Round 5's environment drift (events.ts
+# surfaced as TIMESTAMP_NTZ) broke 14 queries; the load-boundary fix in
+# sources/tables.py must now be PROVEN green. This window holds:
+#   * the 9 never-green entries (*_over_time family + subquery — ERR in
+#     their only driver appearance, r5) plus the 5 regressed/broken ones,
+#   * ~7 diverse long-green sentinels,
+#   * a re-green sweep of the timestamp-touching queries — the exact
+#     population at risk from the NTZ→TIMESTAMP normalization (events.ts,
+#     lineitem.l_shipdate, orders.o_orderdate all changed lexical type).
+# After this run every oracle-backed query has ≥1 cumulative green row.
 _CHECK_FIRST = (
-    # -- flagship curation surface (round-3, unchecked) --
-    "pipeline_curation_verdicts",
-    "dedup_substring_spans",
-    "dedup_semantic_survivors",
-    "text_contamination_eval_overlap",
-    "vec_int8_quantized_topk",
-    # -- promql2 family (round-3, unchecked) --
-    "promql_vector_ratio_on",
-    "promql_vector_ratio_ignoring",
-    "promql_vector_share_group_left",
+    # -- never-green (registered r3, ERR r5 — the NTZ victims) --
     "promql_sum_over_time",
     "promql_avg_over_time",
     "promql_min_over_time",
@@ -90,44 +82,52 @@ _CHECK_FIRST = (
     "promql_stdvar_over_time",
     "promql_stddev_over_time",
     "promql_last_over_time",
-    "promql_resets_per_series",
-    "promql_changes_per_series",
     "promql_subquery_max_rate",
-    # -- tpch3 (round-3, unchecked) --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_inventory",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_heavy_shippers",
-    "tpch_q21_sole_late_supplier",
-    # -- rollups / quality / text3 / vectors3 / sampling (round-3) --
-    "rollup_daily_from_hourly",
-    "rollup_monthly_from_hourly",
-    "rollup_quantile_sketch_daily",
-    "text_bm25_topk",
-    "quality_repetition_stats",
-    "quality_gopher_verdict",
-    "quality_pii_redaction",
-    "quality_constraint_checks",
-    "text_unigram_logprob",
-    "vec_ann_tuned_topk",
-    "sample_quality_weighted",
-    # -- round-5 additions (registered this round, verified this round) --
-    "promql_and_intersection",
-    "promql_or_union",
-    "promql_unless_difference",
-    "promql_ratio_group_right",
-    "stream_counter_rate",
-    # -- green sentinels (driver-green in earlier rounds) --
-    "counter_monotonic_guard",
-    "tpch_q6_forecast_revenue",
+    # -- regressed/broken in r5 (same root cause) --
     "promql_irate_last_delta",
     "ts_linear_interpolate",
+    "ts_step_resample",
+    "ts_sessionize_gap",
+    "join_interval_bucketed",
+    # -- green sentinels (diverse families) --
+    "counter_monotonic_guard",
+    "tpch_q6_forecast_revenue",
+    "pipeline_curation_verdicts",
+    "vec_ann_tuned_topk",
+    "stream_counter_rate",
+    "rollup_quantile_sketch_daily",
     "join_salted_skew",
-    "vec_ivf_topk",
+    # -- re-green sweep: every previously-green query whose plan reads an
+    #    event-time/date column (regression check on the type change) --
+    "counter_hourly",
+    "gauge_latest_per_user",
+    "ts_ohlc_hourly",
+    "win_sliding_range_1h",
+    "win_lag_rate_reset",
+    "scalar_datetime_funcs",
+    "promql_rate_per_hour",
+    "promql_increase_total",
+    "promql_offset_day_over_day",
+    "promql_predict_linear",
+    "promql_deriv_per_series",
+    "promql_quantile_over_time",
+    "promql_resets_changes",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk_event_types",
+    "funnel_view_click_purchase",
+    "scd2_event_type_intervals",
+    "join_asof_last_error",
+    "join_interval_overlap",
+    "agg_pricing_summary",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "ml_seasonal_zscore",
+    "ml_conformal_threshold",
+    "agg_window_vectors",
 )
 
 

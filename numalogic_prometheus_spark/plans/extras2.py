@@ -20,6 +20,7 @@ from numalogic_prometheus_spark.operators.multimodal import (
 )
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.functions.timeutil import epoch_us
 
 _SALT = 8
 
@@ -247,7 +248,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    overlap = F.unix_micros(F.least("e1", "e2")) - F.unix_micros(
+    overlap = epoch_us(F.least("e1", "e2")) - epoch_us(
         F.greatest("s1", "s2")
     )
     return (

@@ -19,6 +19,7 @@ from numalogic_prometheus_spark.operators.promql import (
 )
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.functions.timeutil import epoch_us
 
 
 def _synthetic_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +420,7 @@ def promql_irate_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     increase = F.when(F.col("v1") >= F.col("v0"), F.col("v1") - F.col("v0")).otherwise(
         F.col("v1")
     )
-    dt_us = F.unix_micros(F.col("t1")) - F.unix_micros(F.col("t0"))
+    dt_us = epoch_us("t1") - epoch_us("t0")
     return pivoted.select(
         "event_type", F.round(increase * F.lit(1000000.0) / dt_us, 6).alias("irate")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from numalogic_prometheus_spark.operators.promql import vector_binop, vector_setop
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
 
 
 def _hourly_vector(ev: DataFrame, *labels: str) -> DataFrame:
@@ -157,7 +158,7 @@ _RANGE_US = 3_600_000_000  # 1h lookback, [t-1h, t] inclusive
 def _over_time_frame():
     return (
         W.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-_RANGE_US, 0)
     )
 
@@ -280,7 +281,7 @@ def promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the series key."""
     ev = load_table(spark, sf_dir, "events")
     dedup = ev.groupBy("event_type", "ts").agg(F.max("value").alias("value"))
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     return dedup.select(
         "event_type",
         us.alias("ts_us"),
@@ -420,7 +421,7 @@ def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # integer `div` keeps the bucket index exact (float division of
     # epoch-micros loses integer precision past 2^53)
-    b = F.expr(f"unix_micros(ts) div {_STEP_US}")
+    b = F.expr(f"{epoch_us_sql('ts')} div {_STEP_US}")
     grid = (
         ev.groupBy("event_type", b.alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.functions.timeutil import epoch_us
 
 _GRID_START = "2024-01-01 00:00:00"
 _GRID_END = "2024-01-08 00:00:00"
@@ -69,14 +70,14 @@ def _interleaved_union(samples: DataFrame, grid: DataFrame) -> DataFrame:
     ending at a grid row then covers exactly the samples with ts ≤ g."""
     s = samples.select(
         "event_type",
-        (F.unix_micros("ts") * 2).alias("e2"),
-        F.unix_micros("ts").alias("s_us"),
+        (epoch_us("ts") * 2).alias("e2"),
+        epoch_us("ts").alias("s_us"),
         "value",
         F.lit(None).cast("timestamp").alias("gts"),
     )
     g = grid.select(
         "event_type",
-        (F.unix_micros("gts") * 2 + 1).alias("e2"),
+        (epoch_us("gts") * 2 + 1).alias("e2"),
         F.lit(None).cast("long").alias("s_us"),
         F.lit(None).cast("double").alias("value"),
         "gts",
@@ -177,7 +178,7 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("event_type").orderBy(F.col("e2").desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    g_us = F.unix_micros("gts")
+    g_us = epoch_us("gts")
     interp = F.when(
         F.col("pv").isNotNull() & F.col("nv").isNotNull(),
         F.round(
@@ -274,7 +275,7 @@ def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_s = F.when(
         F.lag("ts").over(wo).isNull()
         | (
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+            epoch_us("ts") - epoch_us(F.lag("ts").over(wo))
             > 30 * 60 * 1_000_000
         ),
         F.lit(1),
@@ -302,45 +303,143 @@ _EWMA_TAU_US = 3_600_000_000  # 1 hour
 
 @register("ts_ewma_irregular")  # sequential recurrence: not SQL-expressible
 def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Irregular-interval EWMA (τ = 1 h) per series: s_i = α·v_i +
-    (1−α)·s_{i−1}, α = 1 − exp(−Δt/τ). The recurrence is inherently
-    sequential per series, so it runs as an Arrow-batched applyInPandas
-    over event_type groups — the per-series state pattern
-    streaming/stateful.py uses, in batch form. Rows-only entry (no SQL
-    oracle); determinism is pinned by the (ts, event_id) sort."""
+    """Irregular-interval EWMA (τ = 1 h) per series: s_i = α_i·v_i +
+    (1−α_i)·s_{i−1}, α_i = 1 − exp(−Δt_i/τ).
+
+    SEGMENTED SCAN (round-6 re-key; VERDICT r5 #5). The recurrence is
+    linear in the state, so it decomposes exactly: within each
+    (series, day) segment run the loop with incoming state 0 to get
+    ``local_i`` plus the prefix decay product ``P_i = ∏(1−α_j)``; then
+    the true value is ``s_i = local_i + P_i·S_in`` where ``S_in`` is the
+    series state entering the segment. Segment-to-segment chaining
+    ``S_d = L_d + P_d·S_{d−1}`` runs on the tiny per-(series, day)
+    summary (#series × #days rows). Parallelism is therefore
+    #series × #days tasks — 150 at sf0.1, unbounded at the 100 TB
+    design point — instead of the former #series (= 5) ceiling.
+    Rows-only entry (no SQL oracle — driver checks rows); determinism
+    is pinned by the (ts, event_id) sort; the first segment of a series
+    runs the exact original loop (P=0), so single-segment fixtures are
+    bit-identical to the sequential form.
+    """
     import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts", "event_id", "value"
+        "event_type", "ts", "event_id", "value", F.to_date("ts").alias("seg")
     )
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Per-segment metadata: the timestamp of the last sample of the
+    # PREVIOUS segment (drives α of the first in-segment sample) — tiny
+    # relation, broadcast back onto the rows.
+    meta = (
+        ev.groupBy("event_type", "seg")
+        .agg(F.max("ts").alias("seg_last_ts"))
+        .withColumn(
+            "prev_last_ts",
+            F.lag("seg_last_ts").over(
+                W.partitionBy("event_type").orderBy("seg")
+            ),
+        )
+        .drop("seg_last_ts")
+    )
+    rows = ev.join(F.broadcast(meta), ["event_type", "seg"])
+
+    def seg_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         # Arrow hands timestamps to pandas as datetime64[ns]; the decay
         # constant is in microseconds, so convert ns -> us here or Δt/τ
         # runs 1000x hot and the 1-hour constant decays in ~3.6s.
         t_us = pdf["ts"].astype("int64").to_numpy() // 1_000
         v = pdf["value"].to_numpy()
-        out = np.empty(len(v))
-        state = v[0] if len(v) else 0.0
-        prev_t = t_us[0] if len(v) else 0
-        for i in range(len(v)):
-            alpha = 1.0 - float(np.exp(-(t_us[i] - prev_t) / _EWMA_TAU_US))
-            state = alpha * v[i] + (1.0 - alpha) * state
-            out[i] = state
-            prev_t = t_us[i]
+        n = len(v)
+        local = np.empty(n)
+        prefix = np.empty(n)
+        first = pd.isna(pdf["prev_last_ts"].iloc[0])
+        if first:
+            # series head: original loop verbatim (no incoming state)
+            state = v[0]
+            prev_t = t_us[0]
+            p = 0.0  # downstream s_i = local_i + 0·S_in
+            for i in range(n):
+                a = 1.0 - float(np.exp(-(t_us[i] - prev_t) / _EWMA_TAU_US))
+                state = a * v[i] + (1.0 - a) * state
+                local[i] = state
+                prefix[i] = p
+                prev_t = t_us[i]
+        else:
+            state = 0.0
+            p = 1.0
+            prev_t = int(pdf["prev_last_ts"].iloc[0].value) // 1_000
+            for i in range(n):
+                a = 1.0 - float(np.exp(-(t_us[i] - prev_t) / _EWMA_TAU_US))
+                state = a * v[i] + (1.0 - a) * state
+                p *= 1.0 - a
+                local[i] = state
+                prefix[i] = p
+                prev_t = t_us[i]
         return pd.DataFrame(
             {
                 "event_type": pdf["event_type"],
+                "seg": pdf["seg"],
                 "ts": pdf["ts"],
+                "event_id": pdf["event_id"],
                 "value": v,
-                "ewma": np.round(out, 6),
+                "local": local,
+                "prefix": prefix,
             }
         )
 
-    return ev.groupBy("event_type").applyInPandas(
-        ewma, "event_type string, ts timestamp, value double, ewma double"
+    scanned = rows.groupBy("event_type", "seg").applyInPandas(
+        seg_scan,
+        "event_type string, seg date, ts timestamp, event_id long, "
+        "value double, local double, prefix double",
+    )
+    # Pin the scan: both the summary branch and the final join read it;
+    # without this the Python kernel runs twice. At the 100 TB design
+    # point this is a persist-to-storage (or exchange reuse) of one
+    # already-reduced pass over the data.
+    scanned = scanned.localCheckpoint(eager=False)
+
+    # Segment summaries (last row of each segment) → per-series chain
+    # S_d = L_d + P_d·S_{d−1} on #series × #days rows.
+    summary = scanned.groupBy("event_type", "seg").agg(
+        F.max_by(
+            F.struct("local", "prefix"), F.struct("ts", "event_id")
+        ).alias("fin")
+    ).select(
+        "event_type", "seg", F.col("fin.local").alias("L"),
+        F.col("fin.prefix").alias("P"),
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg").reset_index(drop=True)
+        s_in = np.empty(len(pdf))
+        s = 0.0
+        for i in range(len(pdf)):
+            s_in[i] = s
+            s = pdf["L"].iloc[i] + pdf["P"].iloc[i] * s
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "seg": pdf["seg"],
+                "s_in": s_in,
+            }
+        )
+
+    entering = summary.groupBy("event_type").applyInPandas(
+        chain, "event_type string, seg date, s_in double"
+    )
+
+    return (
+        scanned.join(F.broadcast(entering), ["event_type", "seg"])
+        .select(
+            "event_type",
+            "ts",
+            "value",
+            F.round(
+                F.col("local") + F.col("prefix") * F.col("s_in"), 6
+            ).alias("ewma"),
+        )
     )
 
 
@@ -349,39 +448,146 @@ def ts_holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's double exponential smoothing per series (PromQL
     `holt_winters(v[r], sf, tf)` analog): level/trend recurrence
     l_i = α·v_i + (1−α)(l_{i−1}+b_{i−1}), b_i = β(l_i−l_{i−1}) +
-    (1−β)b_{i−1} with α=0.3, β=0.1. Sequential per series → Arrow-batched
-    applyInPandas, (ts, event_id)-sorted for determinism; emits the final
-    smoothed value and one-step forecast per series plus sample count."""
+    (1−β)b_{i−1} with α=0.3, β=0.1.
+
+    SEGMENTED SCAN (round-6 re-key; VERDICT r5 #5). The state
+    s = (level, trend) evolves linearly: s_i = A·s_{i−1} + d·v_i with
+    constant A = [[0.7, 0.7], [−0.03, 0.97]], d = (0.3, 0.03) — derived
+    by substituting the level update into the trend update. So each
+    (series, day) segment computes, in parallel, its local response
+    L = Σ A^{n−k} d v_k (loop with zero incoming state) and its
+    transfer matrix A^n; the per-series chain S_d = L_d + A^{n_d}·S_{d−1}
+    runs on the tiny segment summary. |eig(A)| = √0.7 < 1 so A^n decays —
+    no overflow. The segment holding the series head runs the original
+    init (l=v₀, b=v₁−v₀; note the state after consuming v₁ is exactly
+    (v₁, v₁−v₀), which is how a head split between two segments is
+    re-initialized exactly). Parallelism: #series × #days tasks instead
+    of #series. Rows-only entry; (ts, event_id) sort pins determinism.
+    """
     import numpy as np
     import pandas as pd
 
+    A = ((0.7, 0.7), (-0.03, 0.97))
+
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts", "event_id", "value"
+        "event_type", "ts", "event_id", "value", F.to_date("ts").alias("seg")
     )
 
-    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Per-segment metadata: the series-global start offset of the segment
+    # (cumulative count of earlier segments) and the previous segment's
+    # first value (needed only when the 2-sample init straddles segments).
+    w_series = W.partitionBy("event_type").orderBy("seg")
+    meta = (
+        ev.groupBy("event_type", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("seg_n"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("first_v"),
+        )
+        .select(
+            "event_type",
+            "seg",
+            (
+                F.coalesce(
+                    F.sum("seg_n").over(
+                        w_series.rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("start_off"),
+            F.lag("first_v").over(w_series).alias("prev_first_v"),
+        )
+    )
+    rows = ev.join(F.broadcast(meta), ["event_type", "seg"])
+
+    def seg_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         v = pdf["value"].to_numpy()
-        if len(v) < 2:
-            lvl, trend = (v[0] if len(v) else 0.0), 0.0
-        else:
-            lvl, trend = v[0], v[1] - v[0]
-            for x in v[1:]:
+        n = len(v)
+        start = int(pdf["start_off"].iloc[0])
+
+        def run(lvl: float, trend: float, xs) -> tuple[float, float]:
+            for x in xs:
                 prev = lvl
                 lvl = 0.3 * x + 0.7 * (lvl + trend)
                 trend = 0.1 * (lvl - prev) + 0.9 * trend
+            return lvl, trend
+
+        if start == 0 and n >= 2:
+            # series head entirely in-segment: original init + loop;
+            # exact state, no dependence on incoming state (M = 0).
+            lvl, trend = run(v[0], v[1] - v[0], v[1:])
+            m = np.zeros((2, 2))
+            exact = True
+        elif start == 0:
+            # lone head sample: state is "init pending"; the next
+            # segment re-derives it from (this value, its own first).
+            # Carry v₀ in `lvl` so a single-sample SERIES still yields
+            # the original (level=v₀, trend=0) from the chain kernel.
+            lvl, trend = float(v[0]), 0.0
+            m = np.zeros((2, 2))
+            exact = False
+        elif start == 1:
+            # v₀ lives in the previous segment: state after consuming
+            # this segment's first sample v₁ is exactly (v₁, v₁−v₀).
+            v0 = float(pdf["prev_first_v"].iloc[0])
+            lvl, trend = run(v[0], v[0] - v0, v[1:])
+            m = np.zeros((2, 2))
+            exact = True
+        else:
+            # interior segment: local response with zero incoming state
+            # plus the transfer matrix A^n for the chain fix-up.
+            lvl, trend = run(0.0, 0.0, v)
+            m = np.linalg.matrix_power(np.array(A), n)
+            exact = True
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n_samples": [np.int64(len(v))],
-                "level": [round(float(lvl), 6)],
-                "trend": [round(float(trend), 6)],
-                "forecast_1": [round(float(lvl + trend), 6)],
+                "seg": [pdf["seg"].iloc[0]],
+                "n": [np.int64(n)],
+                "lvl": [float(lvl)],
+                "trend": [float(trend)],
+                "m00": [float(m[0, 0])],
+                "m01": [float(m[0, 1])],
+                "m10": [float(m[1, 0])],
+                "m11": [float(m[1, 1])],
+                "exact": [bool(exact)],
             }
         )
 
-    return ev.groupBy("event_type").applyInPandas(
-        hw,
+    summary = rows.groupBy("event_type", "seg").applyInPandas(
+        seg_scan,
+        "event_type string, seg date, n long, lvl double, trend double, "
+        "m00 double, m01 double, m10 double, m11 double, exact boolean",
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg").reset_index(drop=True)
+        total = int(pdf["n"].sum())
+        if total < 2:
+            # single-sample series: the pending-init row carries v₀ in
+            # `lvl` → original semantics (level=v₀, trend=0).
+            out_lvl = float(pdf["lvl"].iloc[0]) if total else 0.0
+            out_trend = 0.0
+        else:
+            s = np.zeros(2)
+            for r in pdf.itertuples(index=False):
+                if not r.exact:
+                    continue  # pending init — folded into the next row
+                m = np.array([[r.m00, r.m01], [r.m10, r.m11]])
+                s = np.array([r.lvl, r.trend]) + m @ s
+            out_lvl, out_trend = float(s[0]), float(s[1])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_samples": [np.int64(total)],
+                "level": [round(out_lvl, 6)],
+                "trend": [round(out_trend, 6)],
+                "forecast_1": [round(out_lvl + out_trend, 6)],
+            }
+        )
+
+    return summary.groupBy("event_type").applyInPandas(
+        chain,
         "event_type string, n_samples long, level double, "
         "trend double, forecast_1 double",
     )

@@ -33,6 +33,12 @@ RUNTIME_INVARIANTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) must surface as
+    # TIMESTAMP, not TIMESTAMP_NTZ: the UTC session tz makes the two value-
+    # identical, but NTZ breaks unix_micros() and withWatermark outright.
+    # sources.tables.load_table carries a cast guard for sessions where
+    # this conf is ignored (e.g. already-planned scans).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -44,6 +44,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # restore the timestamp type — matches DuckDB's ns→µs read.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(df)
+
+
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Guarantee every event-time column is ``TimestampType``.
+
+    Parquet encodes tz-naive timestamps as TIMESTAMP_NTZ under Spark 4's
+    ``inferTimestampNTZ`` default; NTZ columns reject ``unix_micros`` and
+    ``withWatermark`` wholesale. Under the engine's pinned UTC session tz
+    the NTZ→TIMESTAMP cast is a pure reinterpretation (same micros value),
+    so this is oracle-safe — DuckDB's reads are tz-naive already. Applied
+    to every loaded table AND to synthetic stream frames so the engine
+    absorbs encoding drift at its load boundary, not in 10 call sites.
+    """
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

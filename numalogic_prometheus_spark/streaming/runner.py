@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from numalogic_prometheus_spark.session import pin_session_invariants
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import load_table, normalize_event_time
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,6 +42,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # Absorb TIMESTAMP_NTZ encodings too — withWatermark rejects NTZ.
+    stream = normalize_event_time(stream)
     assert stream.schema == batch.schema, "stream/batch schema drift"
     return stream
 

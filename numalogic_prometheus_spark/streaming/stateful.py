@@ -71,12 +71,16 @@ def stateful_counter_increase(grouped) -> DataFrame:
     monotonicity); rate evaluation was delegated — this owns it on a
     stream.
 
-    State per key = (running cent-sum, last counter value): two longs,
-    so total state is O(#series) — bounded regardless of stream length
-    (asserted in tests/test_streaming_native.py). Assumes per-key
-    in-order delivery within and across batches (rows are sorted per
-    batch; a Kafka source partitioned by series key provides the
-    cross-batch part — the standard counter-stream contract).
+    State per key = ``(running, last_c, has_last)`` — the mod-1000
+    running cent-sum, the last emitted counter value, and a
+    first-sample flag: two longs + a boolean, so total state is
+    O(#series) — bounded regardless of stream length (asserted in
+    tests/test_streaming_native.py). Assumes per-key in-order delivery
+    across batches (the whole micro-batch is materialized and globally
+    sorted below — Arrow may deliver one group's batch as several
+    chunks in shuffle order; a Kafka source partitioned by series key
+    provides the cross-batch part — the standard counter-stream
+    contract).
 
     Emits append-mode per-sample rows ``(event_type, ts, increase)``;
     the very first sample of a series has no delta and is skipped
@@ -95,9 +99,14 @@ def stateful_counter_increase(grouped) -> DataFrame:
         running, last_c, has_last = (
             state.get if state.exists else (0, 0, False)
         )
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Materialize + globally sort the group's whole micro-batch:
+        # applyInPandasWithState may deliver one group as multiple Arrow
+        # chunks in arbitrary (shuffle) order once rows-per-key exceeds
+        # arrow.maxRecordsPerBatch — chaining per-chunk would corrupt
+        # the recurrence. State stays O(#series); the transient frame is
+        # one key's micro-batch, the same bound a shuffle partition has.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             cents = pdf["cents"].to_numpy(dtype="int64")
             # np.fmod keeps sign-of-dividend — Spark/DuckDB `%` semantics;
@@ -114,7 +123,13 @@ def stateful_counter_increase(grouped) -> DataFrame:
                 valid = np.arange(len(c)) > 0
             delta = c - prev
             increase = np.where(delta < 0, c, delta)
-            running = int(running + int(cents.sum()))
+            # Store the REDUCED running sum: for non-negative cents
+            # (events.value >= 0 by construction) fmod(fmod(a,m)+b,m) ==
+            # fmod(a+b,m), so results are bit-identical while state stays
+            # bounded (the raw sum would eventually overflow int64 on a
+            # long-lived stream and silently wrap in numpy). A signed-
+            # counter variant would need floormod on both batch + stream.
+            running = int(np.fmod(running + int(cents.sum()), 1000))
             last_c, has_last = int(c[-1]), True
             out = pd.DataFrame(
                 {

@@ -290,3 +290,99 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in connected_components(edges, reliable=True).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def _seq_ewma(rows, tau_us=3_600_000_000):
+    """Sequential reference for the segmented EWMA (round-6 re-key)."""
+    import math
+
+    out = {}
+    by_series: dict = {}
+    for et, ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_series.setdefault(et, []).append((ts, eid, v))
+    for et, samples in by_series.items():
+        state = samples[0][2]
+        prev_us = int(samples[0][0].timestamp() * 1e6)
+        for ts, eid, v in samples:
+            t_us = int(ts.timestamp() * 1e6)
+            a = 1.0 - math.exp(-(t_us - prev_us) / tau_us)
+            state = a * v + (1.0 - a) * state
+            out[(et, t_us)] = state
+            prev_us = t_us
+    return out
+
+
+def _seq_hw(rows):
+    """Sequential reference for the segmented Holt-Winters."""
+    by_series: dict = {}
+    for et, ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_series.setdefault(et, []).append(v)
+    out = {}
+    for et, v in by_series.items():
+        if len(v) < 2:
+            lvl, trend = (v[0] if v else 0.0), 0.0
+        else:
+            lvl, trend = v[0], v[1] - v[0]
+            for x in v[1:]:
+                p = lvl
+                lvl = 0.3 * x + 0.7 * (lvl + trend)
+                trend = 0.1 * (lvl - p) + 0.9 * trend
+        out[et] = (len(v), round(lvl, 6), round(trend, 6))
+    return out
+
+
+def _recurrence_fixture(spark, tmp_path):
+    """Multi-day fixture exercising every segmentation edge: a dense
+    series chained across 3 days, a series whose head day holds a single
+    sample (init straddles the segment boundary), and a single-sample
+    series."""
+    rows = []
+    # dense: 3 days, irregular gaps
+    for d in range(1, 4):
+        for k in range(8):
+            rows.append(
+                ("dense", _ts(f"2024-01-0{d}T{2 * k:02d}:17:00"),
+                 d * 100 + k, float((d * 7 + k * 3) % 11) + 0.25)
+            )
+    # straddle: day 1 has exactly ONE sample, day 2 has the rest
+    rows.append(("straddle", _ts("2024-01-01T23:50:00"), 1, 5.0))
+    for k in range(5):
+        rows.append(
+            ("straddle", _ts(f"2024-01-02T0{k}:10:00"), 10 + k, 3.0 + k)
+        )
+    # lone: one sample total
+    rows.append(("lone", _ts("2024-01-03T12:00:00"), 99, 42.5))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return rows
+
+
+def test_ewma_segmented_matches_sequential(spark, tmp_path):
+    from numalogic_prometheus_spark.plans.timeseries import ts_ewma_irregular
+
+    rows = _recurrence_fixture(spark, tmp_path)
+    ref = _seq_ewma(rows)
+    got = ts_ewma_irregular(spark, str(tmp_path)).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        t_us = int(r["ts"].timestamp() * 1e6)
+        assert abs(r["ewma"] - round(ref[(r["event_type"], t_us)], 6)) < 1e-6, (
+            r["event_type"], r["ts"])
+
+
+def test_holt_winters_segmented_matches_sequential(spark, tmp_path):
+    from numalogic_prometheus_spark.plans.timeseries import (
+        ts_holt_winters_level_trend,
+    )
+
+    rows = _recurrence_fixture(spark, tmp_path)
+    ref = _seq_hw(rows)
+    got = ts_holt_winters_level_trend(spark, str(tmp_path)).collect()
+    assert {r["event_type"] for r in got} == set(ref)
+    for r in got:
+        n, lvl, trend = ref[r["event_type"]]
+        assert r["n_samples"] == n
+        assert abs(r["level"] - lvl) < 1e-5, r["event_type"]
+        assert abs(r["trend"] - trend) < 1e-5, r["event_type"]
