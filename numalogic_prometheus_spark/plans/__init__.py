@@ -127,7 +127,9 @@ _CHECK_FIRST = (
     "tpch_q14_promo_revenue",
     "ml_seasonal_zscore",
     "ml_conformal_threshold",
-    "agg_window_vectors",
+    # -- round-6 registration: KMV sketch graduated from rows-only to
+    #    oracle-backed this round — ships WITH verification --
+    "agg_hll_mergeable_daily",
 )
 
 

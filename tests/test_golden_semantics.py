@@ -207,32 +207,34 @@ def test_connected_components_chain_and_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
-def test_hll_sketch_estimates_track_exact_counts(spark, sf_dir):
-    """Mergeable-sketch accuracy: every per-day HLL estimate and the
-    sketch-union total must land within 5% of the exact distinct count
-    (HLL_4 lgK=12 standard error ≈ 1.6%)."""
+def test_kmv_sketch_estimates_track_exact_counts(spark, sf_dir):
+    """Mergeable-sketch accuracy (KMV, k=128): below k distinct the
+    sketch is exact (5% bound trivially holds at sf0.001); at sf0.01 the
+    daily cardinalities straddle k so the (k−1)·2^48/h_(k) order-statistic
+    branch is exercised — bound 3σ ≈ 27%, observed ≤ 1.8%."""
     from pyspark.sql import functions as F
 
     from numalogic_prometheus_spark import plans
     from numalogic_prometheus_spark.sources.tables import load_table
 
-    est_rows = plans.all_queries()["agg_hll_mergeable_daily"](
-        spark, sf_dir
-    ).collect()
-    ev = load_table(spark, sf_dir, "events")
-    exact_daily = {
-        r["day"]: r["n"]
-        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    exact_total = ev.select("user_id").distinct().count()
-    assert est_rows
-    for r in est_rows:
-        exact = exact_total if r["day"] is None else exact_daily[r["day"]]
-        assert abs(r["est_users"] - exact) <= max(2, 0.05 * exact), (
-            f"day={r['day']}: est {r['est_users']} vs exact {exact}"
-        )
+    for dir_, tol in ((sf_dir, 0.05), ("/root/testdata/sf0.01", 0.27)):
+        est_rows = plans.all_queries()["agg_hll_mergeable_daily"](
+            spark, dir_
+        ).collect()
+        ev = load_table(spark, dir_, "events")
+        exact_daily = {
+            r["day"]: r["n"]
+            for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        exact_total = ev.select("user_id").distinct().count()
+        assert est_rows
+        for r in est_rows:
+            exact = exact_total if r["day"] is None else exact_daily[r["day"]]
+            assert abs(r["est_users"] - exact) <= max(2, tol * exact), (
+                f"{dir_} day={r['day']}: est {r['est_users']} vs {exact}"
+            )
 
 
 def test_ewma_irregular_time_constant(spark, tmp_path):

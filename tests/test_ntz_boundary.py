@@ -84,3 +84,34 @@ def test_watermark_accepts_loader_output(spark, sf_dir):
     # Raises AnalysisException(EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) if
     # the loader ever leaks NTZ again.
     ev.withWatermark("ts", "1 hour").schema
+
+
+def test_stream_watermark_under_ntz_schema(spark, sf_dir, tmp_path):
+    """Streaming twin of the loader guard: a file stream whose explicit
+    schema types event time as TIMESTAMP_NTZ must still support
+    withWatermark after normalize_event_time — proven end-to-end with a
+    windowed aggregation into a memory sink."""
+    from numalogic_prometheus_spark.streaming.runner import (
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "stream_src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(200).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(src)
+    )
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampNTZType)
+    stream = normalize_event_time(stream)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    assert out.count() > 0

@@ -110,3 +110,84 @@ def test_group_left_and_group_right_exclusive(vectors):
             left, right, lambda l, r: l + r,
             on=("hour",), group_left=True, group_right=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Property: group_right carry-label arity (VERDICT r5 #7). The delegation
+# to the group_left path must hold for ANY number of carried one-side
+# labels — the multi-carry shape was the one matching configuration not
+# yet exercised. Reference semantics computed in plain Python.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_CARRY_POOL = ("load_level", "zone", "owner")
+_KEYS = ("h1", "h2", "h3")
+
+
+@given(
+    n_carry=st.integers(min_value=0, max_value=3),
+    one_keys=st.lists(
+        st.sampled_from(_KEYS), min_size=1, max_size=3, unique=True
+    ),
+    # an instant vector cannot hold two samples with the same label set,
+    # so generate the many side keyed by its full label tuple
+    many_map=st.dictionaries(
+        st.tuples(
+            st.sampled_from(("a", "b", "c")), st.sampled_from(_KEYS)
+        ),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_group_right_carry_arity_property(spark, n_carry, one_keys, many_map):
+    many_rows = [(e, k, v) for (e, k), v in many_map.items()]
+    carry = _CARRY_POOL[:n_carry]
+    # one-side: unique per match key, n_carry extra labels to carry
+    one_data = [
+        tuple([k, float((i + 2) * 10)] + [f"{c}_{k}" for c in carry])
+        for i, k in enumerate(one_keys)
+    ]
+    one_schema = ", ".join(
+        ["hour string", "value double"] + [f"{c} string" for c in carry]
+    )
+    one = spark.createDataFrame(one_data, one_schema)
+    many = spark.createDataFrame(
+        [(e, k, float(v)) for e, k, v in many_rows],
+        "event_type string, hour string, value double",
+    )
+
+    out = vector_binop(
+        one,
+        many,
+        lambda l, r: F.round(l / r, 6),
+        on=("hour",),
+        group_right=True,
+        carry=carry,
+        out="ratio",
+    )
+
+    one_by_key = {row[0]: row for row in one_data}
+    expect = {
+        (e, k): tuple(f"{c}_{k}" for c in carry)
+        + (round(one_by_key[k][1] / v, 6),)
+        for e, k, v in many_rows
+        if k in one_by_key
+    }
+    got = {
+        (r["event_type"], r["hour"]): tuple(r[c] for c in carry)
+        + (r["ratio"],)
+        for r in out.collect()
+    }
+    assert got == expect
+    # output keeps the RIGHT (many-side) label set + carried labels + out
+    assert sorted(out.columns) == sorted(
+        ["event_type", "hour", *carry, "ratio"]
+    )
