@@ -352,31 +352,32 @@ def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_us = pdf["ts"].astype("int64").to_numpy() // 1_000
         v = pdf["value"].to_numpy()
         n = len(v)
-        local = np.empty(n)
-        prefix = np.empty(n)
         first = pd.isna(pdf["prev_last_ts"].iloc[0])
+        prev0 = (
+            t_us[0]
+            if first
+            else int(pdf["prev_last_ts"].iloc[0].value) // 1_000
+        )
+        dt = np.empty(n)
+        dt[0] = t_us[0] - prev0
+        dt[1:] = np.diff(t_us)
+        # Closed-form scan instead of a per-row Python loop: with
+        # a_i = 1−α_i = exp(−Δt_i/τ) and b_i = α_i·v_i,
+        #   s_i = C_i·(S_in + Σ_{j≤i} b_j/C_j),  C_i = ∏_{j≤i} a_j.
+        # C is bounded below by exp(−24h/τ) = e^−24 ≈ 4e−11 because a
+        # segment spans one day — no underflow, and b/C stays ≤ ~1e13,
+        # so the prefix-product form is numerically safe here.
+        a = np.exp(-dt / _EWMA_TAU_US)
+        b = (1.0 - a) * v
+        C = np.cumprod(a)
+        local = C * np.cumsum(b / C)
         if first:
-            # series head: original loop verbatim (no incoming state)
-            state = v[0]
-            prev_t = t_us[0]
-            p = 0.0  # downstream s_i = local_i + 0·S_in
-            for i in range(n):
-                a = 1.0 - float(np.exp(-(t_us[i] - prev_t) / _EWMA_TAU_US))
-                state = a * v[i] + (1.0 - a) * state
-                local[i] = state
-                prefix[i] = p
-                prev_t = t_us[i]
+            # series head: s_0 = v_0 (Δt_0 = 0 ⇒ a_0 = 1, b_0 = 0), so
+            # the incoming state IS v_0 and nothing depends on S_in.
+            local = local + C * v[0]
+            prefix = np.zeros(n)
         else:
-            state = 0.0
-            p = 1.0
-            prev_t = int(pdf["prev_last_ts"].iloc[0].value) // 1_000
-            for i in range(n):
-                a = 1.0 - float(np.exp(-(t_us[i] - prev_t) / _EWMA_TAU_US))
-                state = a * v[i] + (1.0 - a) * state
-                p *= 1.0 - a
-                local[i] = state
-                prefix[i] = p
-                prev_t = t_us[i]
+            prefix = C
         return pd.DataFrame(
             {
                 "event_type": pdf["event_type"],
@@ -499,6 +500,20 @@ def ts_holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = ev.join(F.broadcast(meta), ["event_type", "seg"])
 
+    _HW_BLOCK = 512
+
+    def _tables():
+        # A^j and A^j·d for j = 0.._HW_BLOCK, built once per executor
+        # process and cached on the function object.
+        if not hasattr(_tables, "cache"):
+            ap = np.empty((_HW_BLOCK + 1, 2, 2))
+            ap[0] = np.eye(2)
+            a = np.array(A)
+            for j in range(1, _HW_BLOCK + 1):
+                ap[j] = ap[j - 1] @ a
+            _tables.cache = (ap, ap @ np.array([0.3, 0.03]))
+        return _tables.cache
+
     def seg_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         v = pdf["value"].to_numpy()
@@ -506,11 +521,20 @@ def ts_holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         start = int(pdf["start_off"].iloc[0])
 
         def run(lvl: float, trend: float, xs) -> tuple[float, float]:
-            for x in xs:
-                prev = lvl
-                lvl = 0.3 * x + 0.7 * (lvl + trend)
-                trend = 0.1 * (lvl - prev) + 0.9 * trend
-            return lvl, trend
+            # Blocked matrix-form scan: after a block of length L,
+            #   s ← A^L·s + Σ_{k=1..L} A^{L−k}·d·x_k
+            # where the sum is a dot product against the precomputed
+            # A^j·d table (reversed) — vectorized, |eig(A)| < 1 keeps
+            # every table entry bounded. ~n/512 Python iterations
+            # instead of n.
+            ap, pd_tab = _tables()
+            s = np.array([lvl, trend])
+            xs = np.asarray(xs, dtype="float64")
+            for i in range(0, len(xs), _HW_BLOCK):
+                blk = xs[i:i + _HW_BLOCK]
+                L = len(blk)
+                s = ap[L] @ s + pd_tab[:L].T @ blk[::-1]
+            return float(s[0]), float(s[1])
 
         if start == 0 and n >= 2:
             # series head entirely in-segment: original init + loop;
