@@ -131,7 +131,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH runs AS (
         SELECT o_orderpriority AS model_key,
-               date_trunc('day', o_orderdate) AS trained_at,
+               date_trunc('day', o_orderdate)::TIMESTAMP AS trained_at,
                round(avg(o_totalprice), 4) AS artifact_metric,
                count(*) AS n_samples
         FROM orders

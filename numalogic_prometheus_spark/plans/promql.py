@@ -546,7 +546,10 @@ def promql_bottomk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promql_offset_day_over_day",
     oracle="""
     WITH daily AS (
-        SELECT event_type, date_trunc('day', ts) AS day,
+        -- ::TIMESTAMP: DuckDB's date_trunc('day') yields DATE for µs
+        -- timestamps (it yielded TIMESTAMP_NS under the old ns parquet
+        -- encoding); Spark's date_trunc always yields TIMESTAMP
+        SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
                round(sum(value), 4) AS day_value
         FROM events GROUP BY event_type, date_trunc('day', ts)
     )

@@ -47,7 +47,7 @@ def reaggregate(rollup: DataFrame, bucket: F.Column) -> DataFrame:
 @register(
     "rollup_daily_from_hourly",
     oracle="""
-    SELECT event_type, date_trunc('day', ts) AS bucket,
+    SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
            count(*) AS n,
            min(round(value * 100)::BIGINT)::BIGINT AS min_cents,
@@ -82,7 +82,7 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_monthly_from_hourly",
     oracle="""
-    SELECT event_type, date_trunc('month', ts) AS bucket,
+    SELECT event_type, date_trunc('month', ts)::TIMESTAMP AS bucket,
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
            count(*) AS n,
            min(round(value * 100)::BIGINT)::BIGINT AS min_cents,

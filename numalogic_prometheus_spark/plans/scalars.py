@@ -56,7 +56,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            month(o_orderdate)::INTEGER AS m,
            day(o_orderdate)::INTEGER AS d,
            hour(o_orderdate)::INTEGER AS h,
-           date_trunc('month', o_orderdate) AS month_start,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
            floor(epoch(o_orderdate))::BIGINT AS epoch_sec,
            o_orderdate + INTERVAL 7 DAY AS plus_week
     FROM orders
