@@ -90,3 +90,25 @@ def test_skew_salted_join_salts_only_hot_keys(spark):
         probe, build, "k", "bk", F.col("line"), n_salt=4, hot_threshold=100
     )
     assert out_cold.count() == plain.count()
+
+
+def test_recurrence_segmentation_beats_series_parallelism(spark, sf_dir):
+    """Round-6 re-key (VERDICT r5 #5): the EWMA/Holt-Winters kernels must
+    group by (series, day) — #series × #days tasks — not by series alone
+    (which capped parallelism at ~5 forever). Pin the group-key cardinality
+    the scan stage distributes over."""
+    from pyspark.sql import functions as F
+
+    from numalogic_prometheus_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_series = ev.select("event_type").distinct().count()
+    n_segments = (
+        ev.select("event_type", F.to_date("ts").alias("seg"))
+        .distinct()
+        .count()
+    )
+    assert n_segments > n_series, (n_segments, n_series)
+    # at every SF the fixture spans ~30 days × 5 series ⇒ >32 groups,
+    # enough to fill a full local[32] stage (and scales with data)
+    assert n_segments >= 32, n_segments
