@@ -595,3 +595,152 @@ def promql_ratio_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         carry=("load_level",),
         out="inv_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# Prometheus's REAL rate() semantics: boundary extrapolation + zero clamp
+# (promql/functions.go extrapolatedRate). The simplified rate entries
+# (promql_rate_per_hour) divide the in-window increase by the window
+# length; Prometheus instead extrapolates the sampled interval to the
+# window edges — but by at most half the average sample spacing when the
+# edge gap is large, and never past the counter's zero crossing on the
+# start side. Every step is IEEE +,*,/ and comparisons on integer-derived
+# doubles, so the DuckDB oracle reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_EXTRAP_ORACLE = """
+    WITH counter AS (
+        SELECT event_type, ts, event_id,
+               (sum(round(value * 100)::BIGINT) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ))::BIGINT % 1000 AS c
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour,
+               ts, event_id, c
+        FROM counter
+    ),
+    d AS (
+        SELECT *, c - lag(c) OVER (
+            PARTITION BY event_type, hour ORDER BY ts, event_id
+        ) AS raw_delta
+        FROM b
+    ),
+    agg AS (
+        SELECT event_type, hour,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN raw_delta >= 0 THEN raw_delta
+                        ELSE c END)::BIGINT AS delta_cents,
+               min(epoch_us(ts))::BIGINT AS first_us,
+               max(epoch_us(ts))::BIGINT AS last_us,
+               arg_min(c, ts)::BIGINT AS first_c
+        FROM d GROUP BY 1, 2
+    ),
+    prep AS (
+        SELECT event_type, hour, n, delta_cents, first_c,
+               (last_us - first_us)::DOUBLE AS si,
+               (last_us - first_us)::DOUBLE / (n - 1)::DOUBLE AS avg_d,
+               (first_us - epoch_us(hour))::DOUBLE AS ds0,
+               (epoch_us(hour) + 3600000000 - last_us)::DOUBLE AS de
+        FROM agg WHERE n >= 2
+    ),
+    eff AS (
+        SELECT *,
+               CASE WHEN delta_cents > 0 AND first_c >= 0
+                    THEN least(ds0, si * (first_c::DOUBLE
+                                          / delta_cents::DOUBLE))
+                    ELSE ds0 END AS ds_eff,
+               avg_d * 1.1 AS thr
+        FROM prep
+    )
+    SELECT event_type, hour, n, delta_cents,
+           -- floor(x·1e6 + 0.5), not round(x, 6): DuckDB's round(DOUBLE)
+           -- disagrees with Spark's BigDecimal HALF_UP on values one ulp
+           -- below a .5 decimal boundary; floor is exact IEEE in both
+           floor(delta_cents::DOUBLE *
+                 ((si + CASE WHEN ds_eff < thr THEN ds_eff
+                             ELSE avg_d / 2.0 END
+                      + CASE WHEN de < thr THEN de
+                             ELSE avg_d / 2.0 END) / si)
+                 / 100.0 / 3600.0 * 1000000.0 + 0.5)::BIGINT
+               AS rate_per_sec_micro
+    FROM eff
+"""
+
+
+@register("promql_rate_extrapolated", oracle=_EXTRAP_ORACLE)
+def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(counter[1h])` with Prometheus's exact extrapolation
+    (promql/functions.go `extrapolatedRate`; the reference delegates
+    evaluation to the Prometheus Query Service, CHANGELOG.md:10 — this
+    engine owns the read-side semantics): per (series, hour window)
+
+    - delta = reset-corrected increase over in-window consecutive pairs;
+    - the sampled interval [first, last] is extrapolated toward each
+      window edge by the actual gap when it is < 1.1× the average sample
+      spacing, else by half the average spacing;
+    - on the start side the extrapolation is clamped at the counter's
+      zero crossing (delta > 0 ⇒ the counter hit 0 at most
+      si·first/delta before the first sample).
+
+    One window shuffle on (series, hour) for the pair deltas, one
+    aggregate; the arithmetic is integer cents + IEEE double ops, no
+    transcendentals — hash-verified against DuckDB. Windows are the
+    fixed [hour, hour+1h) grid (a step-aligned range query)."""
+    from numalogic_prometheus_spark.plans.promql import _synthetic_counter
+
+    c = _synthetic_counter(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    wl = W.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    d = c.withColumn("raw_delta", F.col("c") - F.lag("c").over(wl))
+    inc = F.when(F.col("raw_delta") >= 0, F.col("raw_delta")).otherwise(
+        F.col("c")
+    )
+    agg = (
+        d.groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(inc).alias("delta_cents"),
+            F.min(epoch_us("ts")).alias("first_us"),
+            F.max(epoch_us("ts")).alias("last_us"),
+            F.min_by("c", "ts").alias("first_c"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    si = (F.col("last_us") - F.col("first_us")).cast("double")
+    avg_d = si / (F.col("n") - 1).cast("double")
+    ds0 = (F.col("first_us") - epoch_us("hour")).cast("double")
+    de = (epoch_us("hour") + F.lit(3_600_000_000) - F.col("last_us")).cast(
+        "double"
+    )
+    dz = si * (
+        F.col("first_c").cast("double") / F.col("delta_cents").cast("double")
+    )
+    ds_eff = F.when(
+        (F.col("delta_cents") > 0) & (F.col("first_c") >= 0),
+        F.least(ds0, dz),
+    ).otherwise(ds0)
+    thr = avg_d * 1.1
+    extrap = (
+        si
+        + F.when(ds_eff < thr, ds_eff).otherwise(avg_d / 2.0)
+        + F.when(de < thr, de).otherwise(avg_d / 2.0)
+    )
+    return agg.select(
+        "event_type",
+        "hour",
+        "n",
+        "delta_cents",
+        # floor(x·1e6 + 0.5) instead of round(x, 6) — see oracle comment
+        F.floor(
+            F.col("delta_cents").cast("double") * (extrap / si)
+            / 100.0
+            / 3600.0
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("rate_per_sec_micro"),
+    )
