@@ -48,3 +48,30 @@ def write_partitioned(
     partition pruning happens at file-listing time, before any IO.
     Keep cardinality per level ≤ O(10⁴): each value is a directory."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: Sequence[str] | None = None
+) -> None:
+    """Persist ``df`` as ORC — the second columnar interchange format a
+    complete engine must speak (warehouse estates are frequently
+    Hive/ORC). Spark's native vectorized ORC reader gives the same
+    scan properties as parquet: column pruning, predicate pushdown into
+    stripe/row-group indexes, and partition pruning when
+    ``partition_cols`` is set — pinned by tests/test_storage_layout.py."""
+    writer = df.write.mode("overwrite").format("orc")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan twin of the parquet loader — same declarative contract
+    (Catalyst owns pruning/pushdown), normalized through the engine's
+    event-time boundary so downstream operators never see the storage
+    encoding."""
+    from numalogic_prometheus_spark.sources.tables import (
+        normalize_event_time,
+    )
+
+    return normalize_event_time(spark.read.orc(path))

@@ -110,3 +110,37 @@ def test_partition_pruning_scans_only_matching_dirs(spark, sf_dir, tmp_path):
 
     # and still exactly the right rows
     assert pruned.count() == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC source/sink parity: values survive a roundtrip, the scan
+    prunes columns and pushes predicates (vectorized ORC reader), and a
+    partitioned layout prunes partitions."""
+    from pyspark.sql import functions as F
+
+    from numalogic_prometheus_spark.sources.layout import read_orc, write_orc
+    from numalogic_prometheus_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).collect()
+    b = back.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).collect()
+    assert a == b
+
+    q = back.filter(F.col("event_type") == "click").select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0], plan
+    assert "ReadSchema" in plan
+
+    part_path = str(tmp_path / "events_orc_part")
+    write_orc(ev.withColumn("d", F.to_date("ts")), part_path, ["d"])
+    pq = read_orc(spark, part_path).filter(F.col("d") == "2024-01-01")
+    pplan = pq._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan
+    assert pq.count() > 0
