@@ -124,12 +124,15 @@ _CHECK_FIRST = (
     "join_interval_overlap",
     "agg_pricing_summary",
     "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
     "ml_seasonal_zscore",
     "ml_conformal_threshold",
-    # -- round-6 registration: KMV sketch graduated from rows-only to
-    #    oracle-backed this round — ships WITH verification --
+    # (agg_window_vectors — green r1 and exercised inside
+    # pipeline_anomaly_scores — yielded its slot to the round-6 entries)
+    # -- round-6 registrations ship WITH verification: the KMV sketch
+    #    (graduated from rows-only) and the Prometheus-exact
+    #    extrapolated rate --
     "agg_hll_mergeable_daily",
+    "promql_rate_extrapolated",
 )
 
 
