@@ -744,3 +744,97 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_per_sec_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Alerting-rule evaluation with `for`-duration semantics. The reference's
+# whole pipeline exists to feed Prometheus alerting (anomaly scores →
+# alert rules); Prometheus fires an alert only after its condition has
+# held for the rule's `for:` duration. Over a fixed hourly grid that is a
+# consecutive-run (gaps-and-islands) problem: pure integer logic, so the
+# oracle hash-matches.
+# ---------------------------------------------------------------------------
+
+_ALERT_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    eval AS (
+        SELECT event_type, hour,
+               CASE WHEN cents > 40 * n THEN 1 ELSE 0 END AS firing
+        FROM hourly
+    ),
+    runs AS (
+        SELECT event_type, hour, firing,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour)
+               - row_number() OVER (PARTITION BY event_type, firing
+                                    ORDER BY hour) AS island
+        FROM eval
+    ),
+    alerts AS (
+        SELECT event_type, min(hour) AS pending_since,
+               max(hour) AS last_eval, count(*)::BIGINT AS held_for
+        FROM runs WHERE firing = 1
+        GROUP BY event_type, island
+    )
+    SELECT event_type, pending_since,
+           (pending_since + INTERVAL 2 HOUR) AS fired_at,
+           last_eval, held_for
+    FROM alerts WHERE held_for >= 3
+"""
+
+
+@register("promql_alert_firing", oracle=_ALERT_ORACLE)
+def promql_alert_firing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alerting-rule evaluation (`expr ... for: 3h` analog;
+    the reference pipeline's terminal consumer — reference
+    CHANGELOG.md:10 feeds scores to alerting): evaluate `mean value >
+    0.40` per (series, hour), then keep only condition runs that held
+    ≥ 3 consecutive evaluations — the alert transitions pending→firing
+    at the 3rd hour (`fired_at`). Run detection is the gaps-and-islands
+    double-row_number, all integer arithmetic (cents > 40·n avoids the
+    float mean). Two window passes over the tiny hourly relation after
+    one aggregation of the raw samples — at 100 TB the grid relation is
+    #series × #hours regardless of sample volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    eval_ = hourly.select(
+        "event_type",
+        "hour",
+        F.when(F.col("cents") > 40 * F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("firing"),
+    )
+    runs = eval_.withColumn(
+        "island",
+        F.row_number().over(W.partitionBy("event_type").orderBy("hour"))
+        - F.row_number().over(
+            W.partitionBy("event_type", "firing").orderBy("hour")
+        ),
+    )
+    alerts = (
+        runs.filter(F.col("firing") == 1)
+        .groupBy("event_type", "island")
+        .agg(
+            F.min("hour").alias("pending_since"),
+            F.max("hour").alias("last_eval"),
+            F.count(F.lit(1)).alias("held_for"),
+        )
+    )
+    return alerts.filter(F.col("held_for") >= 3).select(
+        "event_type",
+        "pending_since",
+        (F.col("pending_since") + F.expr("INTERVAL 2 HOURS")).alias(
+            "fired_at"
+        ),
+        "last_eval",
+        "held_for",
+    )
