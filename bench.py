@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -58,13 +59,49 @@ HEADLINE = [
     "text_contamination_eval_overlap",  # broadcast eval-leak check
     "ts_ewma_irregular",          # segmented-scan linear recurrence
     "ts_holt_winters_level_trend",    # segmented 2-D recurrence
+    "promql_rate_extrapolated",   # Prometheus-exact rate extrapolation
+    "promql_alert_firing",        # for-duration alert rule evaluation
 ]
+
+
+def _timed_save(spark, df_fn, limit_s: float) -> tuple[str, str]:
+    """Run ``df_fn().write...save()`` in a thread with a wall ceiling.
+    Returns ("ok"|"err"|"timeout", detail). On timeout the Spark jobs
+    are cancelled so the session stays usable for the next query."""
+    result: dict = {}
+
+    def _run():
+        try:
+            df_fn().write.mode("overwrite").format("noop").save()
+            result["ok"] = True
+        except Exception as exc:  # noqa: BLE001
+            result["err"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    th.join(limit_s)
+    if th.is_alive():
+        spark.sparkContext.cancelAllJobs()
+        th.join(30)
+        return "timeout", f"pass exceeded {limit_s:.0f}s (jobs cancelled)"
+    if "err" in result:
+        return "err", result["err"]
+    return "ok", ""
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+    # 12g, NOT 64g: a 64g heap on this VM triggers multi-minute GC/memory
+    # stalls mid-run (observed: hash-heavy stages 40× slower, whole runs
+    # timing out); 12g fits every sf0.1 query with headroom and the full
+    # 36-query set completes in ~38s where the 64g runs died.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
+    # Wall-clock budget: the harness running this prints nothing if we
+    # exceed its timeout, so degrade (fewer warmups/passes) rather than
+    # die. Budget < any plausible external timeout.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
     spark = get_session(app_name="bench")
 
     queries = plans.all_queries()
@@ -84,16 +121,24 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in names:
-            try:
-                queries[name](spark, warm_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-            except Exception:
-                pass  # warmup is best-effort; the timed pass will surface it
+            if time.perf_counter() - t_start > 0.3 * budget_s:
+                break  # keep warmup under 30% of budget
+            # warmup is best-effort; errors/timeouts surface in the
+            # timed pass
+            _timed_save(
+                spark, lambda n=name: queries[n](spark, warm_dir), 20.0
+            )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
+        # hard wall guard: once the budget is spent, stop STARTING
+        # queries — every remaining name still gets an explicit row, and
+        # worst-case wall stays ≈ budget + one pass ceiling + cancel
+        # join, safely inside any external timeout.
+        if time.perf_counter() - t_start > budget_s:
+            errors[name] = "skipped: wall budget exhausted"
+            continue
         # min of N passes: the first pass can absorb JIT/codegen compilation
         # for plan shapes not covered by the warmup; min reflects the
         # steady-state cost of the plan itself. One failing query must not
@@ -106,16 +151,25 @@ def main() -> None:
             # clear BEFORE each pass: queries that self-materialize with
             # .cache()/localCheckpoint must pay their full cost every pass
             spark.catalog.clearCache()
+            # per-pass ceiling: a single hung/contention-stormed query
+            # must not consume the whole run (round 5 shipped NO numbers
+            # for exactly this class of failure). The pass runs in a
+            # thread; on timeout we cancel the Spark jobs and move on.
+            remaining = budget_s - (time.perf_counter() - t_start)
+            pass_limit = max(30.0, min(120.0, remaining))
             start = time.perf_counter()
-            try:
-                queries[name](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-            except Exception as exc:  # noqa: BLE001 — isolate per query
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            status, detail = _timed_save(
+                spark, lambda n=name: queries[n](spark, sf_dir), pass_limit
+            )
+            if status != "ok":
+                errors[name] = detail
                 break
             best = min(best, time.perf_counter() - start)
             done += 1
+            # budget guard: every query gets ≥1 pass; extra (noise-
+            # dodging) passes only while inside 80% of the wall budget
+            if time.perf_counter() - t_start > 0.8 * budget_s:
+                break
             # this host shows sporadic external CPU contention that can
             # inflate a whole min-of-N window 10×; if the best pass still
             # looks contended, buy up to two extra passes to dodge it
@@ -123,6 +177,25 @@ def main() -> None:
                 passes += 1
         if name not in errors:
             timings[name] = round(best, 4)
+
+    # Second chance: pass timeouts here are usually transient external
+    # CPU-contention storms (observed: hash-heavy stages slow 30×+ for
+    # minutes, then recover). If budget remains, retry each timed-out
+    # query once — a storm that has passed turns an error into a number.
+    for name in [n for n, e in errors.items() if "exceeded" in e]:
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < 60:
+            break
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        status, detail = _timed_save(
+            spark,
+            lambda n=name: queries[n](spark, sf_dir),
+            min(120.0, remaining),
+        )
+        if status == "ok":
+            timings[name] = round(time.perf_counter() - start, 4)
+            del errors[name]
 
     out = {
         "metric": "headline_queries_total",
