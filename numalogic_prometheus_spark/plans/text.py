@@ -599,3 +599,119 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = D.connected_components(edges)
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH sigs AS ({_minhash_sig_sql(8)}),
+    banded AS (
+        SELECT doc_id,
+               h0::VARCHAR || '_' || h1::VARCHAR || '_' || h2::VARCHAR || '_'
+               || h3::VARCHAR || '_' || h4::VARCHAR || '_' || h5::VARCHAR
+               || '_' || h6::VARCHAR || '_' || h7::VARCHAR AS band_key
+        FROM sigs
+    ),
+    -- the "index": one canonical (min doc_id) per band bucket — in
+    -- production this tiny relation is precomputed and stored
+    idx AS (
+        SELECT band_key, min(doc_id) AS canon FROM banded GROUP BY band_key
+    ),
+    toksets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   t -> {{hash32}})) AS toks
+        FROM documents
+    ),
+    batch AS (
+        SELECT b.doc_id, i.canon
+        FROM banded b JOIN idx i ON b.band_key = i.band_key
+        WHERE b.doc_id % 5 = 0
+    ),
+    scored AS (
+        SELECT bt.doc_id, bt.canon,
+               CASE WHEN bt.canon < bt.doc_id THEN
+                   len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                   / (len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks)))
+               ELSE NULL END AS jaccard
+        FROM batch bt
+        JOIN toksets ta ON ta.doc_id = bt.doc_id
+        JOIN toksets tb ON tb.doc_id = bt.canon
+    )
+    SELECT doc_id,
+           CASE WHEN jaccard >= 0.7 THEN 'duplicate' ELSE 'new' END
+               AS verdict,
+           CASE WHEN jaccard >= 0.7 THEN canon ELSE NULL END AS dup_of,
+           CASE WHEN jaccard >= 0.7 THEN round(jaccard, 6)
+                ELSE NULL END AS jaccard
+    FROM scored
+    """.replace("{hash32}", hash32_sql("t")),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id % 5 == 0 as a
+    deterministic 20% "new" slice) is checked against the corpus via the
+    per-bucket canonical INDEX, never against the whole corpus. The index
+    (band_key → min doc_id) is the tiny precomputed relation a production
+    pipeline maintains across snapshots; candidates are batch × index on
+    band_key (broadcast — index is ≤ #buckets rows), verified with exact
+    Jaccard against the canonical only. 100 TB shape: new×index work per
+    ingest, not corpus×corpus; the index update (min merge) is itself
+    re-aggregable. Emits one verdict row per batch doc
+    (new / duplicate-of)."""
+    from numalogic_prometheus_spark.functions.hashing import hash32
+
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    tok_arrays = d.select(
+        "doc_id", F.array_distinct(D.tokens_col(F.col("text"))).alias("toks0")
+    ).transform(D.truncate_lineage)
+    feat = tok_arrays.select(
+        "doc_id",
+        D.minhash_signature(F.col("toks0"), k=8).alias("sig"),
+        F.array_distinct(F.transform("toks0", hash32)).alias("toks"),
+    ).transform(D.truncate_lineage)
+    banded = feat.select(
+        "doc_id",
+        F.concat_ws("_", *[F.col("sig")[i] for i in range(8)]).alias(
+            "band_key"
+        ),
+    )
+    idx = banded.groupBy("band_key").agg(F.min("doc_id").alias("canon"))
+    batch = (
+        banded.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(idx), "band_key")
+        .select("doc_id", "canon")
+    )
+    toks = feat.select("doc_id", "toks")
+    scored = (
+        batch.join(
+            toks.select(F.col("doc_id").alias("doc_id"), F.col("toks").alias("__ta")),
+            "doc_id",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("canon"), F.col("toks").alias("__tb")),
+            "canon",
+        )
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("canon") < F.col("doc_id"),
+                F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                / (
+                    F.size("__ta")
+                    + F.size("__tb")
+                    - F.size(F.array_intersect("__ta", "__tb"))
+                ),
+            ),
+        )
+    )
+    dup = F.col("jaccard") >= 0.7
+    return scored.select(
+        "doc_id",
+        F.when(dup, F.lit("duplicate")).otherwise(F.lit("new")).alias(
+            "verdict"
+        ),
+        F.when(dup, F.col("canon")).alias("dup_of"),
+        F.when(dup, F.round("jaccard", 6)).alias("jaccard"),
+    )
