@@ -61,78 +61,80 @@ _MODULES = (
     "text4",
 )
 
-# ROUND-6 ROTATION (VERDICT r5 next-round #3). The driver verifies the
-# first 50 entries of queries(). Round 5's environment drift (events.ts
-# surfaced as TIMESTAMP_NTZ) broke 14 queries; the load-boundary fix in
-# sources/tables.py must now be PROVEN green. This window holds:
-#   * the 9 never-green entries (*_over_time family + subquery — ERR in
-#     their only driver appearance, r5) plus the 5 regressed/broken ones,
-#   * ~7 diverse long-green sentinels,
-#   * a re-green sweep of the timestamp-touching queries — the exact
-#     population at risk from the NTZ→TIMESTAMP normalization (events.ts,
-#     lineitem.l_shipdate, orders.o_orderdate all changed lexical type).
-# After this run every oracle-backed query has ≥1 cumulative green row.
+# ROUND-7 ROTATION (VERDICT r6 next-round #1 and #8). The driver verifies
+# the first 50 entries of queries(). This window holds:
+#   * the 2 round-6 late registrations that missed the r6 check window
+#     (promql_alert_firing, dedup_incremental_batch — registered after
+#     commit 3d5b3d6 froze the window; their first driver rows land here,
+#     closing the registry at 195/195 checked at least once),
+#   * promql_rate_extrapolated — its first-sample delta semantics changed
+#     this round (ADVICE r6 medium: NULL raw_delta no longer contributes
+#     the counter value as a phantom reset; zero-clamp now applied after
+#     the 1.1x-threshold substitution, matching promql/functions.go), so
+#     the green r6 row no longer covers the shipped code,
+#   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
+#     KMV route this round; first hash check,
+#   * ~6 diverse long-green sentinels (same set as r6: a TPC-H, a
+#     curation, an ANN, a streaming twin, a rollup, the counter guard),
+#   * the ~40 stalest entries — everything whose last driver row is from
+#     round 1 or 2 gets re-greened before anything seen more recently.
 _CHECK_FIRST = (
-    # -- never-green (registered r3, ERR r5 — the NTZ victims) --
-    "promql_sum_over_time",
-    "promql_avg_over_time",
-    "promql_min_over_time",
-    "promql_max_over_time",
-    "promql_count_over_time",
-    "promql_stdvar_over_time",
-    "promql_stddev_over_time",
-    "promql_last_over_time",
-    "promql_subquery_max_rate",
-    # -- regressed/broken in r5 (same root cause) --
-    "promql_irate_last_delta",
-    "ts_linear_interpolate",
-    "ts_step_resample",
-    "ts_sessionize_gap",
-    "join_interval_bucketed",
-    # -- green sentinels (diverse families) --
+    # -- the two never-driver-checked round-6 registrations --
+    "promql_alert_firing",
+    "dedup_incremental_batch",
+    # -- semantics changed this round; r6 green row is stale --
+    "promql_rate_extrapolated",
+    # -- graduated rows-only -> oracle-backed this round --
+    "agg_approx_distinct",
+    # -- long-green sentinels (diverse families, same as r6) --
     "counter_monotonic_guard",
     "tpch_q6_forecast_revenue",
     "pipeline_curation_verdicts",
     "vec_ann_tuned_topk",
     "stream_counter_rate",
     "rollup_quantile_sketch_daily",
-    "join_salted_skew",
-    # -- re-green sweep: every previously-green query whose plan reads an
-    #    event-time/date column (regression check on the type change) --
-    "counter_hourly",
-    "gauge_latest_per_user",
-    "ts_ohlc_hourly",
-    "win_sliding_range_1h",
-    "win_lag_rate_reset",
-    "scalar_datetime_funcs",
-    "promql_rate_per_hour",
-    "promql_increase_total",
-    "promql_offset_day_over_day",
-    "promql_predict_linear",
-    "promql_deriv_per_series",
-    "promql_quantile_over_time",
-    "promql_resets_changes",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_topk_event_types",
-    "funnel_view_click_purchase",
-    "scd2_event_type_intervals",
-    "join_asof_last_error",
-    "join_interval_overlap",
-    "agg_pricing_summary",
-    "tpch_q4_order_priority",
-    "ml_seasonal_zscore",
-    "ml_conformal_threshold",
-    # (agg_window_vectors — green r1 and exercised inside
-    # pipeline_anomaly_scores — yielded its slot to the round-6 entries)
-    # -- round-6 registrations ship WITH verification: the KMV sketch
-    #    (graduated from rows-only) and the Prometheus-exact
-    #    extrapolated rate --
-    "agg_hll_mergeable_daily",
-    "promql_rate_extrapolated",
+    # -- stale re-green: last driver row r1 --
+    "agg_conditional_buckets",
+    "agg_cube_flag_status",
+    "agg_distinct_counts",
+    "agg_rollup_region_nation",
+    "agg_stats_moments",
+    "exposition_counter",
+    "exposition_full_registry",
+    "filter_predicates",
+    "histogram_cumulative",
+    "info_latest_per_user",
+    "join_anti_inactive_customers",
+    "join_band_value_tiers",
+    "join_broadcast_enrich",
+    "join_cross_small",
+    "join_fact_fact_revenue",
+    "join_full_outer_keys",
+    "join_left_outer_order_counts",
+    "join_semi_active_customers",
+    "label_merge_right_biased",
+    "project_computed",
+    "promql_histogram_quantile_p90",
+    "promql_label_ops",
+    "promql_topk_users_hourly",
+    "scalar_array_funcs",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_nan_inf_clean",
+    "scalar_string_funcs",
+    "set_union_intersect_except",
+    "sort_global_topk",
+    "summary_by_type",
+    "win_first_last_nth",
+    "win_rank_variants",
+    "win_running_cumulative",
+    "win_topk_per_group",
+    # -- stale re-green: last driver row r2 (diverse picks) --
+    "dedup_minhash_lsh_pairs",
+    "tpch_q3_shipping_priority",
+    "ml_ensemble_unified",
+    "subquery_correlated_max_per_cust",
+    "vec_cosine_topk",
 )
 
 
