@@ -628,13 +628,22 @@ _EXTRAP_ORACLE = """
         FROM b
     ),
     agg AS (
+        -- The first row of each window (raw_delta IS NULL — lag's start)
+        -- contributes 0 to delta: Prometheus sums increases over
+        -- consecutive IN-WINDOW pairs only (ADVICE r6: the old ELSE c
+        -- counted the first sample's level as a phantom reset). first_c
+        -- is read off that same NULL-delta row — the deterministic
+        -- (ts, event_id) window order IS the tie-break, so no arg_min
+        -- nondeterminism under duplicate ts.
         SELECT event_type, hour,
                count(*)::BIGINT AS n,
-               sum(CASE WHEN raw_delta >= 0 THEN raw_delta
+               sum(CASE WHEN raw_delta IS NULL THEN 0
+                        WHEN raw_delta >= 0 THEN raw_delta
                         ELSE c END)::BIGINT AS delta_cents,
                min(epoch_us(ts))::BIGINT AS first_us,
                max(epoch_us(ts))::BIGINT AS last_us,
-               arg_min(c, ts)::BIGINT AS first_c
+               max(CASE WHEN raw_delta IS NULL THEN c END)::BIGINT
+                   AS first_c
         FROM d GROUP BY 1, 2
     ),
     prep AS (
@@ -645,24 +654,32 @@ _EXTRAP_ORACLE = """
                (epoch_us(hour) + 3600000000 - last_us)::DOUBLE AS de
         FROM agg WHERE n >= 2
     ),
+    -- promql/functions.go order: 1.1x-threshold substitution FIRST, then
+    -- the zero-crossing clamp against the SUBSTITUTED start duration
+    -- (ADVICE r6: clamping before substitution diverges when
+    -- ds0 >= thr and avg_d/2 < durationToZero < thr).
+    sub AS (
+        SELECT *,
+               CASE WHEN ds0 >= avg_d * 1.1 THEN avg_d / 2.0
+                    ELSE ds0 END AS ds_sub,
+               CASE WHEN de >= avg_d * 1.1 THEN avg_d / 2.0
+                    ELSE de END AS de_sub
+        FROM prep
+    ),
     eff AS (
         SELECT *,
                CASE WHEN delta_cents > 0 AND first_c >= 0
-                    THEN least(ds0, si * (first_c::DOUBLE
-                                          / delta_cents::DOUBLE))
-                    ELSE ds0 END AS ds_eff,
-               avg_d * 1.1 AS thr
-        FROM prep
+                         AND si * (first_c::DOUBLE / delta_cents::DOUBLE)
+                             < ds_sub
+                    THEN si * (first_c::DOUBLE / delta_cents::DOUBLE)
+                    ELSE ds_sub END AS ds_eff
+        FROM sub
     )
     SELECT event_type, hour, n, delta_cents,
            -- floor(x·1e6 + 0.5), not round(x, 6): DuckDB's round(DOUBLE)
            -- disagrees with Spark's BigDecimal HALF_UP on values one ulp
            -- below a .5 decimal boundary; floor is exact IEEE in both
-           floor(delta_cents::DOUBLE *
-                 ((si + CASE WHEN ds_eff < thr THEN ds_eff
-                             ELSE avg_d / 2.0 END
-                      + CASE WHEN de < thr THEN de
-                             ELSE avg_d / 2.0 END) / si)
+           floor(delta_cents::DOUBLE * ((si + ds_eff + de_sub) / si)
                  / 100.0 / 3600.0 * 1000000.0 + 0.5)::BIGINT
                AS rate_per_sec_micro
     FROM eff
@@ -676,13 +693,16 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation to the Prometheus Query Service, CHANGELOG.md:10 — this
     engine owns the read-side semantics): per (series, hour window)
 
-    - delta = reset-corrected increase over in-window consecutive pairs;
+    - delta = reset-corrected increase over in-window consecutive pairs
+      (the window's first sample contributes 0 — its lag-delta is NULL,
+      not a reset; fixed per ADVICE r6);
     - the sampled interval [first, last] is extrapolated toward each
       window edge by the actual gap when it is < 1.1× the average sample
       spacing, else by half the average spacing;
-    - on the start side the extrapolation is clamped at the counter's
-      zero crossing (delta > 0 ⇒ the counter hit 0 at most
-      si·first/delta before the first sample).
+    - THEN the start-side extrapolation is clamped at the counter's zero
+      crossing (delta > 0 ⇒ the counter hit 0 at most si·first/delta
+      before the first sample) — substitution before clamp, matching
+      promql/functions.go's statement order.
 
     One window shuffle on (series, hour) for the pair deltas, one
     aggregate; the arithmetic is integer cents + IEEE double ops, no
@@ -695,9 +715,13 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wl = W.partitionBy("event_type", "hour").orderBy("ts", "event_id")
     d = c.withColumn("raw_delta", F.col("c") - F.lag("c").over(wl))
-    inc = F.when(F.col("raw_delta") >= 0, F.col("raw_delta")).otherwise(
-        F.col("c")
+    inc = (
+        F.when(F.col("raw_delta").isNull(), F.lit(0))
+        .when(F.col("raw_delta") >= 0, F.col("raw_delta"))
+        .otherwise(F.col("c"))
     )
+    # first_c comes off the NULL-delta row — the window's deterministic
+    # (ts, event_id) order is the tie-break (no min_by nondeterminism).
     agg = (
         d.groupBy("event_type", "hour")
         .agg(
@@ -705,7 +729,9 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(inc).alias("delta_cents"),
             F.min(epoch_us("ts")).alias("first_us"),
             F.max(epoch_us("ts")).alias("last_us"),
-            F.min_by("c", "ts").alias("first_c"),
+            F.max(
+                F.when(F.col("raw_delta").isNull(), F.col("c"))
+            ).alias("first_c"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -715,19 +741,17 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = (epoch_us("hour") + F.lit(3_600_000_000) - F.col("last_us")).cast(
         "double"
     )
+    thr = avg_d * 1.1
+    ds_sub = F.when(ds0 >= thr, avg_d / 2.0).otherwise(ds0)
+    de_sub = F.when(de >= thr, avg_d / 2.0).otherwise(de)
     dz = si * (
         F.col("first_c").cast("double") / F.col("delta_cents").cast("double")
     )
     ds_eff = F.when(
-        (F.col("delta_cents") > 0) & (F.col("first_c") >= 0),
-        F.least(ds0, dz),
-    ).otherwise(ds0)
-    thr = avg_d * 1.1
-    extrap = (
-        si
-        + F.when(ds_eff < thr, ds_eff).otherwise(avg_d / 2.0)
-        + F.when(de < thr, de).otherwise(avg_d / 2.0)
-    )
+        (F.col("delta_cents") > 0) & (F.col("first_c") >= 0) & (dz < ds_sub),
+        dz,
+    ).otherwise(ds_sub)
+    extrap = si + ds_eff + de_sub
     return agg.select(
         "event_type",
         "hour",

@@ -363,21 +363,30 @@ def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt[1:] = np.diff(t_us)
         # Closed-form scan instead of a per-row Python loop: with
         # a_i = 1−α_i = exp(−Δt_i/τ) and b_i = α_i·v_i,
-        #   s_i = C_i·(S_in + Σ_{j≤i} b_j/C_j),  C_i = ∏_{j≤i} a_j.
-        # C is bounded below by exp(−24h/τ) = e^−24 ≈ 4e−11 because a
-        # segment spans one day — no underflow, and b/C stays ≤ ~1e13,
-        # so the prefix-product form is numerically safe here.
-        a = np.exp(-dt / _EWMA_TAU_US)
+        #   s_i = C_i·(s_0 + Σ_{1≤j≤i} b_j/C_j),  C_i = ∏_{1≤j≤i} a_j,
+        # where s_0 = b_0 + a_in·S_in and a_in = exp(−Δt_0/τ) is the
+        # CROSS-SEGMENT decay. a_in is deliberately excluded from the
+        # cumprod (ADVICE r6): Δt_0 spans the gap back to the previous
+        # segment's last sample, which is unbounded — a ~29.5-day gap at
+        # τ=1h would overflow exp(+Δt_0/τ) in the b/C division. Applied
+        # once and never inverted, a_in→0 on a long gap is the CORRECT
+        # fully-decayed state. The in-segment C is bounded below by
+        # exp(−24h/τ) = e^−24 ≈ 4e−11 (a segment spans one day), so b/C
+        # stays ≤ ~1e13 — the prefix-product form is safe.
+        a_in = np.exp(-dt[0] / _EWMA_TAU_US)
+        a = np.ones(n)
+        a[1:] = np.exp(-dt[1:] / _EWMA_TAU_US)
         b = (1.0 - a) * v
-        C = np.cumprod(a)
+        b[0] = (1.0 - a_in) * v[0]
+        C = np.cumprod(a)  # C[0] = 1
         local = C * np.cumsum(b / C)
         if first:
-            # series head: s_0 = v_0 (Δt_0 = 0 ⇒ a_0 = 1, b_0 = 0), so
+            # series head: s_0 = v_0 (Δt_0 = 0 ⇒ a_in = 1, b_0 = 0), so
             # the incoming state IS v_0 and nothing depends on S_in.
             local = local + C * v[0]
             prefix = np.zeros(n)
         else:
-            prefix = C
+            prefix = C * a_in
         return pd.DataFrame(
             {
                 "event_type": pdf["event_type"],

@@ -217,7 +217,16 @@ def test_kmv_sketch_estimates_track_exact_counts(spark, sf_dir):
     from numalogic_prometheus_spark import plans
     from numalogic_prometheus_spark.sources.tables import load_table
 
-    for dir_, tol in ((sf_dir, 0.05), ("/root/testdata/sf0.01", 0.27)):
+    # Derive the sibling sf0.01 dir from the fixture (ADVICE r6: a
+    # hardcoded /root/testdata path errors on hosts without it).
+    import os
+
+    sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    dirs = [(sf_dir, 0.05)]
+    if os.path.isdir(sibling):
+        # order-statistic branch only exercised where cardinality > k
+        dirs.append((sibling, 0.27))
+    for dir_, tol in dirs:
         est_rows = plans.all_queries()["agg_hll_mergeable_daily"](
             spark, dir_
         ).collect()
@@ -388,3 +397,130 @@ def test_holt_winters_segmented_matches_sequential(spark, tmp_path):
         assert r["n_samples"] == n
         assert abs(r["level"] - lvl) < 1e-5, r["event_type"]
         assert abs(r["trend"] - trend) < 1e-5, r["event_type"]
+
+
+# ---------------------------------------------------------------------------
+# Extrapolated rate vs an INDEPENDENT mirror of promql/functions.go
+# (ADVICE r6 medium: oracle and impl shared the first-sample phantom-reset
+# bug, so hash parity alone could not catch it — this mirror is written
+# from the Go source, not from the SQL).
+# ---------------------------------------------------------------------------
+
+
+def _go_extrapolated_rate(samples, range_start_us, range_end_us):
+    """(t_us, c) pairs, ascending → counter rate/sec per functions.go."""
+    if len(samples) < 2:
+        return None
+    delta = 0.0
+    for (_, prev), (_, cur) in zip(samples, samples[1:]):
+        delta += cur - prev if cur >= prev else cur  # reset → level
+    first_t, first_c = samples[0]
+    last_t = samples[-1][0]
+    sampled = float(last_t - first_t)
+    avg_d = sampled / (len(samples) - 1)
+    dur_start = float(first_t - range_start_us)
+    dur_end = float(range_end_us - last_t)
+    thr = avg_d * 1.1
+    if dur_start >= thr:
+        dur_start = avg_d / 2.0
+    if delta > 0 and first_c >= 0:
+        dur_zero = sampled * (first_c / delta)
+        if dur_zero < dur_start:
+            dur_start = dur_zero
+    if dur_end >= thr:
+        dur_end = avg_d / 2.0
+    extrap = sampled + dur_start + dur_end
+    return delta * (extrap / sampled) / (range_end_us - range_start_us) * 1e6
+
+
+def test_extrapolated_rate_matches_go_mirror(spark, tmp_path):
+    from numalogic_prometheus_spark.plans.promql2 import (
+        promql_rate_extrapolated,
+    )
+
+    # Three hour-windows on one series; the synthetic counter is
+    # cumsum(round(value*100)) % 1000 over (ts, event_id).
+    #  h0: first sample's level (500) must NOT count as a reset; one real
+    #      reset (-200) inside the window.
+    #  h1: edge gaps >= 1.1x avg spacing -> half-avg substitution.
+    #  h2: ds0 >= thr AND avg_d/2 < durationToZero < thr — the exact case
+    #      where clamp-before-substitution (the old order) diverges.
+    rows = [
+        ("e", _ts("2024-01-01T00:10:00"), 1, 5.00),   # c=500
+        ("e", _ts("2024-01-01T00:20:00"), 2, 1.00),   # c=600
+        ("e", _ts("2024-01-01T00:30:00"), 3, -2.00),  # c=400 (reset)
+        ("e", _ts("2024-01-01T00:50:00"), 4, 0.50),   # c=450
+        ("e", _ts("2024-01-01T01:40:00"), 5, 0.10),   # c=460
+        ("e", _ts("2024-01-01T01:45:00"), 6, 0.40),   # c=500
+        ("e", _ts("2024-01-01T01:50:00"), 7, 0.60),   # c=560
+        ("e", _ts("2024-01-01T02:30:00"), 8, -5.50),  # c=10
+        ("e", _ts("2024-01-01T02:40:00"), 9, 0.15),   # c=25
+        ("e", _ts("2024-01-01T02:50:00"), 10, 0.15),  # c=40
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["hour"]: r
+        for r in promql_rate_extrapolated(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 3
+
+    # independent mirror over the same synthetic counter, cents scale
+    cum, c_by_id = 0, {}
+    for _, _, eid, v in rows:
+        cum += round(v * 100)
+        c_by_id[eid] = cum % 1000
+    by_hour = {}
+    for _, ts, eid, _ in rows:
+        h = ts.replace(minute=0, second=0)
+        by_hour.setdefault(h, []).append(
+            (int(ts.timestamp() * 1e6), c_by_id[eid])
+        )
+    import math as _m
+
+    for h, samples in by_hour.items():
+        start = int(h.timestamp() * 1e6)
+        rate_cents = _go_extrapolated_rate(samples, start, start + 3_600_000_000)
+        expect_micro = _m.floor(rate_cents / 100.0 * 1e6 + 0.5)
+        assert got[h]["rate_per_sec_micro"] == expect_micro, h
+
+    # and the hand-computed pins (catch a mirror bug too)
+    hours = sorted(got)
+    # h2 under the OLD clamp-before-substitution order would be 153
+    # (ds_eff=min(ds0,dz)=4e8 < thr); functions.go order gives 146.
+    assert [got[h]["rate_per_sec_micro"] for h in hours] == [2292, 417, 146]
+    assert [got[h]["delta_cents"] for h in hours] == [550, 100, 30]
+
+
+def test_ewma_survives_multi_month_series_gap(spark, tmp_path):
+    """ADVICE r6: a cross-segment gap > ~709·τ (~29.5 days at τ=1h) made
+    exp(+Δt_0/τ) overflow inside the prefix-product division and emitted
+    inf/NaN. The decay now enters once, never inverted: after a 90-day
+    silence the state is fully decayed and the new sample dominates."""
+    import math
+
+    from numalogic_prometheus_spark.plans.timeseries import ts_ewma_irregular
+
+    rows = [
+        ("g", _ts("2024-01-01T00:00:00"), 1, 100.0),
+        ("g", _ts("2024-01-01T06:00:00"), 2, 50.0),
+        # 90-day gap — far beyond the exp overflow threshold
+        ("g", _ts("2024-04-01T00:00:00"), 3, 7.0),
+        ("g", _ts("2024-04-01T01:00:00"), 4, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["ts"]: r["ewma"]
+        for r in ts_ewma_irregular(spark, str(tmp_path)).collect()
+    }
+    assert all(math.isfinite(v) for v in out.values()), out
+    # exp(-90d/1h) underflows to exactly 0 -> state resets to the sample
+    assert out[_ts("2024-04-01T00:00:00")] == 7.0
+    alpha = 1.0 - math.exp(-1.0)
+    expect = alpha * 9.0 + (1.0 - alpha) * 7.0
+    assert abs(out[_ts("2024-04-01T01:00:00")] - expect) < 1e-6
