@@ -524,3 +524,38 @@ def test_ewma_survives_multi_month_series_gap(spark, tmp_path):
     alpha = 1.0 - math.exp(-1.0)
     expect = alpha * 9.0 + (1.0 - alpha) * 7.0
     assert abs(out[_ts("2024-04-01T01:00:00")] - expect) < 1e-6
+
+
+def test_holt_winters_tail_truncation_exact(spark, tmp_path):
+    """Round-7 JVM tail-truncation (keep last 1024 rows per segment):
+    a 1100-sample day exercises the truncated interior path — the result
+    must still match the full sequential recurrence because the dropped
+    prefix's influence (0.7^512) underflows to exactly 0.0."""
+    from datetime import timedelta
+
+    rows = []
+    t0 = _ts("2024-01-01T00:00:00")
+    for i in range(1100):  # > _HW_KEEP, all inside one day
+        rows.append(
+            ("big", t0 + timedelta(seconds=60 * i), i, float((i * 7) % 23))
+        )
+    t1 = _ts("2024-01-02T00:00:00")
+    for i in range(50):  # second segment chains off the truncated one
+        rows.append(
+            ("big", t1 + timedelta(seconds=60 * i), 2000 + i, float(i % 5))
+        )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from numalogic_prometheus_spark.plans.timeseries import (
+        ts_holt_winters_level_trend,
+    )
+
+    got = ts_holt_winters_level_trend(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    n, lvl, trend = _seq_hw(rows)["big"]
+    assert got[0]["n_samples"] == n == 1150
+    assert abs(got[0]["level"] - lvl) < 1e-6
+    assert abs(got[0]["trend"] - trend) < 1e-6

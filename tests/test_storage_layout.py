@@ -144,3 +144,31 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
     pplan = pq._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan
     assert pq.count() > 0
+
+
+def test_orc_backed_query_hash_matches_parquet_oracle(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-7 (VERDICT r6 #6): prove the normalize_event_time boundary
+    holds for ORC's timestamp encoding at the QUERY seam, not just the
+    layout API — counter_hourly running off an ORC copy of `events`
+    must hash-match the DuckDB oracle evaluated on the original
+    parquet. ORC round-trips Spark TIMESTAMP as TIMESTAMP_INSTANT;
+    read_orc routes it through the same normalization as parquet, so
+    any encoding drift (the r5 NTZ class) fails here for ORC too."""
+    from numalogic_prometheus_spark import plans
+    from numalogic_prometheus_spark.plans import metrics as metrics_mod
+    from numalogic_prometheus_spark.sources.layout import read_orc, write_orc
+    from tests.oracle_harness import compare, run_oracle
+
+    orc_path = str(tmp_path / "events_orc")
+    write_orc(load_table(spark, sf_dir, "events"), orc_path)
+
+    def orc_load(spark_, dir_, table):
+        assert table == "events"
+        return read_orc(spark_, orc_path)
+
+    monkeypatch.setattr(metrics_mod, "load_table", orc_load)
+    spark_df = plans.all_queries()["counter_hourly"](spark, sf_dir)
+    oracle_df = run_oracle(sf_dir, plans.all_oracles()["counter_hourly"])
+    compare(spark_df, oracle_df, "counter_hourly@orc")
