@@ -210,3 +210,84 @@ def test_cdc_chunks_partition_the_input():
     for (off_a, len_a, _), (off_b, _, _) in zip(chunks, chunks[1:]):
         assert off_b == off_a + len_a
     assert all(c[1] <= 160 for c in chunks)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 JVM EWMA (plans/timeseries.py): the closed-form window-expression
+# scan must equal the sequential recurrence on ARBITRARY irregular series —
+# random timestamps (duplicates allowed, multi-day, series-straddling),
+# random values — not just the curated golden fixtures.
+# ---------------------------------------------------------------------------
+
+_ewma_sample = st.tuples(
+    st.integers(min_value=0, max_value=5 * 86_400),  # offset seconds, 5 days
+    st.floats(min_value=-50.0, max_value=50.0,
+              allow_nan=False, allow_infinity=False),
+)
+
+
+@given(
+    series=st.lists(
+        st.lists(_ewma_sample, min_size=1, max_size=25),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_settings
+def test_ewma_jvm_scan_matches_sequential(spark, series, tmp_path_factory):
+    import math as m
+    from datetime import datetime, timedelta
+
+    from numalogic_prometheus_spark.plans.timeseries import (
+        _EWMA_TAU_US,
+        ts_ewma_irregular,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for si, samples in enumerate(series):
+        for j, (off, v) in enumerate(samples):
+            rows.append(
+                (f"s{si}", base + timedelta(seconds=off), si * 1000 + j, v)
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    path = tmp_path_factory.mktemp("ewma_prop")
+    df.write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    # sequential reference over (ts, event_id) order
+    ref = {}
+    for si, samples in enumerate(series):
+        ordered = sorted(
+            (base + timedelta(seconds=off), si * 1000 + j, v)
+            for j, (off, v) in enumerate(samples)
+        )
+        s, prev_us = None, None
+        for ts, eid, v in ordered:
+            t_us = int(ts.timestamp() * 1e6)
+            if s is None:
+                s = v
+            else:
+                alpha = 1.0 - m.exp(-(t_us - prev_us) / _EWMA_TAU_US)
+                s = alpha * v + (1.0 - alpha) * s
+            prev_us = t_us
+            ref[(f"s{si}", t_us, eid)] = s
+
+    got = ts_ewma_irregular(spark, str(path)).collect()
+    assert len(got) == len(rows)
+    # output keys lack event_id; compare multisets per (series, ts)
+    from collections import defaultdict
+
+    want = defaultdict(list)
+    for (et, t_us, _), s in ref.items():
+        want[(et, t_us)].append(round(s, 6))
+    have = defaultdict(list)
+    for r in got:
+        have[(r["event_type"], int(r["ts"].timestamp() * 1e6))].append(
+            r["ewma"]
+        )
+    for k in want:
+        a, b = sorted(want[k]), sorted(have[k])
+        assert len(a) == len(b), k
+        assert all(abs(x - y) < 2e-6 for x, y in zip(a, b)), (k, a, b)
