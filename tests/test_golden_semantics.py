@@ -559,3 +559,42 @@ def test_holt_winters_tail_truncation_exact(spark, tmp_path):
     assert got[0]["n_samples"] == n == 1150
     assert abs(got[0]["level"] - lvl) < 1e-6
     assert abs(got[0]["trend"] - trend) < 1e-6
+
+
+def test_alert_firing_for_duration_hand_computed(spark, tmp_path):
+    """Independent pin for promql_alert_firing's for-duration semantics
+    (its DuckDB oracle uses the same gaps-and-islands idiom, so parity
+    alone cannot catch a shared off-by-one): hourly firing pattern
+    1,1,0,1,1,1,1,0,1,1 — only the 4-hour run (hours 3-6) reaches the
+    `for: 3h` threshold; it turns firing at its 3rd hour (hour 5)."""
+    from datetime import timedelta
+
+    from numalogic_prometheus_spark.plans.promql2 import promql_alert_firing
+
+    # condition: mean value > 0.40 per (event_type, hour)
+    pattern = [1, 1, 0, 1, 1, 1, 1, 0, 1, 1]
+    rows = []
+    t0 = _ts("2024-01-01T00:00:00")
+    eid = 0
+    for h, firing in enumerate(pattern):
+        for k in range(3):  # 3 samples per hour
+            eid += 1
+            rows.append(
+                (
+                    "svc",
+                    t0 + timedelta(hours=h, minutes=10 * k),
+                    eid,
+                    0.9 if firing else 0.1,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = promql_alert_firing(spark, str(tmp_path)).collect()
+    assert len(got) == 1  # the 2-hour runs never fire
+    r = got[0]
+    assert r["pending_since"] == t0 + timedelta(hours=3)
+    assert r["fired_at"] == t0 + timedelta(hours=5)  # 3rd consecutive hour
+    assert r["last_eval"] == t0 + timedelta(hours=6)
+    assert r["held_for"] == 4
