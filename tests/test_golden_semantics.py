@@ -598,3 +598,43 @@ def test_alert_firing_for_duration_hand_computed(spark, tmp_path):
     assert r["fired_at"] == t0 + timedelta(hours=5)  # 3rd consecutive hour
     assert r["last_eval"] == t0 + timedelta(hours=6)
     assert r["held_for"] == 4
+
+
+def test_incremental_dedup_verdicts_hand_computed(spark, tmp_path):
+    """Independent pin for dedup_incremental_batch (oracle shares the
+    band-index idiom): a crafted corpus where doc 5 is a verbatim copy
+    of doc 1 (same MinHash band -> duplicate-of-1, jaccard 1.0), doc 10
+    shares no tokens with anything (its band bucket is its own -> it IS
+    the canonical, no candidate row with canon < doc_id), and doc 15
+    near-duplicates doc 3 below the 0.7 Jaccard bar -> 'new' verdict if
+    banded together, or no row at all if the signatures differ."""
+    from numalogic_prometheus_spark.plans.text import dedup_incremental_batch
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "pack my box with five dozen liquor jugs right now"),
+        (5, "the quick brown fox jumps over the lazy dog tonight"),
+        (10, "entirely unrelated content about spark physical plans"),
+        (15, "pack my crate with nine dozen cider jugs right here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in dedup_incremental_batch(spark, str(tmp_path)).collect()
+    }
+    # batch slice = doc_id % 5 == 0 -> docs 5, 10, 15
+    assert out[5]["verdict"] == "duplicate"
+    assert out[5]["dup_of"] == 1
+    assert out[5]["jaccard"] == 1.0
+    # doc 10 is its own band canonical: jaccard NULL (canon == doc_id)
+    # -> 'new' with no dup_of
+    assert out[10]["verdict"] == "new"
+    assert out[10]["dup_of"] is None
+    # doc 15: if its band matched doc 3, similarity is far below 0.7 ->
+    # 'new'; if not banded with 3 its bucket is its own -> also 'new'
+    assert out[15]["verdict"] == "new"
+    assert out[15]["dup_of"] is None
