@@ -522,21 +522,27 @@ def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hset = D.shingle_hash_col(
         F.transform(D.tokens_col(F.col("text")), hash32), w=3
     )
-    # Two eager localCheckpoints: higher-order functions evaluate
-    # interpreted (no codegen), so ANY pass over the token arrays costs
-    # real wall time and ProjectCollapse would re-inline the hset
-    # expression into every MinHash seed branch. Checkpoint 1 pins the
-    # hashed shingle sets (one md5 pass + integer window mixing);
-    # checkpoint 2 adds the affine signatures so the band self-join sides
-    # and verify legs read compact ints from executor-local storage.
+    # Two eager localCheckpoints, shaped so the corpus arrays materialize
+    # exactly ONCE: higher-order functions evaluate interpreted (no
+    # codegen), so ANY pass over the token arrays costs real wall time
+    # and ProjectCollapse would re-inline the hset expression into every
+    # MinHash seed branch. Checkpoint 1 pins the hashed shingle sets (one
+    # md5 pass + integer window mixing) and feeds BOTH verify legs;
+    # checkpoint 2 carries only (doc_id, sig) — 4 ints per doc read off
+    # checkpoint 1's blocks — so the band self-join sides scan compact
+    # int rows, not a second copy of the arrays (round 6 checkpointed
+    # hset+sig together; dropping the redundant array re-materialization
+    # measured ~20% off the query's wall at sf0.1 — the dominant cost is
+    # the portable-hash corpus pass itself, which is irreducible while
+    # the oracle must reproduce every hash bit in DuckDB).
     hsets = d.select(
         "doc_id", F.array_distinct(hset).alias("hset")
     ).transform(D.truncate_lineage)
-    feat = hsets.withColumn(
-        "sig", D.minhash_int_signature(F.col("hset"), k=4)
+    sigs = hsets.select(
+        "doc_id", D.minhash_int_signature(F.col("hset"), k=4).alias("sig")
     ).transform(D.truncate_lineage)
-    cands = D.lsh_candidate_pairs(feat, "doc_id", "sig", bands=2, rows=2)
-    scored = D.jaccard_by_sets(cands, feat, "doc_id", "hset")
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=2, rows=2)
+    scored = D.jaccard_by_sets(cands, hsets, "doc_id", "hset")
     return scored.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("shingle_jaccard")
     )
