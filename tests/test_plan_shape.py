@@ -279,3 +279,17 @@ def test_holt_winters_python_input_is_tail_capped(spark, sf_dir):
     p = _plan(spark, sf_dir, "ts_holt_winters_level_trend")
     assert "FlatMapGroupsInPandas" in p  # the seg_scan kernel remains
     assert "1024" in p, "tail-truncation filter missing from the plan"
+
+
+def test_q5_region_prune_sits_below_the_fact_joins(spark, sf_dir):
+    """Q5's ASIA slice must prune customer BEFORE the two fact shuffles
+    (round-7 reorder): in the optimized tree the r_name filter belongs to
+    the customer⋈orders build side, so it prints before the orders date
+    filter. The pre-reorder shape (region joined above the fact joins)
+    printed r_name after the entire fact subtree."""
+    df = QUERIES["tpch_q5_region_volume"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "r_name" in optimized and "o_orderdate" in optimized
+    assert optimized.index("r_name") < optimized.index("o_orderdate"), (
+        "region filter no longer prunes the fact-join input"
+    )
