@@ -118,9 +118,16 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 analog: bilateral trade volume between a nation pair by ship
-    year. nation is joined twice (supplier side, customer side) — both
-    broadcast; customer/supplier broadcast too, so the only shuffle is
-    orders⋈lineitem + the final 4-key agg."""
+    year.
+
+    Both fact sides are pruned to the two pair nations BEFORE the
+    orders⋈lineitem shuffle (round-7 reorder, same rationale as Q5):
+    suppliers and customers are first cut to NATION_1/NATION_2 via the
+    broadcast nation slices, then lineitem and orders each broadcast-join
+    their pruned dim map-side — so the one real exchange carries ~2/25 of
+    each fact instead of every nation's rows with the pair filter applied
+    after. The asymmetric-pair filter (N1→N2 or N2→N1, not N1→N1/N2→N2)
+    stays a map-side filter right after the shuffle join."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -129,20 +136,25 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
-    sn = n.select(
+    pair_names = ("NATION_1", "NATION_2")
+    sn = n.filter(F.col("n_name").isin(*pair_names)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = n.select(
+    cn = n.filter(F.col("n_name").isin(*pair_names)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    s2 = s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    li2 = li.join(F.broadcast(s2), li.l_suppkey == F.col("s_suppkey"))
+    o2 = o.join(F.broadcast(c2), o.o_custkey == F.col("c_custkey"))
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair | rpair)
         .groupBy(
             "supp_nation",
