@@ -293,3 +293,19 @@ def test_q5_region_prune_sits_below_the_fact_joins(spark, sf_dir):
     assert optimized.index("r_name") < optimized.index("o_orderdate"), (
         "region filter no longer prunes the fact-join input"
     )
+
+
+def test_q7_fact_sides_pruned_before_the_shuffle(spark, sf_dir):
+    """Q7's pair-nation prune must sit below the fact join (round-7
+    reorder): the supplier broadcast join belongs to lineitem's subtree
+    of the orders⋈lineitem join, so in the printed optimized tree the
+    o_orderkey join condition appears above (before) the s_suppkey one.
+    The pre-reorder shape joined supplier above the fact join."""
+    df = QUERIES["tpch_q7_nation_volume"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.index("= o_orderkey") < optimized.index("= s_suppkey"), (
+        "supplier prune no longer feeds the fact-join input"
+    )
+    assert optimized.index("= o_orderkey") < optimized.index("= c_custkey"), (
+        "customer prune no longer feeds the fact-join input"
+    )
