@@ -291,3 +291,49 @@ def test_ewma_jvm_scan_matches_sequential(spark, series, tmp_path_factory):
         a, b = sorted(want[k]), sorted(have[k])
         assert len(a) == len(b), k
         assert all(abs(x - y) < 2e-6 for x, y in zip(a, b)), (k, a, b)
+
+
+_inc_doc = st.text(alphabet="xy zw", min_size=5, max_size=30)
+
+
+@given(
+    corpus=st.lists(_inc_doc, min_size=1, max_size=9),
+    split=st.integers(min_value=0, max_value=3),
+)
+@_settings
+def test_incremental_dedup_index_merge_is_reaggregable(spark, corpus, split):
+    """The claim the streaming/batch incremental dedup designs rest on:
+    the band index's min-merge is order-insensitive and idempotent, so
+    per-snapshot merges compose to the same index as one global build —
+    compaction across snapshots can never change verdicts."""
+    from numalogic_prometheus_spark.streaming.incremental_dedup import (
+        featurize_docs,
+        merge_index,
+    )
+
+    rows = [(i, d) for i, d in enumerate(corpus)]
+    k = min(split, len(rows))
+    df_a = spark.createDataFrame(rows[:k], "doc_id bigint, text string")
+    df_b = spark.createDataFrame(rows[k:], "doc_id bigint, text string")
+    empty = spark.createDataFrame(
+        [], "band_key string, canon bigint, toks array<int>"
+    )
+    fa, fb = featurize_docs(df_a), featurize_docs(df_b)
+    fall = featurize_docs(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    )
+
+    def canon_set(idx):
+        return {
+            (r["band_key"], r["canon"], tuple(sorted(r["toks"])))
+            for r in idx.collect()
+        }
+
+    global_build = canon_set(merge_index(empty, fall))
+    a_then_b = canon_set(merge_index(merge_index(empty, fa), fb))
+    b_then_a = canon_set(merge_index(merge_index(empty, fb), fa))
+    assert a_then_b == global_build
+    assert b_then_a == global_build
+    # idempotence: re-merging a snapshot's own rows is a no-op
+    once = merge_index(empty, fall)
+    assert canon_set(merge_index(once, fall)) == global_build
