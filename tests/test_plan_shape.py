@@ -309,3 +309,32 @@ def test_q7_fact_sides_pruned_before_the_shuffle(spark, sf_dir):
     assert optimized.index("= o_orderkey") < optimized.index("= c_custkey"), (
         "customer prune no longer feeds the fact-join input"
     )
+
+
+def test_no_unpushed_filter_above_any_join(spark, sf_dir):
+    """Registry-wide scale lint: no optimized plan may carry a Filter
+    sitting directly above a Join — Catalyst pushes one-sided predicates
+    below the join, so a surviving Filter-over-Join is either a missed
+    early-prune (the Q5/Q7 class fixed in round 7) or an inherently
+    two-sided predicate, which must be allowlisted here with its reason.
+    Plan-build only (no execution): ~2 min for all 195 queries."""
+    import re
+
+    # predicates that genuinely reference both join sides
+    allow = {
+        # left-anti survivor filter on an outer join: isnull(probe id)
+        # OR canonical==self — two-sided by construction
+        "dedup_semantic_survivors",
+    }
+    flagged = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"[+:]- Filter ", ln) and i + 1 < len(lines) and re.search(
+                r"[+:]- Join", lines[i + 1]
+            ):
+                flagged.setdefault(name, ln.strip()[:120])
+    unexpected = {n: v for n, v in flagged.items() if n not in allow}
+    assert not unexpected, f"unpushed filters above joins: {unexpected}"
