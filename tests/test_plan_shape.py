@@ -311,13 +311,20 @@ def test_q7_fact_sides_pruned_before_the_shuffle(spark, sf_dir):
     )
 
 
-def test_no_unpushed_filter_above_any_join(spark, sf_dir):
-    """Registry-wide scale lint: no optimized plan may carry a Filter
-    sitting directly above a Join — Catalyst pushes one-sided predicates
-    below the join, so a surviving Filter-over-Join is either a missed
-    early-prune (the Q5/Q7 class fixed in round 7) or an inherently
-    two-sided predicate, which must be allowlisted here with its reason.
-    Plan-build only (no execution): ~2 min for all 195 queries."""
+def test_registry_wide_join_lint(spark, sf_dir):
+    """Registry-wide scale lint over every optimized plan, one sweep
+    (~2 min, plan-build only — no execution):
+
+    1. No Filter directly above a Join — Catalyst pushes one-sided
+       predicates below the join, so a surviving Filter-over-Join is
+       either a missed early-prune (the Q5/Q7 class fixed in round 7) or
+       an inherently two-sided predicate, which must be allowlisted with
+       its reason.
+    2. Every cross join carries a broadcast hint on one side — the
+       repo-wide invariant that cross joins only ever pair a relation
+       with a BOUNDED (scalar-aggregate / query-set / band-constant)
+       side; an unhinted Join Cross would shuffle-nest two unbounded
+       relations at scale."""
     import re
 
     # predicates that genuinely reference both join sides
@@ -326,7 +333,8 @@ def test_no_unpushed_filter_above_any_join(spark, sf_dir):
         # OR canonical==self — two-sided by construction
         "dedup_semantic_survivors",
     }
-    flagged = {}
+    late_filters = {}
+    unbounded_cross = {}
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
@@ -335,6 +343,9 @@ def test_no_unpushed_filter_above_any_join(spark, sf_dir):
             if re.search(r"[+:]- Filter ", ln) and i + 1 < len(lines) and re.search(
                 r"[+:]- Join", lines[i + 1]
             ):
-                flagged.setdefault(name, ln.strip()[:120])
-    unexpected = {n: v for n, v in flagged.items() if n not in allow}
+                late_filters.setdefault(name, ln.strip()[:120])
+            if re.search(r"[+:]- Join Cross", ln) and "strategy=broadcast" not in ln:
+                unbounded_cross.setdefault(name, ln.strip()[:120])
+    unexpected = {n: v for n, v in late_filters.items() if n not in allow}
     assert not unexpected, f"unpushed filters above joins: {unexpected}"
+    assert not unbounded_cross, f"cross joins without a broadcast-bounded side: {unbounded_cross}"
