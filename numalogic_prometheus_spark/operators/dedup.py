@@ -91,6 +91,37 @@ def minhash_signature(items: Column, k: int = 8) -> Column:
     )
 
 
+def minhash_band_features(docs: DataFrame, k: int = 8, cut: bool = True) -> DataFrame:
+    """(doc_id, text) → (doc_id, sig, toks): the shared featurization for
+    the incremental-dedup family — the batch registry entry
+    (plans/text.py dedup_incremental_batch) and the streaming sink
+    (streaming/incremental_dedup.py) both call THIS, so the tokenizer,
+    hash, and k can never drift apart between the two.
+
+    Two-stage lineage cuts (``cut=True``, the batch default): stage 1
+    pins the distinct-token arrays so minhash_signature's k seed branches
+    read a bound column instead of re-running the split; stage 2 pins the
+    compact (sig, toks) feature row. Streaming micro-batches pass
+    ``cut=False`` and checkpoint once themselves."""
+    tok_arrays = docs.select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks0")
+    )
+    if cut:
+        tok_arrays = truncate_lineage(tok_arrays)
+    feat = tok_arrays.select(
+        "doc_id",
+        minhash_signature(F.col("toks0"), k=k).alias("sig"),
+        F.array_distinct(F.transform("toks0", hash32)).alias("toks"),
+    )
+    return truncate_lineage(feat) if cut else feat
+
+
+def single_band_key(sig_col: Column, k: int = 8) -> Column:
+    """The one-band LSH bucket key: all k signature entries joined — the
+    blocking key of the incremental-dedup index."""
+    return F.concat_ws("_", *[sig_col[i] for i in range(k)])
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, sig_col: str, bands: int = 4, rows: int = 2
 ) -> DataFrame:

@@ -279,10 +279,12 @@ def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Guarded cross join (A10 family × bucket expansion): both sides tiny
-    by construction."""
+    by construction — the catalog dim side is broadcast EXPLICITLY so the
+    boundedness is a plan property (registry-wide cross-join lint), not a
+    size estimate."""
     r = load_table(spark, sf_dir, "region")
     t = load_table(spark, sf_dir, "events").select("event_type").distinct()
-    return r.select("r_name").crossJoin(t)
+    return F.broadcast(r.select("r_name")).crossJoin(t)
 
 
 @register(

@@ -666,22 +666,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest, not corpus×corpus; the index update (min merge) is itself
     re-aggregable. Emits one verdict row per batch doc
     (new / duplicate-of)."""
-    from numalogic_prometheus_spark.functions.hashing import hash32
-
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    tok_arrays = d.select(
-        "doc_id", F.array_distinct(D.tokens_col(F.col("text"))).alias("toks0")
-    ).transform(D.truncate_lineage)
-    feat = tok_arrays.select(
-        "doc_id",
-        D.minhash_signature(F.col("toks0"), k=8).alias("sig"),
-        F.array_distinct(F.transform("toks0", hash32)).alias("toks"),
-    ).transform(D.truncate_lineage)
+    # Shared featurization (operators/dedup.py minhash_band_features):
+    # the streaming sink uses the same function, so k/tokenizer/hash
+    # cannot drift between the batch and streaming verdicts.
+    feat = D.minhash_band_features(d, k=8)
     banded = feat.select(
-        "doc_id",
-        F.concat_ws("_", *[F.col("sig")[i] for i in range(8)]).alias(
-            "band_key"
-        ),
+        "doc_id", D.single_band_key(F.col("sig"), k=8).alias("band_key")
     )
     idx = banded.groupBy("band_key").agg(F.min("doc_id").alias("canon"))
     batch = (

@@ -339,12 +339,15 @@ def test_registry_wide_join_lint(spark, sf_dir):
         df = fn(spark, sf_dir)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         lines = opt.splitlines()
+        # `(^|[+:]- )` also matches the tree ROOT, which prints with no
+        # child prefix — a plan ending in Filter-over-Join must not slip
+        # through just because the Filter is the top operator
         for i, ln in enumerate(lines):
-            if re.search(r"[+:]- Filter ", ln) and i + 1 < len(lines) and re.search(
-                r"[+:]- Join", lines[i + 1]
-            ):
+            if re.search(r"(^|[+:]- )Filter ", ln) and i + 1 < len(
+                lines
+            ) and re.search(r"(^|[+:]- )Join", lines[i + 1]):
                 late_filters.setdefault(name, ln.strip()[:120])
-            if re.search(r"[+:]- Join Cross", ln) and "strategy=broadcast" not in ln:
+            if re.search(r"(^|[+:]- )Join Cross", ln) and "strategy=broadcast" not in ln:
                 unbounded_cross.setdefault(name, ln.strip()[:120])
     unexpected = {n: v for n, v in late_filters.items() if n not in allow}
     assert not unexpected, f"unpushed filters above joins: {unexpected}"

@@ -122,8 +122,9 @@ def test_index_snapshots_are_min_merged(spark, tmp_path):
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """Re-delivering the last committed batch (the recovery case: sink
     committed, source offset didn't) rewrites the same verdicts and the
-    same snapshot — read_index returns the batch's own snapshot and the
-    min-merge is idempotent over it."""
+    same snapshot — the sink reads the newest snapshot with id strictly
+    below its batch_id, so the replay consumes exactly what the first
+    delivery consumed, never its own output."""
     index_dir, verdict_dir = _run_stream(spark, tmp_path)
     before = _verdict_map(spark, verdict_dir)
     snap2 = {
@@ -160,3 +161,52 @@ def test_batch_verdicts_agrees_with_empty_index_bootstrap(spark):
     assert got == {5: ("new", None), 7: ("duplicate", 5), 8: ("new", None)}
     merged = merge_index(empty, feat)
     assert {r["canon"] for r in merged.collect()} == {5, 8}
+
+
+def test_out_of_order_smaller_id_still_reported_duplicate(spark, tmp_path):
+    """Dedup-of-seen: content indexed under canon 10 arriving again as
+    doc 5 (smaller id) must be reported duplicate-of-10 — the pre-merge
+    index wins the probe even though the min-merge then crowns 5 as the
+    band's canon for future batches."""
+    index_dir = str(tmp_path / "idx")
+    verdict_dir = str(tmp_path / "out")
+    sink = make_incremental_dedup_sink(index_dir, verdict_dir)
+    sink(spark.createDataFrame([(10, A)], "doc_id bigint, text string"), 0)
+    sink(spark.createDataFrame([(5, A)], "doc_id bigint, text string"), 1)
+    rows = {
+        r["doc_id"]: (r["verdict"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert rows[10] == ("new", None, None)
+    assert rows[5] == ("duplicate", 10, 1.0)
+    # index min-merge crowned the smaller id for future probes
+    assert {r["canon"] for r in read_index(spark, index_dir).collect()} == {5}
+    # and the replayed batch 1 still re-derives the identical verdict
+    sink(spark.createDataFrame([(5, A)], "doc_id bigint, text string"), 1)
+    rows2 = {
+        r["doc_id"]: (r["verdict"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert rows2 == rows
+
+
+def test_crashed_snapshot_without_success_marker_is_skipped(spark, tmp_path):
+    """A snap dir missing _SUCCESS (crash mid-write) must not become the
+    authoritative index: read_index falls back to the last committed
+    snapshot, and the next trigger rebuilds on top of it."""
+    index_dir = str(tmp_path / "idx")
+    verdict_dir = str(tmp_path / "out")
+    sink = make_incremental_dedup_sink(index_dir, verdict_dir)
+    sink(spark.createDataFrame([(1, A)], "doc_id bigint, text string"), 0)
+    # simulate a crashed snap=1: directory exists, no _SUCCESS
+    os.makedirs(os.path.join(index_dir, "snap=1"))
+    assert {r["canon"] for r in read_index(spark, index_dir).collect()} == {1}
+    # next delivery (the re-run of batch 1) reads snap=0 and commits over
+    # the partial dir
+    sink(spark.createDataFrame([(7, A)], "doc_id bigint, text string"), 1)
+    rows = {
+        r["doc_id"]: (r["verdict"], r["dup_of"])
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert rows[7] == ("duplicate", 1)
+    assert os.path.exists(os.path.join(index_dir, "snap=1", "_SUCCESS"))
