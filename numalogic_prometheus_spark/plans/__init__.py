@@ -74,10 +74,16 @@ _MODULES = (
 #     the green r6 row no longer covers the shipped code,
 #   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
 #     KMV route this round; first hash check,
+#   * 3 queries whose PLANS changed late in round 7 (Q5/Q7 early
+#     fact-prune reorder, shingle dedup single-materialization) — values
+#     verified locally at sf0.001+sf0.01, but their cumulative green
+#     rows predate the shipped plans, so they re-green here (displacing
+#     scalar_math_funcs, win_rank_variants, join_left_outer_order_counts
+#     to the round-8 stale pool — their families stay represented),
 #   * ~6 diverse long-green sentinels (same set as r6: a TPC-H, a
 #     curation, an ANN, a streaming twin, a rollup, the counter guard),
-#   * the ~40 stalest entries — everything whose last driver row is from
-#     round 1 or 2 gets re-greened before anything seen more recently.
+#   * the ~37 stalest entries — the rest of the round-1/2 pool gets
+#     re-greened before anything seen more recently.
 _CHECK_FIRST = (
     # -- the two never-driver-checked round-6 registrations --
     "promql_alert_firing",
@@ -86,6 +92,12 @@ _CHECK_FIRST = (
     "promql_rate_extrapolated",
     # -- graduated rows-only -> oracle-backed this round --
     "agg_approx_distinct",
+    # -- plan changed this round (values verified locally at two SFs,
+    # but the cumulative green rows predate the shipped plans): Q5/Q7
+    # early fact-prune reorder, shingle dedup single-materialization --
+    "tpch_q5_region_volume",
+    "tpch_q7_nation_volume",
+    "dedup_shingle_minhash_pairs",
     # -- long-green sentinels (diverse families, same as r6) --
     "counter_monotonic_guard",
     "tpch_q6_forecast_revenue",
@@ -110,7 +122,6 @@ _CHECK_FIRST = (
     "join_cross_small",
     "join_fact_fact_revenue",
     "join_full_outer_keys",
-    "join_left_outer_order_counts",
     "join_semi_active_customers",
     "label_merge_right_biased",
     "project_computed",
@@ -119,14 +130,12 @@ _CHECK_FIRST = (
     "promql_topk_users_hourly",
     "scalar_array_funcs",
     "scalar_json_extract",
-    "scalar_math_funcs",
     "scalar_nan_inf_clean",
     "scalar_string_funcs",
     "set_union_intersect_except",
     "sort_global_topk",
     "summary_by_type",
     "win_first_last_nth",
-    "win_rank_variants",
     "win_running_cumulative",
     "win_topk_per_group",
     # -- stale re-green: last driver row r2 (diverse picks) --
