@@ -59,6 +59,7 @@ _MODULES = (
     "quality",
     "vectors3",
     "text4",
+    "promql3",
 )
 
 # ROUND-7 ROTATION (VERDICT r6 next-round #1 and #8). The driver verifies
@@ -74,6 +75,11 @@ _MODULES = (
 #     the green r6 row no longer covers the shipped code,
 #   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
 #     KMV route this round; first hash check,
+#   * the 3 queries REGISTERED this round (present/absent/mad_over_time,
+#     plans/promql3.py) — in-window from day one so no entry ever again
+#     ships without a driver row (displacing join_cross_small,
+#     scalar_string_funcs, win_first_last_nth to the round-8 stale pool;
+#     their families stay represented in-window),
 #   * 3 queries whose PLANS changed late in round 7 (Q5/Q7 early
 #     fact-prune reorder, shingle dedup single-materialization) — values
 #     verified locally at sf0.001+sf0.01, but their cumulative green
@@ -92,6 +98,11 @@ _CHECK_FIRST = (
     "promql_rate_extrapolated",
     # -- graduated rows-only -> oracle-backed this round --
     "agg_approx_distinct",
+    # -- new round-7 registrations (inside the window from day one, per
+    # VERDICT r6 #1: no entry ships without a driver row again) --
+    "promql_present_over_time",
+    "promql_absent_over_time",
+    "promql_mad_over_time",
     # -- plan changed this round (values verified locally at two SFs,
     # but the cumulative green rows predate the shipped plans): Q5/Q7
     # early fact-prune reorder, shingle dedup single-materialization --
@@ -119,7 +130,6 @@ _CHECK_FIRST = (
     "join_anti_inactive_customers",
     "join_band_value_tiers",
     "join_broadcast_enrich",
-    "join_cross_small",
     "join_fact_fact_revenue",
     "join_full_outer_keys",
     "join_semi_active_customers",
@@ -131,11 +141,9 @@ _CHECK_FIRST = (
     "scalar_array_funcs",
     "scalar_json_extract",
     "scalar_nan_inf_clean",
-    "scalar_string_funcs",
     "set_union_intersect_except",
     "sort_global_topk",
     "summary_by_type",
-    "win_first_last_nth",
     "win_running_cumulative",
     "win_topk_per_group",
     # -- stale re-green: last driver row r2 (diverse picks) --

@@ -1,0 +1,234 @@
+"""PromQL read-side operators, round 7: the remaining `*_over_time`
+range functions — `present_over_time` / `absent_over_time` (the liveness
+primitives alerting rules poll; PromQL since v2.29) and `mad_over_time`
+(median absolute deviation — the robust-dispersion twin of
+`stddev_over_time`). The reference delegates all PromQL evaluation to
+the Prometheus Query Service (reference CHANGELOG.md:10 #168); this
+engine owns those semantics over the canonical samples relation.
+
+Scale notes (100 TB design points):
+
+* Presence evaluates on a 15-min step grid with a 1h lookback. Instead
+  of a grid×samples range join (shuffle grows with lookback width), each
+  sample is exploded map-side to the exactly-4 grid points whose
+  trailing-1h window contains it, then reduced by DISTINCT — one
+  exchange keyed by (series, grid point). The grid spine itself is an
+  aggregate-derived sequence (#grid points × #series rows), broadcast.
+* `absent_over_time` is the grid anti-join against that covered set —
+  the same shape as `promql_absent_series`, one shuffle on the grid key.
+* MAD's nested median cannot be one window pass (the inner median is
+  anchor-specific), so the per-anchor deviation multiset is rebuilt via
+  the bucketed band self-join idiom (equi-join on (series, 1h bucket) ∈
+  {b−1, b}, then the exact range filter): join fan-out is bounded by
+  samples-per-hour per series, never corpus². All medians run over
+  integer cents, so every interpolated midpoint lands on the exact
+  quarter-cent grid and the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+_GRID_US = 900_000_000  # 15-min evaluation step
+_LOOK_US = 3_600_000_000  # 1h lookback window
+_LOOK_STEPS = _LOOK_US // _GRID_US  # 4 grid points per sample
+
+
+def _covered(ev: DataFrame) -> DataFrame:
+    """(event_type, k) grid points whose trailing-1h window holds ≥1
+    sample. A sample at ts covers evaluation points t with
+    t−1h < ts ≤ t; on the 15-min grid that is exactly the 4 points
+    k0 .. k0+3 with k0 = ceil(ts / 15min) — a map-side ×4 explode, then
+    one DISTINCT exchange on (series, point)."""
+    k0 = F.expr(
+        f"({epoch_us_sql('ts')} + {_GRID_US - 1}) div {_GRID_US}"
+    ).alias("k0")
+    return (
+        ev.select("event_type", k0)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("k0"), F.col("k0") + (_LOOK_STEPS - 1))
+            ).alias("k"),
+        )
+        .distinct()
+    )
+
+
+_PRESENT_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type,
+               (epoch_us(ts) + {_GRID_US - 1}) // {_GRID_US} AS k0
+        FROM events
+    ),
+    cov AS (
+        SELECT DISTINCT event_type, k0 + g.i AS k
+        FROM s CROSS JOIN generate_series(0, {_LOOK_STEPS - 1}) AS g(i)
+    )
+    SELECT event_type, (k * {_GRID_US})::BIGINT AS eval_us,
+           1::BIGINT AS present
+    FROM cov
+"""
+
+
+@register("promql_present_over_time", oracle=_PRESENT_ORACLE)
+def promql_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `present_over_time(m[1h])` analog on a 15-min evaluation
+    grid: emit 1 for every (series, eval point) whose trailing 1h
+    contains at least one sample. See module docstring for the
+    explode-not-range-join scale argument."""
+    ev = load_table(spark, sf_dir, "events")
+    return _covered(ev).select(
+        "event_type",
+        (F.col("k") * _GRID_US).cast("long").alias("eval_us"),
+        F.lit(1).cast("long").alias("present"),
+    )
+
+
+_ABSENT_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type,
+               (epoch_us(ts) + {_GRID_US - 1}) // {_GRID_US} AS k0
+        FROM events
+    ),
+    cov AS (
+        SELECT DISTINCT event_type, k0 + g.i AS k
+        FROM s CROSS JOIN generate_series(0, {_LOOK_STEPS - 1}) AS g(i)
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(k0) FROM s),
+                                      (SELECT max(k0) + {_LOOK_STEPS - 1}
+                                       FROM s))) AS k
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, (sp.k * {_GRID_US})::BIGINT AS eval_us,
+           1::BIGINT AS absent
+    FROM spine sp CROSS JOIN types t
+    LEFT JOIN cov c ON c.event_type = t.event_type AND c.k = sp.k
+    WHERE c.k IS NULL
+"""
+
+
+@register("promql_absent_over_time", oracle=_ABSENT_ORACLE)
+def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `absent_over_time(m[1h])` analog: emit 1 for every
+    (series, 15-min eval point) whose trailing 1h holds NO sample — the
+    dead-series alerting primitive, complementing
+    `promql_present_over_time` over the full evaluation spine. The
+    spine (one sequence row per grid point, from a global min/max
+    aggregate) and the series dim both broadcast; the anti-join against
+    the covered set is the only exchange that scales with data."""
+    ev = load_table(spark, sf_dir, "events")
+    k0 = F.expr(f"({epoch_us_sql('ts')} + {_GRID_US - 1}) div {_GRID_US}")
+    bounds = ev.agg(
+        F.min(k0).alias("k_lo"),
+        (F.max(k0) + (_LOOK_STEPS - 1)).alias("k_hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("k_lo", "k_hi")).alias("k")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(spine).crossJoin(F.broadcast(types))
+    return grid.join(_covered(ev), ["event_type", "k"], "left_anti").select(
+        "event_type",
+        (F.col("k") * _GRID_US).cast("long").alias("eval_us"),
+        F.lit(1).cast("long").alias("absent"),
+    )
+
+
+_MAD_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               round(value * 100)::BIGINT AS c
+        FROM events
+    ),
+    a AS (
+        SELECT event_type, event_id, us, c,
+               quantile_cont(c, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY us
+                   RANGE BETWEEN {_LOOK_US} PRECEDING AND CURRENT ROW
+               ) AS med_c
+        FROM c
+    )
+    SELECT a.event_type, a.event_id,
+           round(quantile_cont(abs(b.c - a.med_c), 0.5) / 100.0, 6)
+               AS mad_1h
+    FROM a JOIN c b
+      ON b.event_type = a.event_type
+     AND b.us BETWEEN a.us - {_LOOK_US} AND a.us
+    GROUP BY a.event_type, a.event_id
+"""
+
+
+@register("promql_mad_over_time", oracle=_MAD_ORACLE)
+def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `mad_over_time(m[1h])` analog: per-sample trailing-1h
+    median absolute deviation. Pass 1 computes the in-window median per
+    anchor as a RANGE-framed exact percentile over integer cents (both
+    engines interpolate (n−1)·φ linearly, so even-count midpoints land
+    on the exact half-cent grid). Pass 2 rebuilds each anchor's
+    deviation multiset with the bucketed band self-join (anchors
+    exploded ×2 to their own and previous 1h bucket, equi-join on
+    (series, bucket), exact range filter) and takes the outer median —
+    every intermediate is a quarter-cent-grid double, so no rounding
+    occurs before the final /100. Same-timestamp samples are RANGE-frame
+    peers in both engines and both sides of the self-join, so duplicates
+    need no dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        cents.alias("c"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-_LOOK_US, 0)
+    )
+    anchors = base.select(
+        "event_type",
+        "event_id",
+        "us",
+        F.percentile("c", F.lit(0.5)).over(w).alias("med_c"),
+        F.expr(f"us div {_LOOK_US}").alias("bkt"),
+    ).select(
+        "event_type",
+        "event_id",
+        "us",
+        "med_c",
+        F.explode(F.array(F.col("bkt") - 1, F.col("bkt"))).alias("jb"),
+    )
+    cand = base.select(
+        F.col("event_type").alias("b_type"),
+        F.col("us").alias("b_us"),
+        F.col("c").alias("b_c"),
+        F.expr(f"us div {_LOOK_US}").alias("b_bkt"),
+    )
+    pairs = anchors.join(
+        cand,
+        (F.col("event_type") == F.col("b_type"))
+        & (F.col("jb") == F.col("b_bkt")),
+    ).filter(
+        (F.col("b_us") >= F.col("us") - _LOOK_US)
+        & (F.col("b_us") <= F.col("us"))
+    )
+    return (
+        pairs.groupBy("event_type", "event_id", "med_c")
+        .agg(
+            F.percentile(
+                F.abs(F.col("b_c") - F.col("med_c")), F.lit(0.5)
+            ).alias("mad_c")
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("mad_c") / 100.0, 6).alias("mad_1h"),
+        )
+    )
