@@ -60,6 +60,7 @@ _MODULES = (
     "vectors3",
     "text4",
     "promql3",
+    "profiling",
 )
 
 # ROUND-7 ROTATION (VERDICT r6 next-round #1 and #8). The driver verifies
@@ -75,11 +76,12 @@ _MODULES = (
 #     the green r6 row no longer covers the shipped code,
 #   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
 #     KMV route this round; first hash check,
-#   * the 3 queries REGISTERED this round (present/absent/mad_over_time,
-#     plans/promql3.py) — in-window from day one so no entry ever again
-#     ships without a driver row (displacing join_cross_small,
-#     scalar_string_funcs, win_first_last_nth to the round-8 stale pool;
-#     their families stay represented in-window),
+#   * the 4 queries REGISTERED this round (present/absent/mad_over_time,
+#     plans/promql3.py; profile_column_stats, plans/profiling.py) —
+#     in-window from day one so no entry ever again ships without a
+#     driver row (displacing join_cross_small, scalar_string_funcs,
+#     win_first_last_nth, exposition_full_registry to the round-8 stale
+#     pool; their families stay represented in-window),
 #   * 3 queries whose PLANS changed late in round 7 (Q5/Q7 early
 #     fact-prune reorder, shingle dedup single-materialization) — values
 #     verified locally at sf0.001+sf0.01, but their cumulative green
@@ -103,6 +105,7 @@ _CHECK_FIRST = (
     "promql_present_over_time",
     "promql_absent_over_time",
     "promql_mad_over_time",
+    "profile_column_stats",
     # -- plan changed this round (values verified locally at two SFs,
     # but the cumulative green rows predate the shipped plans): Q5/Q7
     # early fact-prune reorder, shingle dedup single-materialization --
@@ -123,7 +126,6 @@ _CHECK_FIRST = (
     "agg_rollup_region_nation",
     "agg_stats_moments",
     "exposition_counter",
-    "exposition_full_registry",
     "filter_predicates",
     "histogram_cumulative",
     "info_latest_per_user",

@@ -1,0 +1,130 @@
+"""Table profiling — the data-QA pass a training-data pipeline runs
+before anything else touches a new 100 TB drop: per-column row/null/
+distinct counts and min/max, in ONE scan of the fact table.
+
+The reference's pipeline trusts its Prometheus sources to be
+well-formed (reference CHANGELOG.md:189 — its ingest stages validate
+shape, not content); an engine that owns the storage layer needs the
+profiling primitive itself (the Deequ/Great-Expectations analyzer
+shape, re-expressed Spark-first).
+
+Scale notes: the naive one-Aggregate form (count + count(DISTINCT c1..ck)
++ min/max in a single agg) planner-rewrites into Expand with a
+SORT-based aggregate full of `first()` wrappers — measured ~2× slower
+than this shape and sort-fallback all the way down. Instead the table
+is melted ONCE (a `stack` Generate: k rows per input row, each value
+canonicalized to a (vnum DOUBLE, vstr STRING) pair), then:
+
+  pass 1  groupBy(column, value)  → cnt        — the classic distributed
+          distinct: map-side partial combine, one exchange keyed by
+          (column, value), skew = per-column value spread;
+  pass 2  groupBy(column)         → every statistic at once: n_rows =
+          sum(cnt), n_null = the null-value group's cnt, n_distinct =
+          count of non-null groups, min/max over the group keys.
+
+Two pure HashAggregate levels, one scan, no Expand. Exact distinct is
+inherently a value-keyed exchange at any scale; to profile a 100 TB drop
+cheaper, swap pass 1's value grouping for the repo's KMV/HLL sketch
+route (agg_approx_distinct, agg_hll_mergeable_daily) and keep pass 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+# (column, kind) — kind picks the canonical value slot: numerics go to a
+# DOUBLE (no formatting layer to diverge cross-engine; int64 keys are
+# < 2^53 so the cast is injective and distinct counts survive), strings
+# stay VARCHAR, timestamps collapse to ISO dates (identical cast
+# semantics in Spark and DuckDB, and ISO strings order chronologically).
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "date"),
+)
+
+
+def _oracle() -> str:
+    per_col = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        elif kind == "str":
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+            ms, xs = f"min({c})", f"max({c})"
+        else:  # date
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+            ms, xs = f"min({c})::DATE::VARCHAR", f"max({c})::DATE::VARCHAR"
+        per_col.append(
+            f"SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,\n"
+            f"       (count(*) - count({c}))::BIGINT AS n_null,\n"
+            f"       count(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num,\n"
+            f"       {ms} AS min_str, {xs} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(per_col)
+
+
+@register("profile_column_stats", oracle=_oracle())
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of `orders`: per column, row count, null
+    count, exact distinct count, and type-appropriate min/max via the
+    melt → two-level hash aggregation in the module docstring. The
+    DuckDB oracle is per-column UNION ALL scans — semantically identical
+    but k scans; the Spark plan is the one-pass version."""
+    orders = load_table(spark, sf_dir, "orders")
+    # Small-scan fan-out (the inverse of AQE partition coalescing): the
+    # melted partial aggregate's parallelism equals the SCAN's, and a
+    # compact input (one unsplittable row group locally; any file count
+    # < cores) would serialize it. At scale the scan arrives with
+    # ≥ cores splits and this branch is a no-op — no extra shuffle.
+    if (
+        orders.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    ):
+        orders = orders.repartition(spark.sparkContext.defaultParallelism)
+
+    slots = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            vnum, vstr = f"double({c})", "CAST(NULL AS STRING)"
+        elif kind == "str":
+            vnum, vstr = "CAST(NULL AS DOUBLE)", c
+        else:  # date
+            vnum, vstr = (
+                "CAST(NULL AS DOUBLE)",
+                f"CAST(CAST({c} AS DATE) AS STRING)",
+            )
+        slots.append(f"'{c}', {vnum}, {vstr}")
+    melt = (
+        f"stack({len(_PROFILE_COLS)}, " + ", ".join(slots) + ") AS "
+        "(column_name, vnum, vstr)"
+    )
+    melted = orders.selectExpr(melt)
+    # NULL detection needs no per-column kind: a numeric column's vstr
+    # slot is constant-NULL (and vice versa), so "both slots NULL" marks
+    # exactly the source-NULL rows.
+    value_groups = melted.groupBy("column_name", "vnum", "vstr").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_null = F.col("vnum").isNull() & F.col("vstr").isNull()
+    return value_groups.groupBy("column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(is_null, F.col("cnt"))), F.lit(0)
+        ).alias("n_null"),
+        F.count(F.when(~is_null, F.lit(1))).alias("n_distinct"),
+        F.min("vnum").alias("min_num"),
+        F.max("vnum").alias("max_num"),
+        F.min("vstr").alias("min_str"),
+        F.max("vstr").alias("max_str"),
+    )

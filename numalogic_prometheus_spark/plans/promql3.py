@@ -27,7 +27,7 @@ Scale notes (100 TB design points):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
@@ -168,17 +168,25 @@ _MAD_ORACLE = f"""
 @register("promql_mad_over_time", oracle=_MAD_ORACLE)
 def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL `mad_over_time(m[1h])` analog: per-sample trailing-1h
-    median absolute deviation. Pass 1 computes the in-window median per
-    anchor as a RANGE-framed exact percentile over integer cents (both
-    engines interpolate (n−1)·φ linearly, so even-count midpoints land
-    on the exact half-cent grid). Pass 2 rebuilds each anchor's
-    deviation multiset with the bucketed band self-join (anchors
+    median absolute deviation. The bucketed band self-join (anchors
     exploded ×2 to their own and previous 1h bucket, equi-join on
-    (series, bucket), exact range filter) and takes the outer median —
-    every intermediate is a quarter-cent-grid double, so no rounding
-    occurs before the final /100. Same-timestamp samples are RANGE-frame
-    peers in both engines and both sides of the self-join, so duplicates
-    need no dedup."""
+    (series, bucket), exact range filter — fan-out bounded by
+    samples-per-hour per series, never corpus²) rebuilds each anchor's
+    in-window value multiset once; then BOTH medians — the window median
+    and the median of absolute deviations from it — come from one
+    sorted array per anchor as pure JVM array expressions (array_sort +
+    midpoint element_at). A RANGE-framed window percentile would compute
+    the inner median too, but recomputes its frame per row inside
+    #series-bounded partitions — O(rows × window) with a parallelism
+    ceiling of #series — whereas this shape keys the join by
+    (series, hour-bucket) and the aggregate by anchor, both of which
+    grow with data. Exactness: cents are integers, so midpoint averages
+    land on the half-cent grid and deviation medians on the quarter-cent
+    grid — no rounding before the final /100, and the DuckDB twin (the
+    algorithmically independent quantile_cont formulation) hash-matches.
+    Same-timestamp samples are peers on both sides of the self-join
+    (b.us ≤ a.us keeps equal-us rows), matching the oracle's RANGE-frame
+    peer semantics, so duplicates need no dedup."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select(
@@ -186,30 +194,19 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         epoch_us("ts").alias("us"),
         cents.alias("c"),
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("us")
-        .rangeBetween(-_LOOK_US, 0)
+        F.expr(f"{epoch_us_sql('ts')} div {_LOOK_US}").alias("bkt"),
     )
     anchors = base.select(
         "event_type",
         "event_id",
         "us",
-        F.percentile("c", F.lit(0.5)).over(w).alias("med_c"),
-        F.expr(f"us div {_LOOK_US}").alias("bkt"),
-    ).select(
-        "event_type",
-        "event_id",
-        "us",
-        "med_c",
         F.explode(F.array(F.col("bkt") - 1, F.col("bkt"))).alias("jb"),
     )
     cand = base.select(
         F.col("event_type").alias("b_type"),
         F.col("us").alias("b_us"),
         F.col("c").alias("b_c"),
-        F.expr(f"us div {_LOOK_US}").alias("b_bkt"),
+        F.col("bkt").alias("b_bkt"),
     )
     pairs = anchors.join(
         cand,
@@ -219,16 +216,27 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_us") >= F.col("us") - _LOOK_US)
         & (F.col("b_us") <= F.col("us"))
     )
+    # midpoint median of a sorted array, exact for both parities: odd n
+    # reads the middle element twice, even n averages the two middles
+    med_of = (
+        "(element_at({a}, int((size({a}) + 1) div 2))"
+        " + element_at({a}, int(size({a}) div 2 + 1))) / 2.0"
+    )
     return (
-        pairs.groupBy("event_type", "event_id", "med_c")
-        .agg(
-            F.percentile(
-                F.abs(F.col("b_c") - F.col("med_c")), F.lit(0.5)
-            ).alias("mad_c")
+        pairs.groupBy("event_type", "event_id")
+        .agg(F.array_sort(F.collect_list("b_c")).alias("arr"))
+        .withColumn("med_c", F.expr(med_of.format(a="arr")))
+        .withColumn(
+            "dev",
+            F.expr(
+                "array_sort(transform(arr, x -> abs(double(x) - med_c)))"
+            ),
         )
         .select(
             "event_type",
             "event_id",
-            F.round(F.col("mad_c") / 100.0, 6).alias("mad_1h"),
+            F.round(F.expr(med_of.format(a="dev")) / 100.0, 6).alias(
+                "mad_1h"
+            ),
         )
     )

@@ -311,6 +311,26 @@ def test_q7_fact_sides_pruned_before_the_shuffle(spark, sf_dir):
     )
 
 
+def test_profile_is_one_scan_hash_only(spark, sf_dir):
+    """profile_column_stats computes every per-column statistic from ONE
+    scan via melt → two hash-aggregate levels — never per-column scans,
+    and never the planner's Expand + sort-based-aggregate rewrite of
+    mixed distinct/plain aggregations (measured ~2× slower)."""
+    df = QUERIES["profile_column_stats"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Scan parquet") == 1, "profile must scan orders once"
+    assert "Expand" not in phys, "melt shape must not planner-rewrite to Expand"
+    # string min/max has no hash-aggregate support in Spark, so the
+    # FINAL level (keyed by column_name alone, input = one row per
+    # distinct value) is allowed to sort — but the value-grouping level
+    # that sees every melted row must stay hash-based.
+    for line in phys.splitlines():
+        if "SortAggregate" in line:
+            assert "vnum" not in line.split("functions")[0], (
+                f"value-grouping level fell back to sort: {line.strip()[:120]}"
+            )
+
+
 def test_registry_wide_join_lint(spark, sf_dir):
     """Registry-wide scale lint over every optimized plan, one sweep
     (~2 min, plan-build only — no execution):

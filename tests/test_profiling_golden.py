@@ -1,0 +1,63 @@
+"""Golden pin for profile_column_stats (plans/profiling.py): the
+testdata tables carry no NULLs, so parity alone never exercises the
+null-counting and null-safe min/max/distinct paths — this crafted
+fixture does."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+
+def test_profile_counts_nulls_and_distincts(spark, tmp_path):
+    from numalogic_prometheus_spark.plans.profiling import (
+        profile_column_stats,
+    )
+
+    rows = [
+        # (orderkey, custkey, status, totalprice, orderdate, priority)
+        (1, 10, "F", 5.0, datetime(2024, 1, 2), "1-URGENT"),
+        (2, None, "O", None, None, "1-URGENT"),
+        (3, 10, None, 7.5, datetime(2024, 1, 1), None),
+        (4, None, "F", 5.0, datetime(2024, 1, 3), "5-LOW"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_column_stats(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    assert all(v["n_rows"] == 4 for v in got.values())
+
+    ck = got["o_custkey"]
+    assert (ck["n_null"], ck["n_distinct"]) == (2, 1)  # NULLs excluded
+    assert (ck["min_num"], ck["max_num"]) == (10.0, 10.0)
+
+    tp = got["o_totalprice"]
+    assert (tp["n_null"], tp["n_distinct"]) == (1, 2)
+    assert (tp["min_num"], tp["max_num"]) == (5.0, 7.5)
+
+    st = got["o_orderstatus"]
+    assert (st["n_null"], st["n_distinct"]) == (1, 2)
+    assert (st["min_str"], st["max_str"]) == ("F", "O")
+    assert st["min_num"] is None and st["max_num"] is None
+
+    dt = got["o_orderdate"]
+    assert (dt["n_null"], dt["n_distinct"]) == (1, 3)
+    assert (dt["min_str"], dt["max_str"]) == ("2024-01-01", "2024-01-03")
+
+    ok = got["o_orderkey"]
+    assert (ok["n_null"], ok["n_distinct"]) == (0, 4)
