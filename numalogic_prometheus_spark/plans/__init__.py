@@ -76,12 +76,13 @@ _MODULES = (
 #     the green r6 row no longer covers the shipped code,
 #   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
 #     KMV route this round; first hash check,
-#   * the 4 queries REGISTERED this round (present/absent/mad_over_time,
-#     plans/promql3.py; profile_column_stats, plans/profiling.py) —
-#     in-window from day one so no entry ever again ships without a
-#     driver row (displacing join_cross_small, scalar_string_funcs,
-#     win_first_last_nth, exposition_full_registry to the round-8 stale
-#     pool; their families stay represented in-window),
+#   * the 5 queries REGISTERED this round (present/absent/mad_over_time,
+#     plans/promql3.py; profile_column_stats + profile_drift_halves,
+#     plans/profiling.py) — in-window from day one so no entry ever
+#     again ships without a driver row (displacing join_cross_small,
+#     scalar_string_funcs, win_first_last_nth, exposition_full_registry,
+#     agg_cube_flag_status to the round-8 stale pool; their families
+#     stay represented in-window),
 #   * 3 queries whose PLANS changed late in round 7 (Q5/Q7 early
 #     fact-prune reorder, shingle dedup single-materialization) — values
 #     verified locally at sf0.001+sf0.01, but their cumulative green
@@ -106,6 +107,7 @@ _CHECK_FIRST = (
     "promql_absent_over_time",
     "promql_mad_over_time",
     "profile_column_stats",
+    "profile_drift_halves",
     # -- plan changed this round (values verified locally at two SFs,
     # but the cumulative green rows predate the shipped plans): Q5/Q7
     # early fact-prune reorder, shingle dedup single-materialization --
@@ -121,7 +123,6 @@ _CHECK_FIRST = (
     "rollup_quantile_sketch_daily",
     # -- stale re-green: last driver row r1 --
     "agg_conditional_buckets",
-    "agg_cube_flag_status",
     "agg_distinct_counts",
     "agg_rollup_region_nation",
     "agg_stats_moments",

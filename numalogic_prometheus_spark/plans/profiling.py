@@ -128,3 +128,128 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vstr").alias("min_str"),
         F.max("vstr").alias("max_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal drift: the profile of the NEW half of a table against the OLD
+# half — the anomaly check a recurring ingest runs on every drop (did a
+# column's null rate spike? did an enum collapse? did a numeric range
+# walk?). One scan: the same melt carries an era flag, so both eras'
+# statistics come out of one value-grouped aggregation tree.
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUTOFF = "1998-06-01"  # orders span 1995..2001; cutoff ~mid-table
+
+_DRIFT_COLS = tuple(
+    (c, k) for c, k in _PROFILE_COLS if c != "o_orderdate"
+)  # the split column itself would trivially "drift"
+
+
+def _drift_oracle() -> str:
+    per_col = []
+    for c, _kind in _DRIFT_COLS:
+        per_col.append(
+            f"""
+    SELECT '{c}' AS column_name,
+           count(*) FILTER (WHERE o_orderdate <  DATE '{_DRIFT_CUTOFF}')::BIGINT AS n_early,
+           count(*) FILTER (WHERE o_orderdate >= DATE '{_DRIFT_CUTOFF}')::BIGINT AS n_late,
+           (count(*) FILTER (WHERE o_orderdate <  DATE '{_DRIFT_CUTOFF}')
+            - count({c}) FILTER (WHERE o_orderdate <  DATE '{_DRIFT_CUTOFF}'))::BIGINT AS null_early,
+           (count(*) FILTER (WHERE o_orderdate >= DATE '{_DRIFT_CUTOFF}')
+            - count({c}) FILTER (WHERE o_orderdate >= DATE '{_DRIFT_CUTOFF}'))::BIGINT AS null_late,
+           count(DISTINCT {c}) FILTER (WHERE o_orderdate <  DATE '{_DRIFT_CUTOFF}')::BIGINT AS nd_early,
+           count(DISTINCT {c}) FILTER (WHERE o_orderdate >= DATE '{_DRIFT_CUTOFF}')::BIGINT AS nd_late
+    FROM orders"""
+        )
+    return (
+        "WITH per_col AS (" + "\nUNION ALL".join(per_col) + ")\n"
+        "SELECT column_name, n_early, n_late, null_early, null_late,\n"
+        "       nd_early, nd_late,\n"
+        "       round(nd_late / nd_early, 6) AS distinct_ratio,\n"
+        "       (nd_late * 2 < nd_early OR nd_early * 2 < nd_late\n"
+        "        OR null_late * n_early > 2 * null_early * n_late + n_late)\n"
+        "           AS drift_flag\n"
+        "FROM per_col"
+    )
+
+
+@register("profile_drift_halves", oracle=_drift_oracle())
+def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column drift check between the early and late halves of
+    `orders` (split at a fixed date): row/null/exact-distinct counts per
+    era, the distinct-count ratio, and an integer-exact drift verdict
+    (distinct cardinality halved/doubled, or the null RATE more than
+    doubled — cross-multiplied as null_late·n_early > 2·null_early·n_late
+    + n_late, the +n_late making a zero-null baseline tolerate one new
+    null per row rather than flagging on the first). Same one-scan melt
+    as profile_column_stats with an era flag in the value-group key; the
+    DuckDB twin is per-column FILTER-clause scans. The only float is the
+    final ratio — one IEEE division of two BIGINTs, then round(6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    if (
+        orders.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    ):
+        orders = orders.repartition(spark.sparkContext.defaultParallelism)
+
+    slots = []
+    for c, kind in _DRIFT_COLS:
+        if kind == "num":
+            vnum, vstr = f"double({c})", "CAST(NULL AS STRING)"
+        else:
+            vnum, vstr = "CAST(NULL AS DOUBLE)", c
+        slots.append(f"'{c}', {vnum}, {vstr}")
+    melt = (
+        f"stack({len(_DRIFT_COLS)}, " + ", ".join(slots) + ") AS "
+        "(column_name, vnum, vstr)"
+    )
+    melted = orders.selectExpr(
+        f"o_orderdate >= DATE '{_DRIFT_CUTOFF}' AS late", melt
+    )
+    value_groups = melted.groupBy(
+        "column_name", "late", "vnum", "vstr"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    is_null = F.col("vnum").isNull() & F.col("vstr").isNull()
+    late = F.col("late")
+
+    def era(flag: bool, col: F.Column) -> F.Column:
+        return F.when(late == F.lit(flag), col)
+
+    stats = value_groups.groupBy("column_name").agg(
+        F.coalesce(F.sum(era(False, F.col("cnt"))), F.lit(0)).alias(
+            "n_early"
+        ),
+        F.coalesce(F.sum(era(True, F.col("cnt"))), F.lit(0)).alias(
+            "n_late"
+        ),
+        F.coalesce(
+            F.sum(era(False, F.when(is_null, F.col("cnt")))), F.lit(0)
+        ).alias("null_early"),
+        F.coalesce(
+            F.sum(era(True, F.when(is_null, F.col("cnt")))), F.lit(0)
+        ).alias("null_late"),
+        F.count(era(False, F.when(~is_null, F.lit(1)))).alias("nd_early"),
+        F.count(era(True, F.when(~is_null, F.lit(1)))).alias("nd_late"),
+    )
+    return stats.select(
+        "column_name",
+        "n_early",
+        "n_late",
+        "null_early",
+        "null_late",
+        "nd_early",
+        "nd_late",
+        F.round(F.col("nd_late") / F.col("nd_early"), 6).alias(
+            "distinct_ratio"
+        ),
+        (
+            (F.col("nd_late") * 2 < F.col("nd_early"))
+            | (F.col("nd_early") * 2 < F.col("nd_late"))
+            | (
+                F.col("null_late") * F.col("n_early")
+                > F.col("null_early") * F.col("n_late") * 2
+                + F.col("n_late")
+            )
+        ).alias("drift_flag"),
+    )

@@ -61,3 +61,59 @@ def test_profile_counts_nulls_and_distincts(spark, tmp_path):
 
     ok = got["o_orderkey"]
     assert (ok["n_null"], ok["n_distinct"]) == (0, 4)
+
+
+def test_profile_drift_verdicts_hand_computed(spark, tmp_path):
+    """profile_drift_halves flags exactly the engineered drifts: a
+    distinct-cardinality collapse (custkey), a null-rate spike
+    (orderstatus: 0→3 nulls of 6), and — the tolerance edge — does NOT
+    flag a single new null on a zero-null baseline (orderpriority),
+    which a plain rate-doubling test would always fire on."""
+    from datetime import datetime
+
+    from numalogic_prometheus_spark.plans.profiling import (
+        profile_drift_halves,
+    )
+
+    rows = []
+    for i in range(1, 7):  # early era: 1997
+        rows.append(
+            (i, i, "F", 100.0 + i, datetime(1997, 1, i), "1-URGENT")
+        )
+    for i in range(7, 13):  # late era: 1999
+        rows.append(
+            (
+                i,
+                1,  # custkey collapses to a single value
+                None if i in (7, 8, 9) else "F",  # status nulls spike
+                100.0 + i,
+                datetime(1999, 1, i - 6),
+                None if i == 7 else "1-URGENT",  # one tolerated null
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_drift_halves(spark, str(tmp_path)).collect()
+    }
+    assert all(
+        (v["n_early"], v["n_late"]) == (6, 6) for v in got.values()
+    )
+    flags = {c: v["drift_flag"] for c, v in got.items()}
+    assert flags == {
+        "o_orderkey": False,
+        "o_custkey": True,  # 6 distinct -> 1
+        "o_orderstatus": True,  # null rate 0/6 -> 3/6
+        "o_totalprice": False,
+        "o_orderpriority": False,  # 0 -> 1 null: inside tolerance
+    }
+    assert got["o_custkey"]["nd_early"] == 6
+    assert got["o_custkey"]["nd_late"] == 1
+    assert got["o_orderstatus"]["null_late"] == 3
