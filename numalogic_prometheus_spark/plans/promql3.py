@@ -168,53 +168,80 @@ _MAD_ORACLE = f"""
 @register("promql_mad_over_time", oracle=_MAD_ORACLE)
 def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL `mad_over_time(m[1h])` analog: per-sample trailing-1h
-    median absolute deviation. The bucketed band self-join (anchors
-    exploded ×2 to their own and previous 1h bucket, equi-join on
-    (series, bucket), exact range filter — fan-out bounded by
-    samples-per-hour per series, never corpus²) rebuilds each anchor's
-    in-window value multiset once; then BOTH medians — the window median
+    median absolute deviation. Samples are grouped once into per-
+    (series, 1h-bucket) arrays; each anchor row joins its own and the
+    previous bucket's array (equi keys, the grouped side broadcasts
+    locally) and assembles its exact window map-side — filter the two
+    arrays by the [t−1h, t] range, then BOTH medians — the window median
     and the median of absolute deviations from it — come from one
-    sorted array per anchor as pure JVM array expressions (array_sort +
-    midpoint element_at). A RANGE-framed window percentile would compute
-    the inner median too, but recomputes its frame per row inside
-    #series-bounded partitions — O(rows × window) with a parallelism
-    ceiling of #series — whereas this shape keys the join by
-    (series, hour-bucket) and the aggregate by anchor, both of which
-    grow with data. Exactness: cents are integers, so midpoint averages
-    land on the half-cent grid and deviation medians on the quarter-cent
-    grid — no rounding before the final /100, and the DuckDB twin (the
-    algorithmically independent quantile_cont formulation) hash-matches.
-    Same-timestamp samples are peers on both sides of the self-join
-    (b.us ≤ a.us keeps equal-us rows), matching the oracle's RANGE-frame
-    peer semantics, so duplicates need no dedup."""
+    sorted array as pure JVM expressions (array_sort + midpoint
+    element_at). Two shapes were rejected: a RANGE-framed window
+    percentile recomputes its frame per row inside #series-bounded
+    partitions (O(rows × window), parallelism ceiling = #series), and an
+    anchor×candidate pair self-join shuffles O(rows × window) pair rows;
+    this one shuffles O(rows) and its per-anchor state is bounded by
+    samples-per-2h per series. Exactness: cents are integers, so midpoint
+    averages land on the half-cent grid and deviation medians on the
+    quarter-cent grid — no rounding before the final /100, and the
+    DuckDB twin (the algorithmically independent quantile_cont
+    formulation) hash-matches. Same-timestamp samples are kept by the
+    range filter (s.a_us ≤ anchor us keeps equal-us rows), matching the
+    oracle's RANGE-frame peer semantics, so duplicates need no dedup."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select(
         "event_type",
         "event_id",
-        epoch_us("ts").alias("us"),
+        epoch_us("ts").alias("a_us"),
         cents.alias("c"),
         F.expr(f"{epoch_us_sql('ts')} div {_LOOK_US}").alias("bkt"),
     )
-    anchors = base.select(
-        "event_type",
-        "event_id",
-        "us",
-        F.explode(F.array(F.col("bkt") - 1, F.col("bkt"))).alias("jb"),
+    # One grouped relation instead of an anchor×candidate pair
+    # explosion: shuffle volume is O(input) (each sample rides inside
+    # its bucket's array exactly once) rather than O(input × window)
+    # pair rows, and the per-anchor window is assembled map-side from
+    # the anchor's own and previous bucket arrays. Locally the grouped
+    # side is tiny and broadcasts — the anchor rows never move; at scale
+    # the equi-join on (series, bucket) shuffles O(input) either way.
+    buckets = base.groupBy("event_type", "bkt").agg(
+        F.collect_list(F.struct("a_us", "c")).alias("bucket_arr")
     )
-    cand = base.select(
-        F.col("event_type").alias("b_type"),
-        F.col("us").alias("b_us"),
-        F.col("c").alias("b_c"),
-        F.col("bkt").alias("b_bkt"),
+    cur = buckets.select(
+        F.col("event_type").alias("cur_type"),
+        F.col("bkt").alias("cur_bkt"),
+        F.col("bucket_arr").alias("arr_cur"),
     )
-    pairs = anchors.join(
-        cand,
-        (F.col("event_type") == F.col("b_type"))
-        & (F.col("jb") == F.col("b_bkt")),
-    ).filter(
-        (F.col("b_us") >= F.col("us") - _LOOK_US)
-        & (F.col("b_us") <= F.col("us"))
+    prev = buckets.select(
+        F.col("event_type").alias("prev_type"),
+        (F.col("bkt") + 1).alias("prev_bkt"),
+        F.col("bucket_arr").alias("arr_prev"),
+    )
+    anchors = base.select("event_type", "event_id", "a_us", "bkt")
+    # Small-scan fan-out: the grouped side broadcasts, so the per-anchor
+    # array assembly runs wherever the anchors sit — for a compact input
+    # (one unsplittable row group locally) that is ONE task. Spread the
+    # skinny anchor rows first; at scale the scan arrives with ≥ cores
+    # splits and this is a no-op.
+    if (
+        anchors.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    ):
+        anchors = anchors.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    joined = (
+        anchors
+        .join(
+            cur,
+            (F.col("event_type") == F.col("cur_type"))
+            & (F.col("bkt") == F.col("cur_bkt")),
+        )
+        .join(
+            prev,
+            (F.col("event_type") == F.col("prev_type"))
+            & (F.col("bkt") == F.col("prev_bkt")),
+            "left",  # the previous 1h bucket may hold no samples
+        )
     )
     # midpoint median of a sorted array, exact for both parities: odd n
     # reads the middle element twice, even n averages the two middles
@@ -223,8 +250,16 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + element_at({a}, int(size({a}) div 2 + 1))) / 2.0"
     )
     return (
-        pairs.groupBy("event_type", "event_id")
-        .agg(F.array_sort(F.collect_list("b_c")).alias("arr"))
+        joined.withColumn(
+            "arr",
+            F.expr(
+                "array_sort(transform("
+                "  filter(concat(coalesce(arr_prev, array()), arr_cur),"
+                f"         s -> s.a_us >= a_us - {_LOOK_US}"
+                "           AND s.a_us <= a_us),"
+                "  s -> s.c))"
+            ),
+        )
         .withColumn("med_c", F.expr(med_of.format(a="arr")))
         .withColumn(
             "dev",
