@@ -337,3 +337,84 @@ def test_incremental_dedup_index_merge_is_reaggregable(spark, corpus, split):
     # idempotence: re-merging a snapshot's own rows is a no-op
     once = merge_index(empty, fall)
     assert canon_set(merge_index(once, fall)) == global_build
+
+
+# ---------------------------------------------------------------------------
+# mad_over_time: the grouped-bucket window assembly + midpoint-median
+# array expressions must equal a brute-force per-anchor reference on
+# arbitrary series — guarding the bucket boundary (prev/cur join), the
+# closed [t-1h, t] range, duplicate timestamps, and both median parities.
+# ---------------------------------------------------------------------------
+
+_mad_sample = st.tuples(
+    st.integers(min_value=0, max_value=3 * 3600),  # seconds offset
+    st.integers(min_value=0, max_value=5000),  # integer cents
+)
+
+
+@given(
+    series=st.lists(
+        st.lists(_mad_sample, min_size=1, max_size=20),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_settings
+def test_mad_over_time_matches_bruteforce(spark, series, tmp_path_factory):
+    from datetime import datetime, timedelta, timezone
+
+    from numalogic_prometheus_spark.plans.promql3 import (
+        _LOOK_US,
+        promql_mad_over_time,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for si, samples in enumerate(series):
+        for j, (off, cents) in enumerate(samples):
+            rows.append(
+                (
+                    f"s{si}",
+                    base + timedelta(seconds=off),
+                    si * 1000 + j,
+                    cents / 100.0,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    path = tmp_path_factory.mktemp("mad_prop")
+    df.write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    def median(sorted_vals):
+        n = len(sorted_vals)
+        return (sorted_vals[(n + 1) // 2 - 1] + sorted_vals[n // 2]) / 2.0
+
+    def us(dt):
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+
+    ref = {}
+    for si, samples in enumerate(series):
+        pts = [
+            (us(base + timedelta(seconds=off)), si * 1000 + j, cents)
+            for j, (off, cents) in enumerate(samples)
+        ]
+        for a_us, eid, _c in pts:
+            window = sorted(
+                c for b_us, _e, c in pts if a_us - _LOOK_US <= b_us <= a_us
+            )
+            med = median(window)
+            dev = sorted(abs(c - med) for c in window)
+            ref[(f"s{si}", eid)] = round(median(dev) / 100.0, 6)
+
+    got = {
+        (r["event_type"], r["event_id"]): r["mad_1h"]
+        for r in promql_mad_over_time(spark, str(path))
+        .join(
+            df.select("event_type", "event_id"), ["event_type", "event_id"]
+        )
+        .collect()
+    }
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
