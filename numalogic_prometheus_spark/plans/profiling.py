@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import (
+    load_table,
+    spread_if_compact,
+)
 
 # (column, kind) — kind picks the canonical value slot: numerics go to a
 # DOUBLE (no formatting layer to diverge cross-engine; int64 keys are
@@ -63,10 +66,14 @@ def _oracle() -> str:
         else:  # date
             mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
             ms, xs = f"min({c})::DATE::VARCHAR", f"max({c})::DATE::VARCHAR"
+        # date columns count distinct CALENDAR DATES (the documented
+        # canonicalization), not distinct raw timestamps — the melt's
+        # vstr slot is the ISO date, so the oracle must collapse too
+        nd = f"{c}::DATE" if kind == "date" else c
         per_col.append(
             f"SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,\n"
             f"       (count(*) - count({c}))::BIGINT AS n_null,\n"
-            f"       count(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"       count(DISTINCT {nd})::BIGINT AS n_distinct,\n"
             f"       {mn} AS min_num, {mx} AS max_num,\n"
             f"       {ms} AS min_str, {xs} AS max_str\n"
             f"FROM orders"
@@ -74,27 +81,14 @@ def _oracle() -> str:
     return "\nUNION ALL\n".join(per_col)
 
 
-@register("profile_column_stats", oracle=_oracle())
-def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan column profile of `orders`: per column, row count, null
-    count, exact distinct count, and type-appropriate min/max via the
-    melt → two-level hash aggregation in the module docstring. The
-    DuckDB oracle is per-column UNION ALL scans — semantically identical
-    but k scans; the Spark plan is the one-pass version."""
-    orders = load_table(spark, sf_dir, "orders")
-    # Small-scan fan-out (the inverse of AQE partition coalescing): the
-    # melted partial aggregate's parallelism equals the SCAN's, and a
-    # compact input (one unsplittable row group locally; any file count
-    # < cores) would serialize it. At scale the scan arrives with
-    # ≥ cores splits and this branch is a no-op — no extra shuffle.
-    if (
-        orders.rdd.getNumPartitions()
-        < spark.sparkContext.defaultParallelism
-    ):
-        orders = orders.repartition(spark.sparkContext.defaultParallelism)
-
+def _melt_expr(cols) -> str:
+    """The shared wide→long `stack` expression: one (column_name, vnum,
+    vstr) row per profiled column per input row, values canonicalized
+    into typed slots (see _PROFILE_COLS comment). Both profiling queries
+    melt through this one builder so the canonicalization cannot
+    diverge between them."""
     slots = []
-    for c, kind in _PROFILE_COLS:
+    for c, kind in cols:
         if kind == "num":
             vnum, vstr = f"double({c})", "CAST(NULL AS STRING)"
         elif kind == "str":
@@ -105,11 +99,21 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(CAST({c} AS DATE) AS STRING)",
             )
         slots.append(f"'{c}', {vnum}, {vstr}")
-    melt = (
-        f"stack({len(_PROFILE_COLS)}, " + ", ".join(slots) + ") AS "
+    return (
+        f"stack({len(cols)}, " + ", ".join(slots) + ") AS "
         "(column_name, vnum, vstr)"
     )
-    melted = orders.selectExpr(melt)
+
+
+@register("profile_column_stats", oracle=_oracle())
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of `orders`: per column, row count, null
+    count, exact distinct count, and type-appropriate min/max via the
+    melt → two-level hash aggregation in the module docstring. The
+    DuckDB oracle is per-column UNION ALL scans — semantically identical
+    but k scans; the Spark plan is the one-pass version."""
+    orders = spread_if_compact(spark, load_table(spark, sf_dir, "orders"))
+    melted = orders.selectExpr(_melt_expr(_PROFILE_COLS))
     # NULL detection needs no per-column kind: a numeric column's vstr
     # slot is constant-NULL (and vice versa), so "both slots NULL" marks
     # exactly the source-NULL rows.
@@ -184,27 +188,13 @@ def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     null per row rather than flagging on the first). Same one-scan melt
     as profile_column_stats with an era flag in the value-group key; the
     DuckDB twin is per-column FILTER-clause scans. The only float is the
-    final ratio — one IEEE division of two BIGINTs, then round(6)."""
-    orders = load_table(spark, sf_dir, "orders")
-    if (
-        orders.rdd.getNumPartitions()
-        < spark.sparkContext.defaultParallelism
-    ):
-        orders = orders.repartition(spark.sparkContext.defaultParallelism)
-
-    slots = []
-    for c, kind in _DRIFT_COLS:
-        if kind == "num":
-            vnum, vstr = f"double({c})", "CAST(NULL AS STRING)"
-        else:
-            vnum, vstr = "CAST(NULL AS DOUBLE)", c
-        slots.append(f"'{c}', {vnum}, {vstr}")
-    melt = (
-        f"stack({len(_DRIFT_COLS)}, " + ", ".join(slots) + ") AS "
-        "(column_name, vnum, vstr)"
-    )
+    final ratio — one IEEE division of two BIGINTs (try_divide: a column
+    with no early-era non-null values reports NULL, matching DuckDB's
+    x/0, instead of raising under ANSI mode), then round(6)."""
+    orders = spread_if_compact(spark, load_table(spark, sf_dir, "orders"))
     melted = orders.selectExpr(
-        f"o_orderdate >= DATE '{_DRIFT_CUTOFF}' AS late", melt
+        f"o_orderdate >= DATE '{_DRIFT_CUTOFF}' AS late",
+        _melt_expr(_DRIFT_COLS),
     )
     value_groups = melted.groupBy(
         "column_name", "late", "vnum", "vstr"
@@ -240,9 +230,9 @@ def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_late",
         "nd_early",
         "nd_late",
-        F.round(F.col("nd_late") / F.col("nd_early"), 6).alias(
-            "distinct_ratio"
-        ),
+        F.round(
+            F.try_divide(F.col("nd_late"), F.col("nd_early")), 6
+        ).alias("distinct_ratio"),
         (
             (F.col("nd_late") * 2 < F.col("nd_early"))
             | (F.col("nd_early") * 2 < F.col("nd_late"))

@@ -17,12 +17,22 @@ Scale notes (100 TB design points):
 * `absent_over_time` is the grid anti-join against that covered set —
   the same shape as `promql_absent_series`, one shuffle on the grid key.
 * MAD's nested median cannot be one window pass (the inner median is
-  anchor-specific), so the per-anchor deviation multiset is rebuilt via
-  the bucketed band self-join idiom (equi-join on (series, 1h bucket) ∈
-  {b−1, b}, then the exact range filter): join fan-out is bounded by
-  samples-per-hour per series, never corpus². All medians run over
-  integer cents, so every interpolated midpoint lands on the exact
+  anchor-specific), so each anchor's window is assembled from per-
+  (series, 1h-bucket) grouped arrays (own + previous bucket, exact
+  range filter map-side): shuffle is O(input), per-anchor state is
+  bounded by samples-per-2h per series, never corpus². All medians run
+  over integer cents, so every interpolated midpoint lands on the exact
   quarter-cent grid and the DuckDB oracle hash-matches bit-for-bit.
+
+Window-boundary convention: the presence pair implements the left-open
+(t−1h, t] lookback of Prometheus 3.x range selectors (a sample exactly
+1h old is NOT present). `mad_over_time` instead follows this repo's
+framed `*_over_time` family (promql2.py), whose SQL RANGE frames — and
+their hash-checked oracles — are closed [t−1h, t]; a sample exactly on
+the edge IS in the deviation multiset. The two conventions differ only
+on that measure-zero edge; migrating the framed family to left-open
+wholesale is the consistent end state if Prometheus-3 edge parity ever
+matters.
 """
 
 from __future__ import annotations
@@ -32,24 +42,31 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table
+from numalogic_prometheus_spark.sources.tables import (
+    load_table,
+    spread_if_compact,
+)
 
 _GRID_US = 900_000_000  # 15-min evaluation step
 _LOOK_US = 3_600_000_000  # 1h lookback window
 _LOOK_STEPS = _LOOK_US // _GRID_US  # 4 grid points per sample
 
 
+def _k0():
+    """ceil(ts / 15min) as an epoch grid index — the FIRST evaluation
+    point whose left-open (t−1h, t] lookback contains the sample. Both
+    presence queries derive their grid from this one expression."""
+    return F.expr(f"({epoch_us_sql('ts')} + {_GRID_US - 1}) div {_GRID_US}")
+
+
 def _covered(ev: DataFrame) -> DataFrame:
     """(event_type, k) grid points whose trailing-1h window holds ≥1
     sample. A sample at ts covers evaluation points t with
     t−1h < ts ≤ t; on the 15-min grid that is exactly the 4 points
-    k0 .. k0+3 with k0 = ceil(ts / 15min) — a map-side ×4 explode, then
-    one DISTINCT exchange on (series, point)."""
-    k0 = F.expr(
-        f"({epoch_us_sql('ts')} + {_GRID_US - 1}) div {_GRID_US}"
-    ).alias("k0")
+    k0 .. k0+3 — a map-side ×4 explode, then one DISTINCT exchange on
+    (series, point)."""
     return (
-        ev.select("event_type", k0)
+        ev.select("event_type", _k0().alias("k0"))
         .select(
             "event_type",
             F.explode(
@@ -124,7 +141,7 @@ def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) and the series dim both broadcast; the anti-join against
     the covered set is the only exchange that scales with data."""
     ev = load_table(spark, sf_dir, "events")
-    k0 = F.expr(f"({epoch_us_sql('ts')} + {_GRID_US - 1}) div {_GRID_US}")
+    k0 = _k0()
     bounds = ev.agg(
         F.min(k0).alias("k_lo"),
         (F.max(k0) + (_LOOK_STEPS - 1)).alias("k_hi"),
@@ -216,19 +233,12 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bkt") + 1).alias("prev_bkt"),
         F.col("bucket_arr").alias("arr_prev"),
     )
-    anchors = base.select("event_type", "event_id", "a_us", "bkt")
     # Small-scan fan-out: the grouped side broadcasts, so the per-anchor
     # array assembly runs wherever the anchors sit — for a compact input
-    # (one unsplittable row group locally) that is ONE task. Spread the
-    # skinny anchor rows first; at scale the scan arrives with ≥ cores
-    # splits and this is a no-op.
-    if (
-        anchors.rdd.getNumPartitions()
-        < spark.sparkContext.defaultParallelism
-    ):
-        anchors = anchors.repartition(
-            spark.sparkContext.defaultParallelism
-        )
+    # that is ONE task (see sources.tables.spread_if_compact).
+    anchors = spread_if_compact(
+        spark, base.select("event_type", "event_id", "a_us", "bkt")
+    )
     joined = (
         anchors
         .join(

@@ -86,6 +86,20 @@ def load_table_spread(
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 
+def spread_if_compact(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism,
+    ONLY when the plan's current partitioning is narrower than the
+    cluster — the conditional sibling of :func:`load_table_spread` for
+    plans whose expensive phase (wide partial aggregates, per-row array
+    assembly) runs wherever the scan put the rows. A compact input (one
+    unsplittable parquet row group locally; any file count < cores)
+    would serialize that phase; at scale the scan arrives with ≥ cores
+    splits and this is a no-op — no extra shuffle."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -18,7 +18,9 @@ def test_profile_counts_nulls_and_distincts(spark, tmp_path):
         (1, 10, "F", 5.0, datetime(2024, 1, 2), "1-URGENT"),
         (2, None, "O", None, None, "1-URGENT"),
         (3, 10, None, 7.5, datetime(2024, 1, 1), None),
-        (4, None, "F", 5.0, datetime(2024, 1, 3), "5-LOW"),
+        # same calendar DATE as row 3 but a different timestamp: the
+        # date canonicalization must collapse them to one distinct value
+        (4, None, "F", 5.0, datetime(2024, 1, 1, 12, 30), "5-LOW"),
     ]
     df = spark.createDataFrame(
         rows,
@@ -56,8 +58,8 @@ def test_profile_counts_nulls_and_distincts(spark, tmp_path):
     assert st["min_num"] is None and st["max_num"] is None
 
     dt = got["o_orderdate"]
-    assert (dt["n_null"], dt["n_distinct"]) == (1, 3)
-    assert (dt["min_str"], dt["max_str"]) == ("2024-01-01", "2024-01-03")
+    assert (dt["n_null"], dt["n_distinct"]) == (1, 2)  # sub-day collapsed
+    assert (dt["min_str"], dt["max_str"]) == ("2024-01-01", "2024-01-02")
 
     ok = got["o_orderkey"]
     assert (ok["n_null"], ok["n_distinct"]) == (0, 4)
@@ -117,3 +119,36 @@ def test_profile_drift_verdicts_hand_computed(spark, tmp_path):
     assert got["o_custkey"]["nd_early"] == 6
     assert got["o_custkey"]["nd_late"] == 1
     assert got["o_orderstatus"]["null_late"] == 3
+
+
+def test_profile_drift_empty_early_era_reports_null_ratio(spark, tmp_path):
+    """A table entirely after the cutoff has nd_early=0 for every
+    column: the ratio must come back NULL (try_divide — matching the
+    DuckDB oracle's x/0), never raise under ANSI mode, and the
+    appeared-from-nothing cardinality still flags as drift."""
+    from datetime import datetime
+
+    from numalogic_prometheus_spark.plans.profiling import (
+        profile_drift_halves,
+    )
+
+    rows = [
+        (i, i, "F", 100.0 + i, datetime(2000, 1, i), "1-URGENT")
+        for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_drift_halves(spark, str(tmp_path)).collect()
+    }
+    for v in got.values():
+        assert (v["n_early"], v["n_late"]) == (0, 3)
+        assert v["nd_early"] == 0
+        assert v["distinct_ratio"] is None
+        assert v["drift_flag"] is True  # 0 -> nonzero cardinality
