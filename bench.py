@@ -62,8 +62,9 @@ HEADLINE = [
     "promql_rate_extrapolated",   # Prometheus-exact rate extrapolation
     "promql_alert_firing",        # for-duration alert rule evaluation
     "dedup_incremental_batch",    # new-batch dedup vs broadcast index
-    "promql_mad_over_time",       # nested median: window pctl + band self-join
+    "promql_mad_over_time",       # nested median over per-bucket arrays
     "profile_column_stats",       # one-scan multi-distinct column profile
+    "sample_split_by_cluster",    # leakage-safe split over BSP components
 ]
 
 

@@ -76,13 +76,14 @@ _MODULES = (
 #     the green r6 row no longer covers the shipped code,
 #   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
 #     KMV route this round; first hash check,
-#   * the 5 queries REGISTERED this round (present/absent/mad_over_time,
+#   * the 6 queries REGISTERED this round (present/absent/mad_over_time,
 #     plans/promql3.py; profile_column_stats + profile_drift_halves,
-#     plans/profiling.py) — in-window from day one so no entry ever
-#     again ships without a driver row (displacing join_cross_small,
-#     scalar_string_funcs, win_first_last_nth, exposition_full_registry,
-#     agg_cube_flag_status to the round-8 stale pool; their families
-#     stay represented in-window),
+#     plans/profiling.py; sample_split_by_cluster, plans/sampling.py) —
+#     in-window from day one so no entry ever again ships without a
+#     driver row (displacing join_cross_small, scalar_string_funcs,
+#     win_first_last_nth, exposition_full_registry, agg_cube_flag_status,
+#     project_computed to the round-8 stale pool; their families stay
+#     represented in-window),
 #   * 3 queries whose PLANS changed late in round 7 (Q5/Q7 early
 #     fact-prune reorder, shingle dedup single-materialization) — values
 #     verified locally at sf0.001+sf0.01, but their cumulative green
@@ -108,6 +109,7 @@ _CHECK_FIRST = (
     "promql_mad_over_time",
     "profile_column_stats",
     "profile_drift_halves",
+    "sample_split_by_cluster",
     # -- plan changed this round (values verified locally at two SFs,
     # but the cumulative green rows predate the shipped plans): Q5/Q7
     # early fact-prune reorder, shingle dedup single-materialization --
@@ -137,7 +139,6 @@ _CHECK_FIRST = (
     "join_full_outer_keys",
     "join_semi_active_customers",
     "label_merge_right_biased",
-    "project_computed",
     "promql_histogram_quantile_p90",
     "promql_label_ops",
     "promql_topk_users_hourly",

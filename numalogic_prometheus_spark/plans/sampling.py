@@ -277,3 +277,109 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_b") < F.col("keep_pct"))
         .drop("_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: assign whole NEAR-DUPLICATE CLUSTERS to one side.
+# A plain per-doc hash split lets two near-identical documents land in
+# train and val — the classic eval-contamination leak that survives
+# dedup thresholds. Key the split by the duplicate-cluster label
+# (connected component of the Jaccard-VERIFIED MinHash near-dup graph —
+# the verified edges, not raw band/bit-distance collisions, so clusters
+# stay tight; singletons key by their own id) and the leak is
+# structurally impossible.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_of(col: str) -> tuple[str, str]:
+    """Portable [0,100) hash bucket of an arbitrary BIGINT column —
+    (spark_expr, duckdb_expr), same parity trick as _BUCKET_SPARK."""
+    return (
+        f"conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) % 100",
+        f"('0x' || substr(md5({col}::VARCHAR), 1, 8))::BIGINT % 100",
+    )
+
+
+def _split_by_cluster_oracle() -> str:
+    from numalogic_prometheus_spark.plans.text import _MINHASH_PAIRS_CTE
+
+    _, bucket_sql = _bucket_of("split_key")
+    return (
+        _MINHASH_PAIRS_CTE.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
+        + f"""
+    , edges AS (
+        SELECT id_a, id_b FROM scored WHERE jaccard >= 0.7
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach AS (
+        SELECT a AS id, a AS lbl FROM sym
+        UNION
+        SELECT e.b AS id, r.lbl AS lbl
+        FROM reach r JOIN sym e ON e.a = r.id
+    ),
+    comp AS (
+        SELECT id AS doc_id, min(lbl)::BIGINT AS component
+        FROM reach GROUP BY id
+    ),
+    keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {bucket_sql} < 80 THEN 'train'
+                WHEN {bucket_sql} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """
+    )
+
+
+@register("sample_split_by_cluster", oracle=_split_by_cluster_oracle())
+def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed 80/10/10 split: every document's split bucket is
+    the portable hash of its duplicate-cluster label (min-id connected
+    component of the Jaccard-VERIFIED MinHash near-dup graph — same BSP
+    min-label propagation as dedup_cluster_components, over the
+    dedup_minhash_lsh_pairs edges; singletons fall back to their own
+    doc_id), so near-duplicates can never straddle train/val/test. The
+    components relation is #clustered-docs rows — tiny next to the
+    corpus — and the assignment join is one equi shuffle (broadcast when
+    it fits); everything else is the map-side hash arithmetic shared
+    with the other sampling ops. The oracle replays the same fixpoint
+    via DuckDB's recursive CTE over the SAME shared edge CTE
+    (text._MINHASH_PAIRS_CTE), so even the iterative stage stays
+    hash-checked and the edge definition cannot drift from the dedup
+    entry's."""
+    from numalogic_prometheus_spark.operators import dedup as D
+    from numalogic_prometheus_spark.plans.text import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    bucket_spark, _ = _bucket_of("split_key")
+    edges = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = D.connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = (
+        d.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "split_key"
+            ),
+        )
+    )
+    bucket = F.expr(bucket_spark)
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -219,13 +219,16 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+# Shared MinHash→LSH→exact-Jaccard candidate CTE: sigs → one strict
+# band (all 8 min-hashes — the fixture corpus's tiny shared vocabulary
+# makes looser bands collide quadratically) → per-bucket canonical
+# pairing (linear in cluster size) → exact hashed-token-set Jaccard on
+# candidates only. Reused by dedup_minhash_lsh_pairs' oracle and by
+# sample_split_by_cluster's recursive-component oracle (sampling.py),
+# so the two entries can never disagree on the edge definition.
+_MINHASH_PAIRS_CTE = f"""
     WITH sigs AS ({_minhash_sig_sql(8)}),
     banded AS (
-        -- one strict band over all 8 min-hashes: the fixture corpus has a
-        -- tiny shared vocabulary, so looser bands collide quadratically
         SELECT doc_id,
                h0::VARCHAR || '_' || h1::VARCHAR || '_' || h2::VARCHAR || '_'
                || h3::VARCHAR || '_' || h4::VARCHAR || '_' || h5::VARCHAR
@@ -233,8 +236,6 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sigs
     ),
     cands AS (
-        -- pair each doc with its bucket's canonical (min doc_id) member:
-        -- linear in cluster size, vs the quadratic all-pairs self-join
         SELECT DISTINCT c.id_a, b.doc_id AS id_b
         FROM banded b
         JOIN (SELECT band_key, min(doc_id) AS id_a
@@ -259,6 +260,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toksets ta ON ta.doc_id = c.id_a
         JOIN toksets tb ON tb.doc_id = c.id_b
     )
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""{_MINHASH_PAIRS_CTE}
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard
     FROM scored WHERE jaccard >= 0.7
     """,
