@@ -249,6 +249,13 @@ def exact_jaccard(
 # int on both engines (exact cross-engine parity, no float, no overflow).
 SHINGLE_MOD = 2**32
 SHINGLE_C = (1000003, 30011, 65599)
+# The verified near-dup edge threshold — one definition shared by the
+# batch dedup plans (plans/text.py, both Spark filters and oracle SQL),
+# the cluster-keyed split (plans/sampling.py, via the shared edge CTE),
+# and the streaming incremental sink (streaming/incremental_dedup.py):
+# a threshold drift between any two of those silently changes what
+# "duplicate" means mid-pipeline.
+NEARDUP_JACCARD = 0.7
 # (P, Q) affine constants per MinHash seed: h_s(x) = (x*P + Q) mod 2^32.
 MINHASH_INT_SEEDS = (
     (2654435761 % 2**31, 374761393),

@@ -21,12 +21,19 @@ from numalogic_prometheus_spark.sources.tables import load_table
 
 # Portable hash-bucket in [0, 100): Spark and DuckDB agree bit-for-bit
 # (spark-duckdb parity: conv/substr(md5) == ('0x'||substr(md5))::BIGINT).
-_BUCKET_SPARK = (
-    "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % 100"
-)
-_BUCKET_SQL = (
-    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
-)
+
+
+def _bucket_of(col: str) -> tuple[str, str]:
+    """(spark_expr, duckdb_expr) for the portable [0,100) hash bucket of
+    an arbitrary BIGINT column — the single definition of the parity
+    trick; every sampling op derives its bucket from here."""
+    return (
+        f"conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) % 100",
+        f"('0x' || substr(md5({col}::VARCHAR), 1, 8))::BIGINT % 100",
+    )
+
+
+_BUCKET_SPARK, _BUCKET_SQL = _bucket_of("doc_id")
 
 # Per-source keep-rate (percent) for the stratified sample; unlisted
 # sources keep 20%.
@@ -280,24 +287,19 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Leakage-safe split: assign whole NEAR-DUPLICATE CLUSTERS to one side.
-# A plain per-doc hash split lets two near-identical documents land in
-# train and val — the classic eval-contamination leak that survives
-# dedup thresholds. Key the split by the duplicate-cluster label
-# (connected component of the Jaccard-VERIFIED MinHash near-dup graph —
-# the verified edges, not raw band/bit-distance collisions, so clusters
-# stay tight; singletons key by their own id) and the leak is
-# structurally impossible.
+# Leakage-safe split: assign whole DETECTED near-duplicate clusters to
+# one side. A plain per-doc hash split lets two near-identical documents
+# land in train and val — the classic eval-contamination leak that
+# survives dedup (the duplicates were found, but the split ignored
+# them). Keying the split by the duplicate-cluster label (connected
+# component of the Jaccard-verified MinHash near-dup graph; singletons
+# key by their own id) guarantees every pair the dedup pass DETECTS
+# stays on one side. Pairs the detector misses (the band config's
+# recall is < 1: an sim-0.7 pair collides on the full 8-hash band with
+# probability ~0.7^8) can still straddle — the guarantee is exactly as
+# strong as the edge set, which is why the edge definition is SHARED
+# with the dedup entry rather than redefined here.
 # ---------------------------------------------------------------------------
-
-
-def _bucket_of(col: str) -> tuple[str, str]:
-    """Portable [0,100) hash bucket of an arbitrary BIGINT column —
-    (spark_expr, duckdb_expr), same parity trick as _BUCKET_SPARK."""
-    return (
-        f"conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) % 100",
-        f"('0x' || substr(md5({col}::VARCHAR), 1, 8))::BIGINT % 100",
-    )
 
 
 def _split_by_cluster_oracle() -> str:
@@ -307,10 +309,7 @@ def _split_by_cluster_oracle() -> str:
     return (
         _MINHASH_PAIRS_CTE.replace("WITH sigs", "WITH RECURSIVE sigs", 1)
         + f"""
-    , edges AS (
-        SELECT id_a, id_b FROM scored WHERE jaccard >= 0.7
-    ),
-    sym AS (
+    , sym AS (
         SELECT id_a AS a, id_b AS b FROM edges
         UNION
         SELECT id_b AS a, id_a AS b FROM edges
@@ -342,18 +341,20 @@ def _split_by_cluster_oracle() -> str:
 def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-keyed 80/10/10 split: every document's split bucket is
     the portable hash of its duplicate-cluster label (min-id connected
-    component of the Jaccard-VERIFIED MinHash near-dup graph — same BSP
+    component of the Jaccard-verified MinHash near-dup graph — same BSP
     min-label propagation as dedup_cluster_components, over the
     dedup_minhash_lsh_pairs edges; singletons fall back to their own
-    doc_id), so near-duplicates can never straddle train/val/test. The
-    components relation is #clustered-docs rows — tiny next to the
+    doc_id), so no pair the dedup pass detects can straddle
+    train/val/test (pairs the band config misses still can — see the
+    section comment; the guarantee is exactly the edge set's recall).
+    The components relation is #clustered-docs rows — tiny next to the
     corpus — and the assignment join is one equi shuffle (broadcast when
     it fits); everything else is the map-side hash arithmetic shared
     with the other sampling ops. The oracle replays the same fixpoint
-    via DuckDB's recursive CTE over the SAME shared edge CTE
-    (text._MINHASH_PAIRS_CTE), so even the iterative stage stays
-    hash-checked and the edge definition cannot drift from the dedup
-    entry's."""
+    via DuckDB's recursive CTE over the SAME shared edge relation
+    (text._MINHASH_PAIRS_CTE ends with `edges`, threshold included), so
+    even the iterative stage stays hash-checked and the edge definition
+    cannot drift from the dedup entry's."""
     from numalogic_prometheus_spark.operators import dedup as D
     from numalogic_prometheus_spark.plans.text import (
         dedup_minhash_lsh_pairs,

@@ -219,13 +219,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared MinHash→LSH→exact-Jaccard candidate CTE: sigs → one strict
-# band (all 8 min-hashes — the fixture corpus's tiny shared vocabulary
-# makes looser bands collide quadratically) → per-bucket canonical
-# pairing (linear in cluster size) → exact hashed-token-set Jaccard on
-# candidates only. Reused by dedup_minhash_lsh_pairs' oracle and by
-# sample_split_by_cluster's recursive-component oracle (sampling.py),
-# so the two entries can never disagree on the edge definition.
+# The verified near-dup edge threshold — single definition in
+# operators/dedup.py, re-exported here for the oracle f-strings below
+# and sample_split_by_cluster's shared-CTE oracle (sampling.py).
+NEARDUP_JACCARD = D.NEARDUP_JACCARD
+
+# Shared MinHash→LSH→exact-Jaccard edge CTE: sigs → one strict band
+# (all 8 min-hashes — the fixture corpus's tiny shared vocabulary makes
+# looser bands collide quadratically) → per-bucket canonical pairing
+# (linear in cluster size) → exact hashed-token-set Jaccard on
+# candidates only → the thresholded `edges` relation. Reused by
+# dedup_minhash_lsh_pairs' oracle and by sample_split_by_cluster's
+# recursive-component oracle (sampling.py), THRESHOLD INCLUDED, so the
+# two entries can never disagree on the edge definition.
 _MINHASH_PAIRS_CTE = f"""
     WITH sigs AS ({_minhash_sig_sql(8)}),
     banded AS (
@@ -259,6 +265,10 @@ _MINHASH_PAIRS_CTE = f"""
         FROM cands c
         JOIN toksets ta ON ta.doc_id = c.id_a
         JOIN toksets tb ON tb.doc_id = c.id_b
+    ),
+    edges AS (
+        SELECT id_a, id_b, jaccard
+        FROM scored WHERE jaccard >= {NEARDUP_JACCARD}
     )
 """
 
@@ -266,8 +276,7 @@ _MINHASH_PAIRS_CTE = f"""
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""{_MINHASH_PAIRS_CTE}
-    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
-    FROM scored WHERE jaccard >= 0.7
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM edges
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,7 +314,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(D.truncate_lineage)
     cands = D.lsh_canonical_pairs(feat, "doc_id", "sig", bands=1, rows=8)
     scored = D.jaccard_by_sets(cands, feat, "doc_id", "toks")
-    return scored.filter(F.col("jaccard") >= 0.7).select(
+    return scored.filter(F.col("jaccard") >= NEARDUP_JACCARD).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -654,10 +663,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toksets tb ON tb.doc_id = bt.canon
     )
     SELECT doc_id,
-           CASE WHEN jaccard >= 0.7 THEN 'duplicate' ELSE 'new' END
+           CASE WHEN jaccard >= {NEARDUP_JACCARD} THEN 'duplicate' ELSE 'new' END
                AS verdict,
-           CASE WHEN jaccard >= 0.7 THEN canon ELSE NULL END AS dup_of,
-           CASE WHEN jaccard >= 0.7 THEN round(jaccard, 6)
+           CASE WHEN jaccard >= {NEARDUP_JACCARD} THEN canon ELSE NULL END AS dup_of,
+           CASE WHEN jaccard >= {NEARDUP_JACCARD} THEN round(jaccard, 6)
                 ELSE NULL END AS jaccard
     FROM scored
     """.replace("{hash32}", hash32_sql("t")),
@@ -710,7 +719,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    dup = F.col("jaccard") >= 0.7
+    dup = F.col("jaccard") >= NEARDUP_JACCARD
     return scored.select(
         "doc_id",
         F.when(dup, F.lit("duplicate")).otherwise(F.lit("new")).alias(

@@ -48,7 +48,9 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.operators import dedup as D
 
-_JACCARD_THRESHOLD = 0.7
+# shared with the batch dedup plans and the cluster-keyed split — see
+# operators/dedup.py NEARDUP_JACCARD
+_JACCARD_THRESHOLD = D.NEARDUP_JACCARD
 _INDEX_SCHEMA = "band_key string, canon bigint, toks array<int>"
 
 
