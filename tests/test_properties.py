@@ -418,3 +418,90 @@ def test_mad_over_time_matches_bruteforce(spark, series, tmp_path_factory):
     assert got.keys() == ref.keys()
     for k in ref:
         assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
+
+
+# ---------------------------------------------------------------------------
+# profile_column_stats: the melt → two-level aggregation must equal a
+# directly-computed per-column reference on arbitrary tables with NULLs,
+# duplicate values, and sub-day timestamps (which collapse to dates).
+# ---------------------------------------------------------------------------
+
+_maybe_key = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+_maybe_price = st.one_of(
+    st.none(),
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False, allow_infinity=False),
+)
+_maybe_status = st.one_of(st.none(), st.sampled_from(["F", "O", "P"]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_maybe_key, _maybe_price, _maybe_status,
+                  st.integers(min_value=0, max_value=47)),  # half-days
+        min_size=1,
+        max_size=15,
+    )
+)
+@_settings
+def test_profile_matches_direct_computation(spark, rows, tmp_path_factory):
+    from datetime import datetime, timedelta
+
+    from numalogic_prometheus_spark.plans.profiling import (
+        profile_column_stats,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (
+            i,  # o_orderkey: unique non-null
+            ck,
+            stt,
+            price,
+            base + timedelta(hours=12 * half_days),
+            None,  # o_orderpriority: all-NULL column edge
+        )
+        for i, (ck, price, stt, half_days) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    path = tmp_path_factory.mktemp("profile_prop")
+    df.write.mode("overwrite").parquet(str(path / "orders.parquet"))
+
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_column_stats(spark, str(path)).collect()
+    }
+
+    n = len(data)
+    custkeys = [r[1] for r in data if r[1] is not None]
+    prices = [r[3] for r in data if r[3] is not None]
+    statuses = [r[2] for r in data if r[2] is not None]
+    dates = sorted({r[4].date().isoformat() for r in data})
+
+    assert all(v["n_rows"] == n for v in got.values())
+    ck = got["o_custkey"]
+    assert ck["n_null"] == n - len(custkeys)
+    assert ck["n_distinct"] == len(set(custkeys))
+    if custkeys:
+        assert (ck["min_num"], ck["max_num"]) == (
+            float(min(custkeys)),
+            float(max(custkeys)),
+        )
+    else:
+        assert ck["min_num"] is None and ck["max_num"] is None
+    tp = got["o_totalprice"]
+    assert tp["n_null"] == n - len(prices)
+    assert tp["n_distinct"] == len(set(prices))
+    stc = got["o_orderstatus"]
+    assert stc["n_distinct"] == len(set(statuses))
+    assert stc["min_str"] == (min(statuses) if statuses else None)
+    dt = got["o_orderdate"]
+    assert dt["n_distinct"] == len(dates)  # sub-day timestamps collapse
+    assert (dt["min_str"], dt["max_str"]) == (dates[0], dates[-1])
+    pr = got["o_orderpriority"]
+    assert (pr["n_null"], pr["n_distinct"]) == (n, 0)
+    assert pr["min_str"] is None and pr["max_str"] is None
