@@ -744,8 +744,17 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = avg_d * 1.1
     ds_sub = F.when(ds0 >= thr, avg_d / 2.0).otherwise(ds0)
     de_sub = F.when(de >= thr, avg_d / 2.0).otherwise(de)
-    dz = si * (
-        F.col("first_c").cast("double") / F.col("delta_cents").cast("double")
+    # try_divide, not `/`: under ANSI (the driver's vanilla session)
+    # plain division RAISES on zero. delta_cents = 0 (flat counter) and
+    # si = 0 (all window samples share one timestamp) are both legal
+    # inputs; try_divide yields NULL exactly like the DuckDB oracle's
+    # x/0, and the And/CASE guards then fall through identically. On
+    # nonzero divisors the value is bit-identical, so green hashes are
+    # untouched. (The guard alone is not enough: dz appears in both the
+    # condition and the branch, and codegen subexpression elimination may
+    # hoist it above the short-circuit.)
+    dz = si * F.try_divide(
+        F.col("first_c").cast("double"), F.col("delta_cents").cast("double")
     )
     ds_eff = F.when(
         (F.col("delta_cents") > 0) & (F.col("first_c") >= 0) & (dz < ds_sub),
@@ -759,7 +768,7 @@ def promql_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta_cents",
         # floor(x·1e6 + 0.5) instead of round(x, 6) — see oracle comment
         F.floor(
-            F.col("delta_cents").cast("double") * (extrap / si)
+            F.col("delta_cents").cast("double") * F.try_divide(extrap, si)
             / 100.0
             / 3600.0
             * 1000000.0

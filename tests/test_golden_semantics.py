@@ -638,3 +638,48 @@ def test_incremental_dedup_verdicts_hand_computed(spark, tmp_path):
     # 'new'; if not banded with 3 its bucket is its own -> also 'new'
     assert out[15]["verdict"] == "new"
     assert out[15]["dup_of"] is None
+
+
+def test_extrapolated_rate_zero_delta_and_zero_span_survive_ansi(
+    spark, tmp_path
+):
+    """Flat counters (delta_cents = 0) and windows whose n>=2 samples all
+    share one timestamp (si = 0) are legal inputs; under the driver's
+    ANSI-mode session a plain division would raise DIVIDE_BY_ZERO on
+    either. try_divide must yield NULL (matching the DuckDB oracle's
+    x/0) instead of crashing, and ordinary windows must be unaffected."""
+    from numalogic_prometheus_spark.plans.promql2 import (
+        promql_rate_extrapolated,
+    )
+
+    rows = [
+        # h0: flat counter — every delta 0 -> delta_cents = 0
+        ("e", _ts("2024-01-01T00:10:00"), 1, 1.00),
+        ("e", _ts("2024-01-01T00:30:00"), 2, 0.00),
+        ("e", _ts("2024-01-01T00:50:00"), 3, 0.00),
+        # h1: two samples at the SAME timestamp -> si = 0
+        ("e", _ts("2024-01-01T01:30:00"), 4, 1.00),
+        ("e", _ts("2024-01-01T01:30:00"), 5, 1.00),
+        # h2: a normal window for contrast
+        ("e", _ts("2024-01-01T02:10:00"), 6, 1.00),
+        ("e", _ts("2024-01-01T02:50:00"), 7, 2.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["hour"].hour: r
+        for r in promql_rate_extrapolated(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # flat counter: rate 0 (delta 0, extrapolation finite)
+    assert got[0]["delta_cents"] == 0
+    assert got[0]["rate_per_sec_micro"] == 0
+    # zero-span window: NULL rate, not a crash
+    assert got[1]["rate_per_sec_micro"] is None
+    # the ordinary window still rates normally (synthetic counter is the
+    # running cumsum of cents, so value 2.00 adds a 200-cent delta)
+    assert got[2]["delta_cents"] == 200
+    assert got[2]["rate_per_sec_micro"] is not None
+    assert got[2]["rate_per_sec_micro"] > 0
