@@ -112,3 +112,24 @@ def test_recurrence_segmentation_beats_series_parallelism(spark, sf_dir):
     # at every SF the fixture spans ~30 days × 5 series ⇒ >32 groups,
     # enough to fill a full local[32] stage (and scales with data)
     assert n_segments >= 32, n_segments
+
+
+def test_spread_if_compact_is_conditional(spark, sf_dir):
+    """sources.tables.spread_if_compact must widen a narrower-than-cores
+    plan to default parallelism and leave an already-wide plan untouched
+    (no gratuitous exchange at scale)."""
+    from numalogic_prometheus_spark.sources.tables import (
+        load_table,
+        spread_if_compact,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    compact = load_table(spark, sf_dir, "orders")
+    assert compact.rdd.getNumPartitions() < par  # single-row-group fixture
+    widened = spread_if_compact(spark, compact)
+    assert widened.rdd.getNumPartitions() == par
+
+    wide = compact.repartition(par + 4)
+    untouched = spread_if_compact(spark, wide)
+    assert untouched.rdd.getNumPartitions() == par + 4
+    assert untouched is wide  # no new plan node at all
