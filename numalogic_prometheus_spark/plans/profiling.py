@@ -169,7 +169,7 @@ def _drift_oracle() -> str:
         "WITH per_col AS (" + "\nUNION ALL".join(per_col) + ")\n"
         "SELECT column_name, n_early, n_late, null_early, null_late,\n"
         "       nd_early, nd_late,\n"
-        "       round(nd_late / nd_early, 6) AS distinct_ratio,\n"
+        "       round(nd_late / NULLIF(nd_early, 0), 6) AS distinct_ratio,\n"
         "       (nd_late * 2 < nd_early OR nd_early * 2 < nd_late\n"
         "        OR null_late * n_early > 2 * null_early * n_late + n_late)\n"
         "           AS drift_flag\n"

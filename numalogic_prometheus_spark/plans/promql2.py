@@ -668,10 +668,16 @@ _EXTRAP_ORACLE = """
     ),
     eff AS (
         SELECT *,
+               -- NULLIF, matching Spark's try_divide: a zero divisor
+               -- must yield NULL in EVERY DuckDB version (DuckDB >= 1.1
+               -- defaults DOUBLE x/0 to inf under ieee_floating_point_ops;
+               -- NULLIF keeps the division from ever seeing the zero)
                CASE WHEN delta_cents > 0 AND first_c >= 0
-                         AND si * (first_c::DOUBLE / delta_cents::DOUBLE)
+                         AND si * (first_c::DOUBLE
+                                   / NULLIF(delta_cents, 0)::DOUBLE)
                              < ds_sub
-                    THEN si * (first_c::DOUBLE / delta_cents::DOUBLE)
+                    THEN si * (first_c::DOUBLE
+                               / NULLIF(delta_cents, 0)::DOUBLE)
                     ELSE ds_sub END AS ds_eff
         FROM sub
     )
@@ -679,7 +685,8 @@ _EXTRAP_ORACLE = """
            -- floor(x·1e6 + 0.5), not round(x, 6): DuckDB's round(DOUBLE)
            -- disagrees with Spark's BigDecimal HALF_UP on values one ulp
            -- below a .5 decimal boundary; floor is exact IEEE in both
-           floor(delta_cents::DOUBLE * ((si + ds_eff + de_sub) / si)
+           floor(delta_cents::DOUBLE * ((si + ds_eff + de_sub)
+                                        / NULLIF(si, 0.0))
                  / 100.0 / 3600.0 * 1000000.0 + 0.5)::BIGINT
                AS rate_per_sec_micro
     FROM eff

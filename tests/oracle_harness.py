@@ -10,6 +10,7 @@ still absorbing cross-engine fp formatting noise.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 
 import duckdb
@@ -64,8 +65,17 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
 def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
+        # crafted-fixture dirs (golden tests) carry only the tables the
+        # query reads; a view over a missing file would fail at CREATE.
+        # Spark-written fixtures are DIRECTORIES of part files (vs the
+        # driver's single-file testdata) — glob them for DuckDB.
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con.sql(sql).df()
 

@@ -683,3 +683,16 @@ def test_extrapolated_rate_zero_delta_and_zero_span_survive_ansi(
     assert got[2]["delta_cents"] == 200
     assert got[2]["rate_per_sec_micro"] is not None
     assert got[2]["rate_per_sec_micro"] > 0
+
+    # and the DuckDB oracle agrees on the crafted edges too (NULLIF in
+    # the oracle must mirror try_divide for any DuckDB x/0 behavior)
+    from numalogic_prometheus_spark import plans
+    from tests.oracle_harness import compare, run_oracle
+
+    compare(
+        promql_rate_extrapolated(spark, str(tmp_path)),
+        run_oracle(
+            str(tmp_path), plans.all_oracles()["promql_rate_extrapolated"]
+        ),
+        "rate_extrapolated_zero_edges",
+    )
