@@ -84,8 +84,10 @@ _MODULES = (
 #     win_first_last_nth, exposition_full_registry, agg_cube_flag_status,
 #     project_computed to the round-8 stale pool; their families stay
 #     represented in-window),
-#   * 3 queries whose PLANS changed late in round 7 (Q5/Q7 early
-#     fact-prune reorder, shingle dedup single-materialization) — values
+#   * 4 queries whose PLANS changed in round 7 (Q5/Q7 early fact-prune
+#     reorder, shingle dedup single-materialization, Q21's
+#     one-agg-instead-of-anti-join rewrite — displacing sort_global_topk;
+#     top-k family stays via win_topk_per_group/promql_topk) — values
 #     verified locally at sf0.001+sf0.01, but their cumulative green
 #     rows predate the shipped plans, so they re-green here (displacing
 #     scalar_math_funcs, win_rank_variants, join_left_outer_order_counts
@@ -116,6 +118,7 @@ _CHECK_FIRST = (
     "tpch_q5_region_volume",
     "tpch_q7_nation_volume",
     "dedup_shingle_minhash_pairs",
+    "tpch_q21_sole_late_supplier",
     # -- long-green sentinels (diverse families, same as r6) --
     "counter_monotonic_guard",
     "tpch_q6_forecast_revenue",
@@ -146,7 +149,6 @@ _CHECK_FIRST = (
     "scalar_json_extract",
     "scalar_nan_inf_clean",
     "set_union_intersect_except",
-    "sort_global_topk",
     "summary_by_type",
     "win_running_cumulative",
     "win_topk_per_group",

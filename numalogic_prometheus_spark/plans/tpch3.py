@@ -431,20 +431,27 @@ def tpch_q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 analog: suppliers who were the ONLY late shipper (>90 days
     after order) on orders involving multiple suppliers. The
-    EXISTS/NOT-EXISTS pair becomes a semi join (multi-supplier orders)
-    plus an anti join against other-supplier late rows — all three
-    relations shuffle on the same l_orderkey key, so AQE coalesces them
-    into one exchange lineage."""
+    EXISTS/NOT-EXISTS pair collapses into ONE aggregation of the late
+    rows per order — `count_distinct(supplier) == 1` IS the
+    sole-late-supplier predicate, and `min(supplier)` is then that
+    supplier — so the late relation is built once (the previous shape
+    recomputed the lineitem⋈orders join for each side of an anti join)
+    and no distinct or anti join is needed. Both aggregations and the
+    semi join key on l_orderkey, so the per-order agg reuses the fact
+    join's partitioning without a new exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
-    late = (
+    late_rows = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days")
         )
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+    )
+    per_order = late_rows.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_late"),
+        F.min("l_suppkey").alias("sole_supp"),
     )
     multi = (
         li.groupBy("l_orderkey")
@@ -452,19 +459,11 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ns") > 1)
         .select("l_orderkey")
     )
-    l1 = late.join(multi, "l_orderkey", "left_semi")
-    others_late = late.select(
-        F.col("l_orderkey").alias("o_orderkey2"),
-        F.col("l_suppkey").alias("other_suppkey"),
-    )
-    sole = l1.join(
-        others_late,
-        (l1.l_orderkey == others_late.o_orderkey2)
-        & (l1.l_suppkey != others_late.other_suppkey),
-        "left_anti",
+    sole = per_order.filter(F.col("n_late") == 1).join(
+        multi, "l_orderkey", "left_semi"
     )
     return (
-        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        sole.join(F.broadcast(supp), sole.sole_supp == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -186,11 +186,20 @@ def test_q8_star_join_broadcasts_all_dims(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1
 
 
-def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+def test_q21_is_one_agg_no_anti_join(spark, sf_dir):
+    """Round-7 rewrite: the NOT-EXISTS side of Q21 is answered by the
+    per-order late aggregation (count_distinct(supplier) == 1), not by
+    an anti join over a recomputed late relation — so the plan carries
+    exactly one semi join (multi-supplier orders), no anti join, and
+    builds the lineitem⋈orders join once."""
     plan = _plan(spark, sf_dir, "tpch_q21_sole_late_supplier")
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan, "anti join should be folded into the agg"
     assert "CartesianProduct" not in plan
+    # the late relation is built once: one orders scan; lineitem is
+    # scanned twice by design (late rows + the multi-supplier agg)
+    assert plan.count("orders.parquet") == 1, "late relation built twice"
+    assert plan.count("lineitem.parquet") == 2
 
 
 def test_q2_correlated_min_is_one_window_pass(spark, sf_dir):
