@@ -64,6 +64,22 @@ def test_profile_counts_nulls_and_distincts(spark, tmp_path):
     ok = got["o_orderkey"]
     assert (ok["n_null"], ok["n_distinct"]) == (0, 4)
 
+    # the DuckDB twin must agree on the NULL-bearing fixture too — the
+    # shipped testdata has no NULLs, so driver parity alone never
+    # exercises the oracle's null paths
+    _compare_with_oracle(spark, tmp_path, "profile_column_stats")
+
+
+def _compare_with_oracle(spark, tmp_path, name):
+    from numalogic_prometheus_spark import plans
+    from tests.oracle_harness import compare, run_oracle
+
+    compare(
+        plans.all_queries()[name](spark, str(tmp_path)),
+        run_oracle(str(tmp_path), plans.all_oracles()[name]),
+        f"{name}@crafted",
+    )
+
 
 def test_profile_drift_verdicts_hand_computed(spark, tmp_path):
     """profile_drift_halves flags exactly the engineered drifts: a
@@ -119,6 +135,7 @@ def test_profile_drift_verdicts_hand_computed(spark, tmp_path):
     assert got["o_custkey"]["nd_early"] == 6
     assert got["o_custkey"]["nd_late"] == 1
     assert got["o_orderstatus"]["null_late"] == 3
+    _compare_with_oracle(spark, tmp_path, "profile_drift_halves")
 
 
 def test_profile_drift_empty_early_era_reports_null_ratio(spark, tmp_path):
@@ -152,3 +169,5 @@ def test_profile_drift_empty_early_era_reports_null_ratio(spark, tmp_path):
         assert v["nd_early"] == 0
         assert v["distinct_ratio"] is None
         assert v["drift_flag"] is True  # 0 -> nonzero cardinality
+    # and the NULLIF'd oracle agrees on the zero-denominator fixture
+    _compare_with_oracle(spark, tmp_path, "profile_drift_halves")

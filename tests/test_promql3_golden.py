@@ -136,3 +136,16 @@ def test_mad_over_time_hand_computed(spark, tmp_path):
         10: 0.505,  # {0,100,101,301}: med 100.5, dev sorted
         #            {0.5,0.5,100.5,200.5} -> (0.5+100.5)/2 = 50.5 cents
     }
+
+    # the quantile_cont oracle must agree on the crafted duplicates /
+    # interpolation fixture too (independent formulation of both medians)
+    from numalogic_prometheus_spark import plans
+    from tests.oracle_harness import compare, run_oracle
+
+    compare(
+        promql_mad_over_time(spark, str(tmp_path)),
+        run_oracle(
+            str(tmp_path), plans.all_oracles()["promql_mad_over_time"]
+        ),
+        "mad_over_time@crafted",
+    )

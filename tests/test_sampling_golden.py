@@ -55,3 +55,17 @@ def test_cluster_split_never_straddles_near_dups(spark, tmp_path):
     }
     for doc_id, (key, split) in got.items():
         assert split == expected[key], (doc_id, key, split)
+
+
+    # and the recursive-CTE oracle replays the same components on the
+    # crafted corpus (the fixture sweep only sees the shipped testdata)
+    from numalogic_prometheus_spark import plans
+    from tests.oracle_harness import compare, run_oracle
+
+    compare(
+        sample_split_by_cluster(spark, str(tmp_path)),
+        run_oracle(
+            str(tmp_path), plans.all_oracles()["sample_split_by_cluster"]
+        ),
+        "split_by_cluster@crafted",
+    )
