@@ -388,17 +388,30 @@ def connected_components(
     """Duplicate-cluster resolution: connected components over a near-dup
     pair relation → (id, component) with component = min member id.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(diameter) rounds (≤ O(log n) on the star/chain shapes LSH banding
-    emits, since the min label jumps across the cluster once any member
-    sees it). Each round is one join + one aggregate — at 100 TB this is
-    the standard BSP shape (no driver-side graph), and the loop exits
-    early via a cheap convergence count.
+    Iterative min-label propagation WITH pointer doubling: each round
+    every node (1) adopts the smallest label among itself and its
+    neighbors, then (2) compresses one pointer hop (lbl ← lbl's own
+    label). The hop means the best label travels 2^k hops after k
+    rounds, so convergence is O(log diameter) rounds instead of the
+    plain adoption loop's O(diameter) — the sf0.1 simhash giant
+    component settles in 5 rounds (changed counts 4576→798→13→4→0).
+    Each round is two joins + one aggregate over the CHECKPOINTED edge
+    relation (the round-7 fix: an untruncated `sym` re-ran the whole
+    upstream pair pipeline every round — 16 s → 4.4 s at sf0.1) — the
+    standard BSP shape at 100 TB (no driver-side graph), with an early
+    exit via a cheap convergence count.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    # Truncate the edge lineage ONCE: `sym` is re-read by every round's
+    # neighbor join, and without the cut each round would re-run the
+    # entire upstream pair-generation pipeline (measured: the simhash
+    # pairs plan alone costs seconds per round at sf0.1 — the loop was
+    # paying it 5× over).
+    sym = truncate_lineage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct(),
+        reliable,
+    )
     labels = truncate_lineage(
         sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id")),
         reliable,
@@ -410,12 +423,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        adopted = labels.join(
+            neighbor_min, labels.id == neighbor_min.a, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer doubling: follow one label hop (lbl ← adopted[lbl]).
+        # Labels always name a member node whose own label is ≤ theirs,
+        # so the hop preserves the component invariant while letting the
+        # minimum travel 2^k hops by round k.
+        hop = adopted.select(
+            F.col("id").alias("pid"), F.col("lbl").alias("plbl")
+        )
         new_labels = truncate_lineage(
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
-                "id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
+            adopted.join(hop, adopted.lbl == hop.pid, "left").select(
+                "id", F.coalesce("plbl", "lbl").alias("lbl")
             ),
             # truncate lineage per round: without this the plan doubles
             # every iteration and analysis/codegen time goes exponential
