@@ -395,11 +395,14 @@ def connected_components(
     rounds, so convergence is O(log diameter) rounds instead of the
     plain adoption loop's O(diameter) — the sf0.1 simhash giant
     component settles in 5 rounds (changed counts 4576→798→13→4→0).
-    Each round is two joins + one aggregate over the CHECKPOINTED edge
-    relation (the round-7 fix: an untruncated `sym` re-ran the whole
-    upstream pair pipeline every round — 16 s → 4.4 s at sf0.1) — the
-    standard BSP shape at 100 TB (no driver-side graph), with an early
-    exit via a cheap convergence count.
+    Each round: neighbor join + min aggregate + adoption join, hop join
+    (which re-evaluates the adoption subplan — its shuffles are
+    exchange-reused and pinning it per round measured slower), and a
+    convergence-count join — all over the CHECKPOINTED edge relation
+    (the round-7 fix: an untruncated `sym` re-ran the whole upstream
+    pair pipeline every round — 16 s → 4.4 s at sf0.1). The standard
+    BSP shape at 100 TB: no driver-side graph, early exit via the cheap
+    convergence count.
     """
     # Truncate the edge lineage ONCE: `sym` is re-read by every round's
     # neighbor join, and without the cut each round would re-run the
@@ -431,6 +434,11 @@ def connected_components(
                 F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
             ).alias("lbl"),
         )
+        # NOT pinned, deliberately: the hop reads `adopted` twice, but
+        # its shuffles are exchange-reused and both inputs (labels, sym)
+        # are already checkpointed — measured, a per-round
+        # materialization of `adopted` costs more than the duplicated
+        # post-shuffle aggregate+probe it would save.
         # pointer doubling: follow one label hop (lbl ← adopted[lbl]).
         # Labels always name a member node whose own label is ≤ theirs,
         # so the hop preserves the component invariant while letting the

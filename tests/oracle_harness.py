@@ -92,3 +92,17 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
     a, b = _canon_frame(sp), _canon_frame(oracle_df)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
+
+
+def compare_crafted(spark, fixture_dir, name: str) -> None:
+    """Differential-check a REGISTERED query against its oracle on a
+    crafted golden fixture dir (which may hold only the tables the query
+    reads, written by Spark as parquet directories) — closes the blind
+    spots the shipped NULL-free testdata can't exercise."""
+    from numalogic_prometheus_spark import plans
+
+    compare(
+        plans.all_queries()[name](spark, str(fixture_dir)),
+        run_oracle(str(fixture_dir), plans.all_oracles()[name]),
+        f"{name}@crafted",
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from tests.oracle_harness import compare_crafted
+
 
 def test_profile_counts_nulls_and_distincts(spark, tmp_path):
     from numalogic_prometheus_spark.plans.profiling import (
@@ -67,18 +69,7 @@ def test_profile_counts_nulls_and_distincts(spark, tmp_path):
     # the DuckDB twin must agree on the NULL-bearing fixture too — the
     # shipped testdata has no NULLs, so driver parity alone never
     # exercises the oracle's null paths
-    _compare_with_oracle(spark, tmp_path, "profile_column_stats")
-
-
-def _compare_with_oracle(spark, tmp_path, name):
-    from numalogic_prometheus_spark import plans
-    from tests.oracle_harness import compare, run_oracle
-
-    compare(
-        plans.all_queries()[name](spark, str(tmp_path)),
-        run_oracle(str(tmp_path), plans.all_oracles()[name]),
-        f"{name}@crafted",
-    )
+    compare_crafted(spark, tmp_path, "profile_column_stats")
 
 
 def test_profile_drift_verdicts_hand_computed(spark, tmp_path):
@@ -135,7 +126,7 @@ def test_profile_drift_verdicts_hand_computed(spark, tmp_path):
     assert got["o_custkey"]["nd_early"] == 6
     assert got["o_custkey"]["nd_late"] == 1
     assert got["o_orderstatus"]["null_late"] == 3
-    _compare_with_oracle(spark, tmp_path, "profile_drift_halves")
+    compare_crafted(spark, tmp_path, "profile_drift_halves")
 
 
 def test_profile_drift_empty_early_era_reports_null_ratio(spark, tmp_path):
@@ -170,4 +161,4 @@ def test_profile_drift_empty_early_era_reports_null_ratio(spark, tmp_path):
         assert v["distinct_ratio"] is None
         assert v["drift_flag"] is True  # 0 -> nonzero cardinality
     # and the NULLIF'd oracle agrees on the zero-denominator fixture
-    _compare_with_oracle(spark, tmp_path, "profile_drift_halves")
+    compare_crafted(spark, tmp_path, "profile_drift_halves")

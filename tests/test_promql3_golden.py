@@ -139,13 +139,6 @@ def test_mad_over_time_hand_computed(spark, tmp_path):
 
     # the quantile_cont oracle must agree on the crafted duplicates /
     # interpolation fixture too (independent formulation of both medians)
-    from numalogic_prometheus_spark import plans
-    from tests.oracle_harness import compare, run_oracle
+    from tests.oracle_harness import compare_crafted
 
-    compare(
-        promql_mad_over_time(spark, str(tmp_path)),
-        run_oracle(
-            str(tmp_path), plans.all_oracles()["promql_mad_over_time"]
-        ),
-        "mad_over_time@crafted",
-    )
+    compare_crafted(spark, tmp_path, "promql_mad_over_time")

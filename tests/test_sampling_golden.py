@@ -59,13 +59,6 @@ def test_cluster_split_never_straddles_near_dups(spark, tmp_path):
 
     # and the recursive-CTE oracle replays the same components on the
     # crafted corpus (the fixture sweep only sees the shipped testdata)
-    from numalogic_prometheus_spark import plans
-    from tests.oracle_harness import compare, run_oracle
+    from tests.oracle_harness import compare_crafted
 
-    compare(
-        sample_split_by_cluster(spark, str(tmp_path)),
-        run_oracle(
-            str(tmp_path), plans.all_oracles()["sample_split_by_cluster"]
-        ),
-        "split_by_cluster@crafted",
-    )
+    compare_crafted(spark, tmp_path, "sample_split_by_cluster")
