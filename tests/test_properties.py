@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -184,20 +184,43 @@ def test_frame_sample_covers_payload(spark, payload_len):
     body=st.text(alphabet="ab cd e", min_size=300, max_size=600),
 )
 @_settings
+@example(
+    head='q',
+    body='bdedc e added  acac cbbebdb   b  d b bebabccadbece  acd eabedd'
+         'dbbdc eceaebacaeacb  cbb cdabdaadeaeaac  dedce dd eca db db e'
+         'dddadabaecbe db ba d bccceaa  cceaccbaec e e dd a acedaedae b'
+         'be a adddddcae cebecaccaa d ed aedcdea bb c edacdaaceaddcab e'
+         'eaec add     abcdabbadccecb e edacddbdabdbeed ecdc dcdedebdcc'
+         'ecdbeceedddeeaeced',
+).via('discovered failure')
 def test_cdc_boundary_stability(head, body):
     # THE content-defined-chunking property: inserting a head only
-    # perturbs chunks near the edit — the tail chunk hashes realign,
-    # which fixed-size chunking can never do (every offset shifts).
-    from numalogic_prometheus_spark.operators.cdc import chunk_text
+    # perturbs chunks near the edit — every chunk starting at/after the
+    # first preserved content boundary is identical, which fixed-size
+    # chunking can never achieve (every offset shifts).
+    from numalogic_prometheus_spark.operators.cdc import _MAX, chunk_text
 
     base = chunk_text(body)
-    edited = [h for _, _, h in chunk_text(head + body)]
-    # resynchronization needs content boundaries (not force cuts) to
-    # exist; degenerate periodic bodies may have none
-    content_cuts = [c for c in base if c[1] != 160]
-    if len(base) >= 4 and len(content_cuts) >= 3:
-        tail = [h for _, _, h in base[2:]]
-        assert edited[-len(tail):] == tail
+    edited = chunk_text(head + body)
+    body_len = len(body.encode("utf-8"))
+    shift = len(head.encode("utf-8"))
+    # Resync point: end of the first CONTENT cut in base (not a force
+    # cut at _MAX, not the final remainder chunk, which is emitted
+    # without a boundary).  The chunker's contract (cdc.py docstring)
+    # guarantees every chunk starting at/after this offset is identical
+    # in both chunkings; chunks BEFORE it (force cuts whose offsets
+    # shifted) legitimately differ.  Degenerate bodies whose only cuts
+    # are forced have no resync guarantee — nothing to assert.
+    resync = next(
+        (o + l for o, l, _ in base if l != _MAX and o + l < body_len),
+        None,
+    )
+    if resync is None:
+        return
+    tail = [h for o, _, h in base if o >= resync]
+    shifted = [h for o, _, h in edited if o >= resync + shift]
+    assert shifted == tail
+    assert tail  # the resync chunk itself always exists
 
 
 def test_cdc_chunks_partition_the_input():
