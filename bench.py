@@ -133,9 +133,34 @@ def main() -> None:
                 spark, lambda n=name: queries[n](spark, warm_dir), 20.0
             )
 
+    # Quiet-host guard (VERDICT r7 #6): this host shows sporadic external
+    # CPU-contention storms that have twice inflated whole bench windows
+    # ~2x on unchanged code (r6, and r7's rollup outlier — both
+    # root-caused by interleaved A/Bs, SCALE.md). Interleave one pass of
+    # a fixed cheap sentinel throughout the run and record its series +
+    # loadavg: a sentinel spread >2x brands the window contended INSIDE
+    # the artifact, so a slow number can be attributed without a
+    # next-round forensic.
+    sentinel_name = "counter_hourly"
+    sentinel_series: list[float] = []
+
+    def _sentinel_tick() -> None:
+        if sentinel_name not in queries:
+            return
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        status, _ = _timed_save(
+            spark, lambda: queries[sentinel_name](spark, sf_dir), 60.0
+        )
+        if status == "ok":
+            sentinel_series.append(round(time.perf_counter() - t0, 4))
+
+    loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi % 5 == 0:
+            _sentinel_tick()
         # hard wall guard: once the budget is spent, stop STARTING
         # queries — every remaining name still gets an explicit row, and
         # worst-case wall stays ≈ budget + one pass ceiling + cancel
@@ -201,6 +226,12 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             del errors[name]
 
+    _sentinel_tick()  # closing tick
+    spread = (
+        round(max(sentinel_series) / min(sentinel_series), 2)
+        if sentinel_series and min(sentinel_series) > 0
+        else None
+    )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -208,6 +239,16 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # contention-guard fields (VERDICT r7 #6): sentinel passes
+        # interleaved through the window + host load; spread >~2 means
+        # the window was externally contended and absolute times are
+        # suspect (the sentinel's code never changes round-to-round)
+        "sentinel": sentinel_name,
+        "sentinel_series": sentinel_series,
+        "sentinel_spread": spread,
+        "contended": bool(spread and spread > 2.0),
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
 

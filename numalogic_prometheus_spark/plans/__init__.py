@@ -63,103 +63,84 @@ _MODULES = (
     "profiling",
 )
 
-# ROUND-7 ROTATION (VERDICT r6 next-round #1 and #8). The driver verifies
+# ROUND-8 ROTATION (VERDICT r7 next-round #4 and #5). The driver verifies
 # the first 50 entries of queries(). This window holds:
-#   * the 2 round-6 late registrations that missed the r6 check window
-#     (promql_alert_firing, dedup_incremental_batch — registered after
-#     commit 3d5b3d6 froze the window; their first driver rows land here,
-#     closing the registry at 195/195 checked at least once),
-#   * promql_rate_extrapolated — its first-sample delta semantics changed
-#     this round (ADVICE r6 medium: NULL raw_delta no longer contributes
-#     the counter value as a phantom reset; zero-clamp now applied after
-#     the 1.1x-threshold substitution, matching promql/functions.go), so
-#     the green r6 row no longer covers the shipped code,
-#   * agg_approx_distinct — graduated rows-only -> oracle-backed via the
-#     KMV route this round; first hash check,
-#   * the 6 queries REGISTERED this round (present/absent/mad_over_time,
-#     plans/promql3.py; profile_column_stats + profile_drift_halves,
-#     plans/profiling.py; sample_split_by_cluster, plans/sampling.py) —
-#     in-window from day one so no entry ever again ships without a
-#     driver row (displacing join_cross_small, scalar_string_funcs,
-#     win_first_last_nth, exposition_full_registry, agg_cube_flag_status,
-#     project_computed to the round-8 stale pool; their families stay
-#     represented in-window),
-#   * 4 queries whose PLANS changed in round 7 (Q5/Q7 early fact-prune
-#     reorder, shingle dedup single-materialization, Q21's
-#     one-agg-instead-of-anti-join rewrite — displacing sort_global_topk;
-#     top-k family stays via win_topk_per_group/promql_topk) — values
-#     verified locally at sf0.001+sf0.01, but their cumulative green
-#     rows predate the shipped plans, so they re-green here (displacing
-#     scalar_math_funcs, win_rank_variants, join_left_outer_order_counts
-#     to the round-8 stale pool — their families stay represented),
-#   * ~6 diverse long-green sentinels (same set as r6: a TPC-H, a
+#   * the 10 entries whose SEMANTICS changed this round — the framed
+#     *_over_time family + promql_subquery_max_rate (plans/promql2.py)
+#     and promql_mad_over_time (plans/promql3.py) migrated from the
+#     closed [t-1h, t] lookback to the Prometheus-3 left-open (t-1h, t]
+#     convention (VERDICT r7 #4), so their cumulative green rows no
+#     longer cover the shipped code; re-verified locally at
+#     sf0.001 + sf0.01 before rotation,
+#   * the 10-entry round-8 stale pool displaced from the r7 window
+#     (VERDICT r7 #5) — last driver rows r1,
+#   * the 6 diverse long-green sentinels (same set as r6/r7: a TPC-H, a
 #     curation, an ANN, a streaming twin, a rollup, the counter guard),
-#   * the ~37 stalest entries — the rest of the round-1/2 pool gets
-#     re-greened before anything seen more recently.
+#   * 2 rows-only recurrences (ts_ewma_irregular,
+#     ts_holt_winters_level_trend) whose last driver rows (r4) predate
+#     the round-7 JVM re-key — refresh the weaker rows-only check on the
+#     shipped plans,
+#   * any queries REGISTERED this round (in-window from day one — the
+#     r6 rule that no entry ships without a driver row),
+#   * the stalest r2-green entries filling the window to 50 — the r2
+#     pool drains before anything seen more recently.
 _CHECK_FIRST = (
-    # -- the two never-driver-checked round-6 registrations --
-    "promql_alert_firing",
-    "dedup_incremental_batch",
-    # -- semantics changed this round; r6 green row is stale --
-    "promql_rate_extrapolated",
-    # -- graduated rows-only -> oracle-backed this round --
-    "agg_approx_distinct",
-    # -- new round-7 registrations (inside the window from day one, per
-    # VERDICT r6 #1: no entry ships without a driver row again) --
-    "promql_present_over_time",
-    "promql_absent_over_time",
+    # -- left-open window-edge migration (semantics changed r8) --
+    "promql_sum_over_time",
+    "promql_avg_over_time",
+    "promql_min_over_time",
+    "promql_max_over_time",
+    "promql_count_over_time",
+    "promql_stdvar_over_time",
+    "promql_stddev_over_time",
+    "promql_last_over_time",
+    "promql_subquery_max_rate",
     "promql_mad_over_time",
-    "profile_column_stats",
-    "profile_drift_halves",
-    "sample_split_by_cluster",
-    # -- plan changed this round (values verified locally at two SFs,
-    # but the cumulative green rows predate the shipped plans): Q5/Q7
-    # early fact-prune reorder, shingle dedup single-materialization --
-    "tpch_q5_region_volume",
-    "tpch_q7_nation_volume",
-    "dedup_shingle_minhash_pairs",
-    "tpch_q21_sole_late_supplier",
-    # -- long-green sentinels (diverse families, same as r6) --
+    # -- round-8 stale pool (displaced from the r7 window; last row r1) --
+    "agg_cube_flag_status",
+    "project_computed",
+    "join_left_outer_order_counts",
+    "join_cross_small",
+    "win_rank_variants",
+    "win_first_last_nth",
+    "sort_global_topk",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "exposition_full_registry",
+    # -- long-green sentinels (diverse families, same as r6/r7) --
     "counter_monotonic_guard",
     "tpch_q6_forecast_revenue",
     "pipeline_curation_verdicts",
     "vec_ann_tuned_topk",
     "stream_counter_rate",
     "rollup_quantile_sketch_daily",
-    # -- stale re-green: last driver row r1 --
-    "agg_conditional_buckets",
-    "agg_distinct_counts",
-    "agg_rollup_region_nation",
-    "agg_stats_moments",
-    "exposition_counter",
-    "filter_predicates",
-    "histogram_cumulative",
-    "info_latest_per_user",
-    "join_anti_inactive_customers",
-    "join_band_value_tiers",
-    "join_broadcast_enrich",
-    "join_fact_fact_revenue",
-    "join_full_outer_keys",
-    "join_semi_active_customers",
-    "label_merge_right_biased",
-    "promql_histogram_quantile_p90",
-    "promql_label_ops",
-    "promql_topk_users_hourly",
-    "scalar_array_funcs",
-    "scalar_json_extract",
-    "scalar_nan_inf_clean",
-    "set_union_intersect_except",
-    "summary_by_type",
-    "win_running_cumulative",
-    "win_topk_per_group",
-    # -- stale re-green: last driver row r2 (diverse picks) --
-    "dedup_minhash_lsh_pairs",
-    "tpch_q3_shipping_priority",
-    "ml_ensemble_unified",
-    "subquery_correlated_max_per_cust",
-    "vec_cosine_topk",
+    # -- rows-only refresh: last driver rows r4, plans re-keyed r7 --
+    "ts_ewma_irregular",
+    "ts_holt_winters_level_trend",
+    # -- stale re-green: last driver row r2 --
+    "text_stats",
+    "text_quality_by_source",
+    "text_langid_confusion",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_minhash_signatures",
+    "text_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_cluster_components",
+    "vec_norm_stats",
+    "vec_ann_signbucket_topk",
+    "vec_ann_multiband_topk",
+    "vec_neardup_pairs",
+    "ml_zscore_scaled",
+    "ml_minmax_scaled",
+    "ml_tanh_scaled",
+    "ml_static_threshold",
+    "ml_quantile_threshold",
+    "tpch_q10_returned_items",
+    "udf_scalar_pandas_tanh",
+    "udf_grouped_agg_threshold",
 )
-
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

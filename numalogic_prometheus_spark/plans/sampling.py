@@ -315,10 +315,18 @@ def _split_by_cluster_oracle() -> str:
         SELECT id_b AS a, id_a AS b FROM edges
     ),
     reach AS (
-        SELECT a AS id, a AS lbl FROM sym
+        -- Improving-label frontier (ADVICE r7): carry only labels
+        -- SMALLER than the receiving node, so the recursion's row space
+        -- is (node, smaller-reaching-label) — expected O(k log k) per
+        -- k-node cluster for arbitrary id orderings — instead of the
+        -- full O(k^2) (member, any-reaching-node) reachability set. The
+        -- component minimum m still reaches every member: m < every
+        -- other id in its component, so the filter never blocks it.
+        SELECT b AS id, a AS lbl FROM sym WHERE a < b
         UNION
         SELECT e.b AS id, r.lbl AS lbl
         FROM reach r JOIN sym e ON e.a = r.id
+        WHERE r.lbl < e.b
     ),
     comp AS (
         SELECT id AS doc_id, min(lbl)::BIGINT AS component
@@ -355,25 +363,35 @@ def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text._MINHASH_PAIRS_CTE ends with `edges`, threshold included), so
     even the iterative stage stays hash-checked and the edge definition
     cannot drift from the dedup entry's."""
+    return _assign_cluster_split(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        build_components(spark, sf_dir),
+    )
+
+
+def build_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, component) relation the split keys off: min-id
+    connected components of the Jaccard-verified MinHash near-dup graph
+    (shared edge definition — see sample_split_by_cluster)."""
     from numalogic_prometheus_spark.operators import dedup as D
     from numalogic_prometheus_spark.plans.text import (
         dedup_minhash_lsh_pairs,
     )
 
-    bucket_spark, _ = _bucket_of("split_key")
     edges = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = D.connected_components(edges).select(
+    return D.connected_components(edges).select(
         F.col("id").alias("doc_id"), "component"
     )
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    keyed = (
-        d.join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                "split_key"
-            ),
-        )
+
+
+def _assign_cluster_split(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """80/10/10 assignment given a components relation: one equi join
+    (broadcast when comp fits — it is #clustered-docs rows, tiny next to
+    the corpus) + map-side hash arithmetic."""
+    bucket_spark, _ = _bucket_of("split_key")
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
     )
     bucket = F.expr(bucket_spark)
     return keyed.select(
@@ -383,4 +401,50 @@ def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+def write_components_snapshot(
+    spark: SparkSession, sf_dir: str, snapshot_dir: str
+) -> None:
+    """Materialize the components relation to a parquet snapshot — the
+    production shape at 100 TB (VERDICT r7 #7): the BSP fixpoint over
+    the full pair pipeline runs ONCE per corpus version, and every
+    downstream consumer (splits, dedup reporting, re-splits under new
+    ratios) reads the tiny snapshot instead of re-deriving it — the same
+    amortization `streaming/incremental_dedup.py` applies to the band
+    index. Spark's parquet committer writes a _SUCCESS marker; readers
+    must treat a marker-less directory as a crashed write (see
+    read_components_snapshot)."""
+    build_components(spark, sf_dir).write.mode("overwrite").parquet(
+        snapshot_dir
+    )
+
+
+def read_components_snapshot(
+    spark: SparkSession, snapshot_dir: str
+) -> DataFrame:
+    """Read a committed components snapshot; refuses a directory whose
+    _SUCCESS marker is missing (crashed mid-write) rather than silently
+    splitting against a partial fixpoint."""
+    import os
+
+    if not os.path.exists(os.path.join(snapshot_dir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"components snapshot {snapshot_dir!r} has no _SUCCESS marker "
+            "(missing or crashed write)"
+        )
+    return spark.read.parquet(snapshot_dir)
+
+
+def sample_split_from_snapshot(
+    spark: SparkSession, sf_dir: str, snapshot_dir: str
+) -> DataFrame:
+    """`sample_split_by_cluster` reading a materialized components
+    snapshot instead of re-running the pair pipeline + BSP — identical
+    assignments by construction (same fixpoint relation, same hash
+    arithmetic; pinned by tests/test_sampling_layout.py)."""
+    return _assign_cluster_split(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        read_components_snapshot(spark, snapshot_dir),
     )

@@ -9,6 +9,8 @@ free because every downstream operator filters/aggregates through Catalyst.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -86,16 +88,68 @@ def load_table_spread(
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark size conf ('134217728', '128m', '1g') to bytes."""
+    s = conf_val.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int | None:
+    """Estimate how many input splits the plan's file scans produce,
+    WITHOUT converting the plan to an RDD (``df.rdd.getNumPartitions()``
+    forces a full physical-plan conversion at plan-build time — a real
+    driver-side cost on non-trivial plans, and its pre-AQE count can
+    differ from what executes; ADVICE r7). ``inputFiles()`` only walks
+    the analyzed plan for scan relations. Returns None when the plan has
+    no file scan or the files aren't stat-able locally (remote FS) —
+    callers fall back to assuming the input is already wide, the
+    at-scale truth. The check is capped to SCAN-ROOTED plans (projection
+    and filter only): any width-changing operator — an explicit
+    repartition, a join, an aggregate — means the plan's executed width
+    is no longer the scan's file-split count, so the estimate would be
+    wrong in both directions."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            tok in plan
+            for tok in ("Repartition", "Join", "Aggregate", "Window", "Sort")
+        ):
+            return None
+        files = df.inputFiles()
+    except Exception:  # non-scan-rooted or unresolvable plan
+        return None
+    if not files:
+        return None
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            size = os.stat(path).st_size
+        except OSError:
+            return None  # remote/virtual path: trust the source layout
+        splits += max(1, -(-size // max_split))
+    return splits
+
+
 def spread_if_compact(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism,
-    ONLY when the plan's current partitioning is narrower than the
-    cluster — the conditional sibling of :func:`load_table_spread` for
-    plans whose expensive phase (wide partial aggregates, per-row array
-    assembly) runs wherever the scan put the rows. A compact input (one
-    unsplittable parquet row group locally; any file count < cores)
-    would serialize that phase; at scale the scan arrives with ≥ cores
-    splits and this is a no-op — no extra shuffle."""
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    ONLY when the plan's scan produces fewer input splits than the
+    cluster has cores — the conditional sibling of
+    :func:`load_table_spread` for plans whose expensive phase (wide
+    partial aggregates, per-row array assembly) runs wherever the scan
+    put the rows. A compact input (one unsplittable parquet row group
+    locally; any file count < cores) would serialize that phase; at
+    scale the scan arrives with ≥ cores splits and this is a no-op — no
+    extra shuffle. The width check reads file metadata off the analyzed
+    plan (see :func:`_estimated_scan_splits`), never the RDD."""
+    splits = _estimated_scan_splits(spark, df)
+    if splits is not None and splits < spark.sparkContext.defaultParallelism:
         return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 

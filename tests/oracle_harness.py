@@ -64,6 +64,7 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
 
 def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
+    created = 0
     for t in TABLES:
         # crafted-fixture dirs (golden tests) carry only the tables the
         # query reads; a view over a missing file would fail at CREATE.
@@ -76,6 +77,14 @@ def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
             path = os.path.join(path, "*.parquet")
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+        created += 1
+    if created == 0:
+        # a typo'd fixture dir would otherwise surface only as a
+        # confusing DuckDB "table does not exist" (ADVICE r7)
+        raise FileNotFoundError(
+            f"run_oracle: no *.parquet tables found under {sf_dir!r} "
+            f"(expected some of {sorted(TABLES)})"
         )
     return con.sql(sql).df()
 

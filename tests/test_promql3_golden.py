@@ -86,16 +86,18 @@ def test_absent_over_time_complements_spine(spark, tmp_path, presence_fixture):
 
 def test_mad_over_time_hand_computed(spark, tmp_path):
     """Trailing-1h MAD on crafted series, covering: singleton windows,
-    the closed [t−1h, t] range frame (sample exactly 1h back IS a peer,
-    matching the family's rangeBetween(−1h, 0)), duplicate-timestamp
-    peers, and even-count median interpolation landing on the
-    quarter-cent grid."""
+    the left-open (t−1h, t] range frame (a sample exactly 1h back is
+    NOT a peer — the unified r8 engine convention, rangeBetween(−1h+1µs,
+    0)), duplicate-timestamp peers, and even-count median interpolation
+    landing on the quarter-cent grid."""
     from numalogic_prometheus_spark.plans.promql3 import promql_mad_over_time
 
     t0 = _ts("2024-01-01T00:00:00")
     rows = [
-        # series a: windows {1}, {1,3}, {1,3,2} (3600s back inclusive),
-        # then an isolated sample with an empty lookback besides itself
+        # series a: windows {1}, {1,3}, then {3,2} — the t0 sample is
+        # exactly 3600s back from event 3 and falls OUTSIDE the
+        # left-open window; then an isolated sample with an empty
+        # lookback besides itself
         ("a", t0, 1, 1.0),
         ("a", t0 + timedelta(seconds=1800), 2, 3.0),
         ("a", t0 + timedelta(seconds=3600), 3, 2.0),
@@ -126,7 +128,7 @@ def test_mad_over_time_hand_computed(spark, tmp_path):
     assert got == {
         1: 0.0,  # {100}: med 100, deviations {0}
         2: 1.0,  # {100,300}: med 200, deviations {100,100}
-        3: 1.0,  # {100,300,200}: med 200, deviations {0,100,100}
+        3: 0.5,  # {300,200} (t0 excluded, left-open): med 250, dev {50,50}
         4: 0.0,  # singleton window
         5: 1.0,  # peers {100,300} at same ts
         6: 1.0,

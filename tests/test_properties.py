@@ -366,7 +366,8 @@ def test_incremental_dedup_index_merge_is_reaggregable(spark, corpus, split):
 # mad_over_time: the grouped-bucket window assembly + midpoint-median
 # array expressions must equal a brute-force per-anchor reference on
 # arbitrary series — guarding the bucket boundary (prev/cur join), the
-# closed [t-1h, t] range, duplicate timestamps, and both median parities.
+# left-open (t-1h, t] range, duplicate timestamps, and both median
+# parities.
 # ---------------------------------------------------------------------------
 
 _mad_sample = st.tuples(
@@ -424,7 +425,7 @@ def test_mad_over_time_matches_bruteforce(spark, series, tmp_path_factory):
         ]
         for a_us, eid, _c in pts:
             window = sorted(
-                c for b_us, _e, c in pts if a_us - _LOOK_US <= b_us <= a_us
+                c for b_us, _e, c in pts if a_us - _LOOK_US < b_us <= a_us
             )
             med = median(window)
             dev = sorted(abs(c - med) for c in window)

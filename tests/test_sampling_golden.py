@@ -62,3 +62,41 @@ def test_cluster_split_never_straddles_near_dups(spark, tmp_path):
     from tests.oracle_harness import compare_crafted
 
     compare_crafted(spark, tmp_path, "sample_split_by_cluster")
+
+
+def test_components_snapshot_path_equals_inline(spark, sf_dir, tmp_path):
+    """VERDICT r7 #7: the materialized-components split variant. The
+    snapshot write must commit with a _SUCCESS marker, the
+    snapshot-reading split must produce byte-identical assignments to
+    the self-contained oracle-checked entry (same fixpoint relation,
+    same hash arithmetic), and an uncommitted snapshot dir must be
+    refused, not silently read."""
+    import os
+
+    import pytest
+
+    from numalogic_prometheus_spark.plans.sampling import (
+        read_components_snapshot,
+        sample_split_by_cluster,
+        sample_split_from_snapshot,
+        write_components_snapshot,
+    )
+
+    snap = str(tmp_path / "components_snap")
+    write_components_snapshot(spark, sf_dir, snap)
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+
+    inline = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in sample_split_by_cluster(spark, sf_dir).collect()
+    }
+    from_snap = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in sample_split_from_snapshot(spark, sf_dir, snap).collect()
+    }
+    assert from_snap == inline and inline
+
+    # a crashed write (no _SUCCESS) must be refused
+    os.remove(os.path.join(snap, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError):
+        read_components_snapshot(spark, snap)
