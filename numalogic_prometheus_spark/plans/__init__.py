@@ -117,6 +117,13 @@ _CHECK_FIRST = (
     # -- rows-only refresh: last driver rows r4, plans re-keyed r7 --
     "ts_ewma_irregular",
     "ts_holt_winters_level_trend",
+    # -- new round-8 registrations (in-window from day one) --
+    "promql_quantile_over_time_sliding",
+    # -- semantics changed r8: the sf0.1 sweep caught a rounding-tie
+    # divergence class (in-query round of exact-integer ratios);
+    # overlap now exact integer microseconds, the rollup avg unrounded --
+    "join_interval_bucketed",
+    "rollup_daily_from_hourly",
     # -- stale re-green: last driver row r2 --
     "text_stats",
     "text_quality_by_source",
@@ -137,9 +144,6 @@ _CHECK_FIRST = (
     "ml_tanh_scaled",
     "ml_static_threshold",
     "ml_quantile_threshold",
-    "tpch_q10_returned_items",
-    "udf_scalar_pandas_tanh",
-    "udf_grouped_agg_threshold",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

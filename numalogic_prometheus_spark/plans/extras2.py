@@ -315,7 +315,8 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
     )
     SELECT err_id, pur_id,
-           round(epoch(least(e1, e2) - greatest(s1, s2)), 3) AS overlap_s
+           epoch_us(least(e1, e2)) - epoch_us(greatest(s1, s2))
+               AS overlap_us
     FROM err JOIN pur ON s1 <= e2 AND s2 <= e1
     """,
 )
@@ -327,7 +328,13 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     residually; distinct collapses multi-bucket matches. Interval length
     (10 min) ≪ bucket width (1 h) keeps the expansion ≤ 2×. This is the
     manual form of a range-join optimization — semantics oracle-checked
-    against the plain inequality join."""
+    against the plain inequality join.
+
+    The overlap is emitted as exact integer MICROSECONDS: the round-8
+    sf0.1 sweep caught the previous `round(us/1e6, 3)` form landing on a
+    .0005 tie where Spark's HALF_UP and DuckDB's rounding disagree
+    (521.1845 → 521.185 vs 521.184) — the registry's integer-arithmetic
+    rule ([[spark-duckdb-parity-gotchas]]) applied to durations."""
     ev = load_table(spark, sf_dir, "events")
 
     def intervals(etype: str, idc: str, s: str, e: str) -> DataFrame:
@@ -366,7 +373,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "err_id",
             "pur_id",
-            F.round(overlap / 1_000_000.0, 3).alias("overlap_s"),
+            overlap.alias("overlap_us"),
         )
         .distinct()
     )

@@ -207,12 +207,19 @@ _register_over_time(
     lambda w: F.sum(_cents()).over(w),
     "(sum(round(value * 100)::BIGINT) OVER w)::BIGINT",
 )
+# avg / stdvar emit the UNROUNDED double of an exact-integer ratio: the
+# round-8 sf0.1 sweep caught in-query round(x, 6) landing on .5e-6 ties
+# where Spark's HALF_UP (BigDecimal on the shortest repr) and DuckDB's
+# rounding disagree (e.g. avg 32.1209375 → 32.120938 vs 32.120937; 29
+# rows at sf0.1). Identical int64 inputs through identical-order IEEE
+# ops give bit-identical doubles in both engines, so NOT rounding is the
+# exact path — rounding was the only divergence source.
 _register_over_time(
     "promql_avg_over_time",
     "avg_1h",
-    lambda w: F.round(F.sum(_cents()).over(w) / F.count(F.lit(1)).over(w) / 100.0, 6),
-    "round((sum(round(value * 100)::BIGINT) OVER w)::BIGINT"
-    " / (count(*) OVER w) / 100.0, 6)",
+    lambda w: F.sum(_cents()).over(w) / F.count(F.lit(1)).over(w) / 100.0,
+    "(sum(round(value * 100)::BIGINT) OVER w)::BIGINT"
+    " / (count(*) OVER w) / 100.0",
 )
 _register_over_time(
     "promql_min_over_time",
@@ -256,14 +263,14 @@ _VAR_NUMER_SQL = (
 _register_over_time(
     "promql_stdvar_over_time",
     "stdvar_1h",
-    lambda w: (lambda nu, n: F.round(nu / (n * n) / 10000.0, 6))(*_var_numer(w)),
-    f"round(({_VAR_NUMER_SQL}) / ((count(*) OVER w) * (count(*) OVER w)) / 10000.0, 6)",
+    lambda w: (lambda nu, n: nu / (n * n) / 10000.0)(*_var_numer(w)),
+    f"({_VAR_NUMER_SQL}) / ((count(*) OVER w) * (count(*) OVER w)) / 10000.0",
 )
 _register_over_time(
     "promql_stddev_over_time",
     "stddev_1h",
-    lambda w: (lambda nu, n: F.round(F.sqrt(nu / (n * n)) / 100.0, 6))(*_var_numer(w)),
-    f"round(sqrt(({_VAR_NUMER_SQL}) / ((count(*) OVER w) * (count(*) OVER w))) / 100.0, 6)",
+    lambda w: (lambda nu, n: F.sqrt(nu / (n * n)) / 100.0)(*_var_numer(w)),
+    f"sqrt(({_VAR_NUMER_SQL}) / ((count(*) OVER w) * (count(*) OVER w))) / 100.0",
 )
 
 
@@ -404,8 +411,11 @@ _STEP_US = 300_000_000  # 5m inner step
         FROM events GROUP BY event_type, b
     ),
     r AS (
+        -- unrounded: n/300.0 is an exact-integer ratio, bit-identical
+        -- in both engines; in-query round(x, 6) is the only possible
+        -- divergence (.5e-6 ties, see the avg/stdvar note above)
         SELECT event_type, b * {_STEP_US} AS bucket_us,
-               round(n / 300.0, 6) AS rate_5m
+               n / 300.0 AS rate_5m
         FROM g
     )
     SELECT event_type, bucket_us, rate_5m,
@@ -439,7 +449,7 @@ def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             (F.col("b") * _STEP_US).alias("bucket_us"),
-            F.round(F.col("n") / 300.0, 6).alias("rate_5m"),
+            (F.col("n") / 300.0).alias("rate_5m"),
         )
     )
     w = (

@@ -162,53 +162,17 @@ def promql_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAD_ORACLE = f"""
-    WITH c AS (
-        SELECT event_type, event_id, epoch_us(ts) AS us,
-               round(value * 100)::BIGINT AS c
-        FROM events
-    ),
-    a AS (
-        SELECT event_type, event_id, us, c,
-               quantile_cont(c, 0.5) OVER (
-                   PARTITION BY event_type ORDER BY us
-                   RANGE BETWEEN {_LOOK_US - 1} PRECEDING AND CURRENT ROW
-               ) AS med_c
-        FROM c
-    )
-    SELECT a.event_type, a.event_id,
-           round(quantile_cont(abs(b.c - a.med_c), 0.5) / 100.0, 6)
-               AS mad_1h
-    FROM a JOIN c b
-      ON b.event_type = a.event_type
-     AND b.us > a.us - {_LOOK_US} AND b.us <= a.us
-    GROUP BY a.event_type, a.event_id
-"""
-
-
-@register("promql_mad_over_time", oracle=_MAD_ORACLE)
-def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL `mad_over_time(m[1h])` analog: per-sample trailing-1h
-    median absolute deviation. Samples are grouped once into per-
-    (series, 1h-bucket) arrays; each anchor row joins its own and the
-    previous bucket's array (equi keys, the grouped side broadcasts
-    locally) and assembles its exact window map-side — filter the two
-    arrays by the left-open (t−1h, t] range (the unified engine
-    convention), then BOTH medians — the window median
-    and the median of absolute deviations from it — come from one
-    sorted array as pure JVM expressions (array_sort + midpoint
-    element_at). Two shapes were rejected: a RANGE-framed window
-    percentile recomputes its frame per row inside #series-bounded
-    partitions (O(rows × window), parallelism ceiling = #series), and an
-    anchor×candidate pair self-join shuffles O(rows × window) pair rows;
-    this one shuffles O(rows) and its per-anchor state is bounded by
-    samples-per-2h per series. Exactness: cents are integers, so midpoint
-    averages land on the half-cent grid and deviation medians on the
-    quarter-cent grid — no rounding before the final /100, and the
-    DuckDB twin (the algorithmically independent quantile_cont
-    formulation) hash-matches. Same-timestamp samples are kept by the
-    range filter (s.a_us ≤ anchor us keeps equal-us rows), matching the
-    oracle's RANGE-frame peer semantics, so duplicates need no dedup."""
+def _windowed_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor sorted integer-cent array of the left-open (t−1h, t]
+    window, the shared substrate of the order-statistic range functions
+    (`mad_over_time`, `quantile_over_time` sliding): group samples once
+    into per-(series, 1h-bucket) arrays, join each anchor to its own +
+    previous bucket (equi keys; the grouped side broadcasts locally),
+    and assemble the exact window map-side. One grouped relation instead
+    of an anchor×candidate pair explosion — shuffle volume is O(input)
+    (each sample rides inside its bucket's array exactly once) rather
+    than O(input × window) pair rows. Columns: event_type, event_id,
+    a_us, arr (sorted array<long> of cents)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select(
@@ -218,13 +182,6 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("c"),
         F.expr(f"{epoch_us_sql('ts')} div {_LOOK_US}").alias("bkt"),
     )
-    # One grouped relation instead of an anchor×candidate pair
-    # explosion: shuffle volume is O(input) (each sample rides inside
-    # its bucket's array exactly once) rather than O(input × window)
-    # pair rows, and the per-anchor window is assembled map-side from
-    # the anchor's own and previous bucket arrays. Locally the grouped
-    # side is tiny and broadcasts — the anchor rows never move; at scale
-    # the equi-join on (series, bucket) shuffles O(input) either way.
     buckets = base.groupBy("event_type", "bkt").agg(
         F.collect_list(F.struct("a_us", "c")).alias("bucket_arr")
     )
@@ -258,6 +215,64 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",  # the previous 1h bucket may hold no samples
         )
     )
+    return joined.withColumn(
+        "arr",
+        F.expr(
+            "array_sort(transform("
+            "  filter(concat(coalesce(arr_prev, array()), arr_cur),"
+            f"         s -> s.a_us > a_us - {_LOOK_US}"
+            "           AND s.a_us <= a_us),"
+            "  s -> s.c))"
+        ),
+    )
+
+
+_MAD_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               round(value * 100)::BIGINT AS c
+        FROM events
+    ),
+    a AS (
+        SELECT event_type, event_id, us, c,
+               quantile_cont(c, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY us
+                   RANGE BETWEEN {_LOOK_US - 1} PRECEDING AND CURRENT ROW
+               ) AS med_c
+        FROM c
+    )
+    SELECT a.event_type, a.event_id,
+           quantile_cont(abs(b.c - a.med_c), 0.5) / 100.0 AS mad_1h
+    FROM a JOIN c b
+      ON b.event_type = a.event_type
+     AND b.us > a.us - {_LOOK_US} AND b.us <= a.us
+    GROUP BY a.event_type, a.event_id
+"""
+
+
+@register("promql_mad_over_time", oracle=_MAD_ORACLE)
+def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `mad_over_time(m[1h])` analog: per-sample trailing-1h
+    median absolute deviation. Samples are grouped once into per-
+    (series, 1h-bucket) arrays; each anchor row joins its own and the
+    previous bucket's array (equi keys, the grouped side broadcasts
+    locally) and assembles its exact window map-side — filter the two
+    arrays by the left-open (t−1h, t] range (the unified engine
+    convention), then BOTH medians — the window median
+    and the median of absolute deviations from it — come from one
+    sorted array as pure JVM expressions (array_sort + midpoint
+    element_at). Two shapes were rejected: a RANGE-framed window
+    percentile recomputes its frame per row inside #series-bounded
+    partitions (O(rows × window), parallelism ceiling = #series), and an
+    anchor×candidate pair self-join shuffles O(rows × window) pair rows;
+    this one shuffles O(rows) and its per-anchor state is bounded by
+    samples-per-2h per series. Exactness: cents are integers, so midpoint
+    averages land on the half-cent grid and deviation medians on the
+    quarter-cent grid — no rounding before the final /100, and the
+    DuckDB twin (the algorithmically independent quantile_cont
+    formulation) hash-matches. Same-timestamp samples are kept by the
+    range filter (s.a_us ≤ anchor us keeps equal-us rows), matching the
+    oracle's RANGE-frame peer semantics, so duplicates need no dedup."""
     # midpoint median of a sorted array, exact for both parities: odd n
     # reads the middle element twice, even n averages the two middles
     med_of = (
@@ -265,16 +280,7 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + element_at({a}, int(size({a}) div 2 + 1))) / 2.0"
     )
     return (
-        joined.withColumn(
-            "arr",
-            F.expr(
-                "array_sort(transform("
-                "  filter(concat(coalesce(arr_prev, array()), arr_cur),"
-                f"         s -> s.a_us > a_us - {_LOOK_US}"
-                "           AND s.a_us <= a_us),"
-                "  s -> s.c))"
-            ),
-        )
+        _windowed_cents(spark, sf_dir)
         .withColumn("med_c", F.expr(med_of.format(a="arr")))
         .withColumn(
             "dev",
@@ -285,8 +291,66 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "event_id",
-            F.round(F.expr(med_of.format(a="dev")) / 100.0, 6).alias(
-                "mad_1h"
-            ),
+            # unrounded: both medians are exact quarter-cent rationals
+            # (midpoint of ≤2^53-magnitude integers is fp-exact in both
+            # the midpoint and the lo+(hi−lo)·0.5 form), so the /100.0
+            # doubles are bit-identical across engines; in-query
+            # round(x, 6) would be the only divergence source — odd
+            # quarter-cent multiples land exactly on .5e-6 ties
+            (F.expr(med_of.format(a="dev")) / 100.0).alias("mad_1h"),
         )
+    )
+
+
+_QOT_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               round(value * 100)::BIGINT AS c
+        FROM events
+    )
+    SELECT a.event_type, a.event_id,
+           round(quantile_cont(b.c, 0.95) / 100.0, 6) AS q95_1h,
+           round(quantile_cont(b.c, 0.50) / 100.0, 6) AS q50_1h
+    FROM c a JOIN c b
+      ON b.event_type = a.event_type
+     AND b.us > a.us - {_LOOK_US} AND b.us <= a.us
+    GROUP BY a.event_type, a.event_id
+"""
+
+
+@register("promql_quantile_over_time_sliding", oracle=_QOT_ORACLE)
+def promql_quantile_over_time_sliding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL `quantile_over_time(φ, m[1h])` analog evaluated AT EVERY
+    SAMPLE (the sliding sibling of the tumbling
+    `promql_quantile_over_time`, plans/promql.py): exact per-anchor
+    p95/p50 of the left-open (t−1h, t] window. Runs over the same
+    grouped-bucket window substrate as `mad_over_time`
+    (`_windowed_cents`: shuffle O(input), per-anchor state bounded by
+    samples-per-2h per series — NOT the RANGE-framed window percentile,
+    which recomputes its frame per row inside #series-bounded
+    partitions, nor an O(rows × window) pair join). The quantile is the
+    R-7 linear interpolation both engines implement — rank = φ(n−1),
+    v_lo + (v_hi − v_lo)·frac, written in DuckDB's operand order so the
+    two sides agree bit-for-bit on identical integer-cent inputs
+    (Prometheus's `v_lo(1−w) + v_hi·w` form differs only in ulps;
+    promql/quantile.go lineage documented for parity, not copied)."""
+
+    def q_expr(phi: str) -> F.Column:
+        n = "size(arr)"
+        rank = f"{phi} * ({n} - 1)"
+        lo = f"int(floor({rank}))"
+        return F.expr(
+            f"element_at(arr, {lo} + 1)"
+            f" + (element_at(arr, least({n}, {lo} + 2))"
+            f"    - element_at(arr, {lo} + 1))"
+            f"   * ({rank} - floor({rank}))"
+        )
+
+    return _windowed_cents(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(q_expr("0.95d") / 100.0, 6).alias("q95_1h"),
+        F.round(q_expr("0.50d") / 100.0, 6).alias("q50_1h"),
     )

@@ -52,8 +52,8 @@ def reaggregate(rollup: DataFrame, bucket: F.Column) -> DataFrame:
            count(*) AS n,
            min(round(value * 100)::BIGINT)::BIGINT AS min_cents,
            max(round(value * 100)::BIGINT)::BIGINT AS max_cents,
-           round(sum(round(value * 100)::BIGINT)::BIGINT
-                 / count(*) / 100.0, 6) AS avg_value
+           sum(round(value * 100)::BIGINT)::BIGINT
+               / count(*) / 100.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -75,7 +75,11 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "min_cents",
         "max_cents",
-        F.round(F.col("sum_cents") / F.col("n") / 100.0, 6).alias("avg_value"),
+        # unrounded exact-integer ratio: bit-identical doubles in both
+        # engines; in-query round(x, 6) is the only possible divergence
+        # (.5e-6 ties — the class the round-8 sf0.1 sweep caught in
+        # promql_avg_over_time)
+        (F.col("sum_cents") / F.col("n") / 100.0).alias("avg_value"),
     )
 
 

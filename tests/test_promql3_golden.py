@@ -144,3 +144,50 @@ def test_mad_over_time_hand_computed(spark, tmp_path):
     from tests.oracle_harness import compare_crafted
 
     compare_crafted(spark, tmp_path, "promql_mad_over_time")
+
+
+def test_quantile_over_time_sliding_hand_computed(spark, tmp_path):
+    """Sliding p95/p50 on crafted series: R-7 interpolation (rank =
+    φ(n−1), v_lo + (v_hi−v_lo)·frac), the left-open (t−1h, t] edge
+    (sample exactly 1h back excluded), singleton windows, and a
+    4-element window where both quantiles interpolate strictly between
+    elements."""
+    from numalogic_prometheus_spark.plans.promql3 import (
+        promql_quantile_over_time_sliding,
+    )
+
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [
+        ("a", t0, 1, 1.0),
+        ("a", t0 + timedelta(seconds=1800), 2, 3.0),
+        # exactly 3600s after t0: the t0 sample is OUTSIDE (left-open)
+        ("a", t0 + timedelta(seconds=3600), 3, 2.0),
+        ("c", t0, 7, 0.0),
+        ("c", t0 + timedelta(seconds=600), 8, 1.0),
+        ("c", t0 + timedelta(seconds=1200), 9, 1.01),
+        ("c", t0 + timedelta(seconds=1800), 10, 3.01),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: (r["q95_1h"], r["q50_1h"])
+        for r in promql_quantile_over_time_sliding(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        1: (1.0, 1.0),      # {100}
+        2: (2.9, 2.0),      # {100,300}: 100+200*.95 / 100+200*.5
+        3: (2.95, 2.5),     # {200,300} (t0 excluded): 200+100*.95 / 250
+        7: (0.0, 0.0),      # {0}
+        8: (0.95, 0.5),     # {0,100}
+        9: (1.009, 1.0),    # {0,100,101}: rank95=1.9 -> 100+1*.9 = 100.9;
+        #                     q50 rank=1.0 -> exactly the middle, 100
+        10: (2.71, 1.005),  # {0,100,101,301}: 101+200*.85 / 100+1*.5
+    }
+
+    from tests.oracle_harness import compare_crafted
+
+    compare_crafted(spark, tmp_path, "promql_quantile_over_time_sliding")

@@ -429,7 +429,7 @@ def test_mad_over_time_matches_bruteforce(spark, series, tmp_path_factory):
             )
             med = median(window)
             dev = sorted(abs(c - med) for c in window)
-            ref[(f"s{si}", eid)] = round(median(dev) / 100.0, 6)
+            ref[(f"s{si}", eid)] = median(dev) / 100.0
 
     got = {
         (r["event_type"], r["event_id"]): r["mad_1h"]
