@@ -55,7 +55,12 @@ def quality_score(text: Column) -> Column:
     diversity = F.size(F.array_distinct(toks)).cast("double") / n
     length_term = F.least(n / F.lit(100.0), F.lit(1.0))
     stop_term = F.least(stopword_ratio(text) * 5, F.lit(1.0))
-    return F.round((diversity + length_term + stop_term) / 3.0, 6)
+    # unrounded: every term is an exact-integer ratio evaluated in the
+    # same operand order as the DuckDB oracle copy, so the composite is
+    # bit-identical cross-engine; an in-query round(x, 6) here would be
+    # the only divergence source (.5e-6 ties — the class the round-8
+    # sf0.1 sweep caught in promql_avg_over_time)
+    return (diversity + length_term + stop_term) / 3.0
 
 
 def langid_heuristic(text: Column) -> Column:

@@ -120,30 +120,34 @@ _CHECK_FIRST = (
     # -- new round-8 registrations (in-window from day one) --
     "promql_quantile_over_time_sliding",
     # -- semantics changed r8: the sf0.1 sweep caught a rounding-tie
-    # divergence class (in-query round of exact-integer ratios);
-    # overlap now exact integer microseconds, the rollup avg unrounded --
+    # divergence class (in-query round of exact-integer ratios). Fixed
+    # engine-wide: interval overlap now exact integer microseconds, the
+    # rollup avg / vector-matching ratios / text-family ratios emit
+    # unrounded bit-identical doubles. Every changed entry sits here
+    # (text_stats + text_quality_by_source were already in the stale
+    # pool below) --
     "join_interval_bucketed",
     "rollup_daily_from_hourly",
+    "promql_vector_ratio_on",
+    "promql_vector_ratio_ignoring",
+    "promql_vector_share_group_left",
+    "promql_ratio_group_right",
+    "quality_repetition_stats",
+    "quality_constraint_checks",
+    "text_contamination_eval_overlap",
     # -- stale re-green: last driver row r2 --
     "text_stats",
     "text_quality_by_source",
     "text_langid_confusion",
     "text_fingerprint",
     "dedup_exact_groups",
-    "dedup_exact_survivors",
     "dedup_minhash_signatures",
-    "text_simhash_signatures",
     "dedup_simhash_pairs",
     "dedup_cluster_components",
     "vec_norm_stats",
     "vec_ann_signbucket_topk",
-    "vec_ann_multiband_topk",
-    "vec_neardup_pairs",
     "ml_zscore_scaled",
-    "ml_minmax_scaled",
-    "ml_tanh_scaled",
     "ml_static_threshold",
-    "ml_quantile_threshold",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -42,7 +42,7 @@ def _hourly_vector(ev: DataFrame, *labels: str) -> DataFrame:
                count(*) AS v
         FROM events GROUP BY 1, 2
     )
-    SELECT l.event_type, l.hour, round(l.v / r.v / 100.0, 6) AS mean_value
+    SELECT l.event_type, l.hour, l.v / r.v / 100.0 AS mean_value
     FROM l JOIN r ON l.event_type = r.event_type AND l.hour = r.hour
     """,
 )
@@ -57,7 +57,7 @@ def promql_vector_ratio_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_binop(
         left,
         right,
-        lambda l, r: F.round(l / r / F.lit(100.0), 6),
+        lambda l, r: l / r / F.lit(100.0),
         on=("event_type", "hour"),
         out="mean_value",
     )
@@ -74,7 +74,7 @@ def promql_vector_ratio_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS v
         FROM events WHERE event_type = 'signup' GROUP BY 1, 2
     )
-    SELECT l.event_type, l.hour, round(l.v / r.v, 6) AS errors_per_signup
+    SELECT l.event_type, l.hour, l.v / r.v AS errors_per_signup
     FROM l JOIN r ON l.hour = r.hour
     """,
 )
@@ -92,7 +92,7 @@ def promql_vector_ratio_ignoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_binop(
         left,
         right,
-        lambda l, r: F.round(l / r, 6),
+        lambda l, r: l / r,
         ignoring=("event_type",),
         out="errors_per_signup",
     )
@@ -110,7 +110,7 @@ def promql_vector_ratio_ignoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN count(*) >= 8 THEN 'busy' ELSE 'quiet' END AS load_level
         FROM events GROUP BY 1
     )
-    SELECT l.event_type, l.hour, r.load_level, round(l.v / r.v, 6) AS share
+    SELECT l.event_type, l.hour, r.load_level, l.v / r.v AS share
     FROM l JOIN r ON l.hour = r.hour
     """,
 )
@@ -135,7 +135,7 @@ def promql_vector_share_group_left(spark: SparkSession, sf_dir: str) -> DataFram
     return vector_binop(
         left,
         right,
-        lambda l, r: F.round(l / r, 6),
+        lambda l, r: l / r,
         on=("hour",),
         group_left=True,
         carry=("load_level",),
@@ -584,7 +584,7 @@ def promql_or_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT r.event_type, r.hour, l.load_level,
-           round(l.v / r.v, 6) AS inv_share
+           l.v / r.v AS inv_share
     FROM l JOIN r ON l.hour = r.hour
     """,
 )
@@ -610,7 +610,7 @@ def promql_ratio_group_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_binop(
         left,
         right,
-        lambda l, r: F.round(l / r, 6),
+        lambda l, r: l / r,
         on=("hour",),
         group_right=True,
         carry=("load_level",),

@@ -65,12 +65,12 @@ _REP_ORACLE = """
         FROM bi GROUP BY doc_id
     )
     SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_count,
-           round(1 - u.n_distinct / (u.n_tokens::DOUBLE), 6) AS dup_token_frac,
-           round(u.top_count / (u.n_tokens::DOUBLE), 6) AS top_token_frac,
-           round(u.top_token_chars
-                 / (d.n_chars - u.n_tokens + 1)::DOUBLE, 6) AS top_token_char_frac,
-           round(coalesce(b.top_bigram_chars, 0)
-                 / (d.n_chars - u.n_tokens + 1)::DOUBLE, 6) AS top_bigram_char_frac
+           1 - u.n_distinct / (u.n_tokens::DOUBLE) AS dup_token_frac,
+           u.top_count / (u.n_tokens::DOUBLE) AS top_token_frac,
+           u.top_token_chars
+               / (d.n_chars - u.n_tokens + 1)::DOUBLE AS top_token_char_frac,
+           coalesce(b.top_bigram_chars, 0)
+               / (d.n_chars - u.n_tokens + 1)::DOUBLE AS top_bigram_char_frac
     FROM uagg u
     JOIN documents d USING (doc_id)
     LEFT JOIN bagg b USING (doc_id)
@@ -84,7 +84,7 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top unigram / top word-bigram. Char denominators use the exact
     non-space character count (`n_chars - n_tokens + 1` for
     single-space-joined text); bigram char counts exclude the joiner
-    space. All numerators/denominators integer until one final rounded
+    space. All numerators/denominators integer until one final exact
     division."""
     docs = load_table(spark, sf_dir, "documents")
     base = _toks(docs)
@@ -124,13 +124,16 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_distinct",
             "top_count",
-            F.round(1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6)
+            # unrounded exact-integer ratios: bit-identical doubles in
+            # both engines; in-query round(x, 6) is the only possible
+            # divergence (.5e-6 ties, the round-8 sf0.1 sweep class)
+            (1 - F.col("n_distinct") / F.col("n_tokens").cast("double"))
             .alias("dup_token_frac"),
-            F.round(F.col("top_count") / F.col("n_tokens").cast("double"), 6)
+            (F.col("top_count") / F.col("n_tokens").cast("double"))
             .alias("top_token_frac"),
-            F.round(F.col("top_token_chars") / chars, 6).alias("top_token_char_frac"),
-            F.round(
-                F.coalesce(F.col("top_bigram_chars"), F.lit(0)) / chars, 6
+            (F.col("top_token_chars") / chars).alias("top_token_char_frac"),
+            (
+                F.coalesce(F.col("top_bigram_chars"), F.lit(0)) / chars
             ).alias("top_bigram_char_frac"),
         )
     )
@@ -285,7 +288,7 @@ _CONSTRAINT_ORACLE = """
         UNION ALL SELECT 'status_in_domain', c_domain, n FROM m
         UNION ALL SELECT 'orderdate_in_range', c_daterange, n FROM m
     )
-    SELECT check_name, round(numer / n::DOUBLE, 6) AS metric,
+    SELECT check_name, numer / n::DOUBLE AS metric,
            (CASE WHEN numer = n THEN 1 ELSE 0 END)::BIGINT AS passed
     FROM checks
 """
@@ -331,7 +334,7 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return checks.select(
         "check_name",
-        F.round(F.col("numer") / F.col("n").cast("double"), 6).alias("metric"),
+        (F.col("numer") / F.col("n").cast("double")).alias("metric"),
         F.when(F.col("numer") == F.col("n"), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")

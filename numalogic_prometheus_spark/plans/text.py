@@ -28,10 +28,10 @@ from numalogic_prometheus_spark.sources.tables import load_table, load_table_spr
     SELECT doc_id, lang,
            len(sp)::BIGINT AS n_tokens,
            len(list_distinct(sp))::BIGINT AS n_distinct,
-           round(list_aggregate(list_transform(sp, t -> length(t)), 'sum')
-                 / len(sp)::DOUBLE, 6) AS avg_token_len,
-           round(len(list_filter(sp, t -> t IN ({TX.STOPWORDS_SQL})))::DOUBLE
-                 / len(sp), 6) AS stopword_ratio
+           list_aggregate(list_transform(sp, t -> length(t)), 'sum')
+               / len(sp)::DOUBLE AS avg_token_len,
+           len(list_filter(sp, t -> t IN ({TX.STOPWORDS_SQL})))::DOUBLE
+               / len(sp) AS stopword_ratio
     FROM toks
     """,
 )
@@ -45,8 +45,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         TX.token_count(t).alias("n_tokens"),
         TX.distinct_token_count(t).alias("n_distinct"),
-        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
-        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        # unrounded exact-integer ratios (see TX.quality_score note)
+        TX.avg_token_len(t).alias("avg_token_len"),
+        TX.stopword_ratio(t).alias("stopword_ratio"),
     )
 
 
@@ -58,18 +59,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, source,
-               round((
+               (
                    len(list_distinct(sp))::DOUBLE / len(sp)
                    + least(len(sp) / 100.0, 1.0)
                    + least((len(list_filter(sp, t -> t IN ({TX.STOPWORDS_SQL})))::DOUBLE
                             / len(sp)) * 5, 1.0)
-               ) / 3.0, 6) AS quality
+               ) / 3.0 AS quality
         FROM toks
     )
     SELECT source, count(*) AS n_docs,
            round(avg(quality), 6) AS avg_quality,
-           round(min(quality), 6) AS min_quality,
-           round(max(quality), 6) AS max_quality
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
     FROM scored
     GROUP BY source
     """,
@@ -81,9 +82,12 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select("source", TX.quality_score(F.col("text")).alias("quality"))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # avg keeps its round: summing doubles is order-dependent, so
+        # round(x, 6) is the load-bearing noise absorber there; min/max
+        # of bit-identical per-doc doubles need none
         F.round(F.avg("quality"), 6).alias("avg_quality"),
-        F.round(F.min("quality"), 6).alias("min_quality"),
-        F.round(F.max("quality"), 6).alias("max_quality"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
     )
 
 

@@ -170,7 +170,7 @@ _CONTAM_ORACLE = f"""
         FROM g WHERE doc_id % {_EVAL_MOD} != 0 GROUP BY doc_id
     )
     SELECT doc_id, n_grams::BIGINT AS n_grams, n_overlap::BIGINT AS n_overlap,
-           round(n_overlap / n_grams::DOUBLE, 6) AS overlap_frac,
+           n_overlap / n_grams::DOUBLE AS overlap_frac,
            (CASE WHEN n_overlap / n_grams::DOUBLE >= {_CONTAM_FLAG}
                  THEN 1 ELSE 0 END)::BIGINT AS flagged
     FROM tr
@@ -219,7 +219,9 @@ def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id",
         "n_grams",
         "n_overlap",
-        F.round(frac, 6).alias("overlap_frac"),
+        # unrounded exact-integer ratio (bit-identical cross-engine;
+        # the round-8 sf0.1 sweep tie class)
+        frac.alias("overlap_frac"),
         F.when(frac >= _CONTAM_FLAG, F.lit(1)).otherwise(F.lit(0))
         .cast("long")
         .alias("flagged"),
