@@ -86,8 +86,11 @@ def static_threshold(df: DataFrame, score: str, limit: float,
     """B7 static thresholding (CHANGELOG.md:369): score vs config limit.
     Emits the binary flag and the ratio score (score/limit, the static
     "anomaly score" shape)."""
+    # unrounded: one IEEE division of the same stored double is
+    # bit-identical cross-engine; an in-query round(x, 6) would be the
+    # only divergence source (the round-8 sf0.1 sweep tie class)
     return df.withColumn(out_col, (F.col(score) > limit).cast("int")).withColumn(
-        f"{out_col}_score", F.round(F.col(score) / limit, 6)
+        f"{out_col}_score", F.col(score) / limit
     )
 
 

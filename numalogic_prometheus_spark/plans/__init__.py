@@ -135,16 +135,16 @@ _CHECK_FIRST = (
     "quality_repetition_stats",
     "quality_constraint_checks",
     "text_contamination_eval_overlap",
+    "promql_rate_per_hour",
+    "promql_irate_last_delta",
+    "text_ngram_jaccard_pairs",
     # -- stale re-green: last driver row r2 --
     "text_stats",
     "text_quality_by_source",
     "text_langid_confusion",
-    "text_fingerprint",
     "dedup_exact_groups",
-    "dedup_minhash_signatures",
     "dedup_simhash_pairs",
     "dedup_cluster_components",
-    "vec_norm_stats",
     "vec_ann_signbucket_topk",
     "ml_zscore_scaled",
     "ml_static_threshold",

@@ -92,7 +92,7 @@ def ml_tanh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, event_type, value,
            (value > 150.0)::INTEGER AS anomaly,
-           round(value / 150.0, 6) AS anomaly_score
+           value / 150.0 AS anomaly_score
     FROM events
     """,
 )

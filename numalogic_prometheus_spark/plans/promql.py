@@ -92,7 +92,7 @@ def promql_increase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_COUNTER_CTE
     + """
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           round(sum(increase) / 3600.0, 6) AS rate_per_sec
+           sum(increase) / 3600.0 AS rate_per_sec
     FROM increase
     GROUP BY 1, 2
     """,
@@ -106,7 +106,7 @@ def promql_rate_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inc.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.sum("increase") / 3600.0, 6).alias("rate_per_sec"))
+    ).agg((F.sum("increase") / 3600.0).alias("rate_per_sec"))
 
 
 _BOUNDS_SQL = ",".join(str(b) for b in M.DEFAULT_BUCKETS)
@@ -345,8 +345,8 @@ def promql_absent_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- epoch_us on both sides: second-granularity epoch truncates the
     -- fixture's sub-second ts and fractional epochs differ per engine
     SELECT event_type,
-           round((CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v1 END)
-                 * 1000000.0 / (epoch_us(t1) - epoch_us(t0)), 6) AS irate
+           (CASE WHEN v1 >= v0 THEN v1 - v0 ELSE v1 END)
+               * 1000000.0 / (epoch_us(t1) - epoch_us(t0)) AS irate
     FROM (
         SELECT event_type,
                max(CASE WHEN rn = 1 THEN cum END) AS v1,
@@ -422,7 +422,7 @@ def promql_irate_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt_us = epoch_us("t1") - epoch_us("t0")
     return pivoted.select(
-        "event_type", F.round(increase * F.lit(1000000.0) / dt_us, 6).alias("irate")
+        "event_type", (increase * F.lit(1000000.0) / dt_us).alias("irate")
     )
 
 

@@ -127,7 +127,7 @@ from numalogic_prometheus_spark.streaming.stateful import (  # noqa: E402
     oracle=_COUNTER_CTE
     + """
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           round(sum(increase) / 3600.0, 6) AS rate_per_sec
+           sum(increase) / 3600.0 AS rate_per_sec
     FROM increase
     GROUP BY 1, 2
     """,
@@ -154,4 +154,4 @@ def stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_stream_to_memory(inc, output_mode="append")
     return sink.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.sum("increase") / 3600.0, 6).alias("rate_per_sec"))
+    ).agg((F.sum("increase") / 3600.0).alias("rate_per_sec"))

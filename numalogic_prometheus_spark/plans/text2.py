@@ -52,23 +52,26 @@ def _bigrams(text: F.Column) -> F.Column:
         WHERE len(string_split(text, ' ')) >= 3
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.grams, b.grams))
-                 / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
-                 6) AS jaccard,
-           round(len(list_intersect(a.grams, b.grams))
-                 / len(a.grams)::DOUBLE, 6) AS containment_a
+           len(list_intersect(a.grams, b.grams))
+               / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE
+               AS jaccard,
+           len(list_intersect(a.grams, b.grams))
+               / len(a.grams)::DOUBLE AS containment_a
     FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.grams, b.grams))
-                / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
-                6) >= 0.3
+    WHERE len(list_intersect(a.grams, b.grams))
+              / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE
+              >= 0.3
     """,
 )
 def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard + containment on prefix-blocked
     candidate pairs (first two tokens as the block key). Jaccard =
     |A∩B| / |A∪B|; containment_a = |A∩B| / |A| (the asymmetric measure
-    that catches a doc embedded inside a longer one). Threshold compares
-    the ROUNDED value for cross-engine boundary stability."""
+    that catches a doc embedded inside a longer one). Ratios and the
+    threshold compare UNROUNDED doubles: identical integers through one
+    IEEE division are bit-identical cross-engine, so membership at the
+    0.3 boundary cannot flip — whereas an in-query round(x, 6) can
+    split at .5e-6 ties (the round-8 sf0.1 sweep class)."""
     # Spread first (testdata parquet is one row group → a 1-task scan
     # would serialize the per-doc bigram build), and pin the computed
     # gram arrays eagerly so the self-join's two sides read the
@@ -104,16 +107,13 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_inter", inter)
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= 0.3)
         .withColumn(
             "containment_a",
-            F.round(F.col("n_inter") / F.col("na").cast("double"), 6),
+            F.col("n_inter") / F.col("na").cast("double"),
         )
         .select("id_a", "id_b", "jaccard", "containment_a")
     )
