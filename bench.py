@@ -65,6 +65,8 @@ HEADLINE = [
     "promql_mad_over_time",       # nested median over per-bucket arrays
     "profile_column_stats",       # one-scan multi-distinct column profile
     "sample_split_by_cluster",    # leakage-safe split over BSP components
+    "promql_quantile_over_time_sliding",  # grouped-bucket order statistics
+    "vec_ann_filtered_topk",      # metadata-filtered similarity search
 ]
 
 

@@ -119,6 +119,9 @@ _CHECK_FIRST = (
     "ts_holt_winters_level_trend",
     # -- new round-8 registrations (in-window from day one) --
     "promql_quantile_over_time_sliding",
+    "vec_ann_filtered_topk",
+    "promql_limit_ratio",
+    "promql_limitk",
     # -- semantics changed r8: the sf0.1 sweep caught a rounding-tie
     # divergence class (in-query round of exact-integer ratios). Fixed
     # engine-wide: interval overlap now exact integer microseconds, the
@@ -142,11 +145,8 @@ _CHECK_FIRST = (
     "text_stats",
     "text_quality_by_source",
     "text_langid_confusion",
-    "dedup_exact_groups",
-    "dedup_simhash_pairs",
     "dedup_cluster_components",
     "vec_ann_signbucket_topk",
-    "ml_zscore_scaled",
     "ml_static_threshold",
 )
 

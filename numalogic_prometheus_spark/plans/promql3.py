@@ -34,7 +34,7 @@ RANGE (lookback − 1) PRECEDING in both engines' SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
@@ -354,3 +354,93 @@ def promql_quantile_over_time_sliding(
         F.round(q_expr("0.95d") / 100.0, 6).alias("q95_1h"),
         F.round(q_expr("0.50d") / 100.0, 6).alias("q50_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 8 — PromQL 3.x experimental aggregations `limitk` / `limit_ratio`
+# (prometheus 2.53+/3.x behind --enable-feature=promql-experimental-
+# functions): deterministic series SAMPLING of an instant vector.
+# Prometheus keys the choice off a hash of the series labels so the
+# sampled subset is stable across evaluations; this engine uses its
+# portable md5 bucket (the same construction as plans/sampling.py
+# _bucket_of — reproducible in DuckDB bit-for-bit, no RNG state), which
+# is the identical design point: hash-deterministic, engine-portable,
+# re-evaluation-stable. Both are one map-side predicate / one tiny
+# ranking over the AGGREGATED vector (#series rows), nothing that
+# scales with samples.
+# ---------------------------------------------------------------------------
+
+_SERIES_BUCKET_SPARK = (
+    "cast(conv(substring(md5(event_type), 1, 8), 16, 10) as bigint) % 100"
+)
+_SERIES_BUCKET_SQL = (
+    "('0x' || substr(md5(event_type), 1, 8))::BIGINT % 100"
+)
+_LIMIT_RATIO_PCT = 40  # keep series whose bucket < 40 (~r = 0.4)
+_LIMIT_K = 3
+
+
+def _hourly_counts(ev: DataFrame) -> DataFrame:
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "promql_limit_ratio",
+    oracle=f"""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*)::BIGINT AS n
+    FROM events
+    WHERE {_SERIES_BUCKET_SQL} < {_LIMIT_RATIO_PCT}
+    GROUP BY 1, 2
+    """,
+)
+def promql_limit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `limit_ratio(0.4, sum by(type, hour)(...))` analog: keep a
+    deterministic ~40% of SERIES (whole series in or out — never a row
+    subsample, which would corrupt every downstream rate/aggregation).
+    The md5-bucket predicate is pushed below the aggregation: filtering
+    samples before the groupBy and filtering series after it are
+    equivalent because membership depends only on the series label —
+    and the pre-agg form prunes the shuffle by the same ~60%."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.filter(
+        F.expr(_SERIES_BUCKET_SPARK) < _LIMIT_RATIO_PCT
+    )
+    return _hourly_counts(kept)
+
+
+@register(
+    "promql_limitk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (
+                   ORDER BY {_SERIES_BUCKET_SQL}, event_type
+               ) AS rk
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type, date_trunc('hour', e.ts) AS hour,
+           count(*)::BIGINT AS n
+    FROM events e JOIN ranked r ON r.event_type = e.event_type
+    WHERE r.rk <= {_LIMIT_K}
+    GROUP BY 1, 2
+    """,
+)
+def promql_limitk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `limitk(3, ...)` analog: the first k series in
+    deterministic hash order (hash first, label tiebreak — so adding
+    unrelated series rarely reshuffles the kept set, Prometheus's
+    stability rationale). The series dim (DISTINCT event_type) is tiny
+    and broadcasts back into the sample stream; the ranking itself is
+    #series rows on one task — never a sort of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select("event_type").distinct()
+    w = W.orderBy(F.expr(_SERIES_BUCKET_SPARK), "event_type")
+    kept = (
+        series.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LIMIT_K)
+        .select("event_type")
+    )
+    return _hourly_counts(ev.join(F.broadcast(kept), "event_type"))

@@ -27,7 +27,10 @@ from numalogic_prometheus_spark.functions.vectors import (
     to_double_array,
 )
 from numalogic_prometheus_spark.plans import register
-from numalogic_prometheus_spark.sources.tables import load_table_spread
+from numalogic_prometheus_spark.sources.tables import (
+    load_table,
+    load_table_spread,
+)
 
 _QUERY_FILTER = "vec_id % 97 = 0"
 _CAND_PER_QUERY = 9  # 3× the final k
@@ -161,3 +164,91 @@ def vec_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 8 — filtered ANN: similarity search under a metadata predicate,
+# the production retrieval shape ("nearest neighbors among label-1
+# vectors only"). The predicate prunes the CORPUS SIDE AT THE SCAN
+# (parquet pushdown on the metadata column), so the distance work is
+# |Q| × |filtered corpus|, not |Q| × N followed by a post-filter — at
+# 100 TB with a selective predicate that is the difference between
+# scanning a partition and scanning the lake. Post-filtering the ANN
+# output would also be WRONG for recall: top-k of the unfiltered search
+# can contain fewer than k (or zero) label-1 rows.
+# ---------------------------------------------------------------------------
+
+_FILTER_LABEL = 1
+_FILTERED_TOP_K = 3
+
+
+@register(
+    "vec_ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_aggregate(list_transform(q.qv, x -> x*x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[],
+                                                             x -> x*x), 'sum'))),
+                     6) AS cos_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label = {_FILTER_LABEL} AND e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_FILTERED_TOP_K}
+    """,
+)
+def vec_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} cosine neighbors RESTRICTED to corpus rows with
+    label = {label} (metadata-filtered similarity search). The label
+    predicate sits on the corpus scan so Catalyst pushes it into the
+    parquet reader (pinned: tests/test_plan_shape.py
+    test_filtered_ann_pushes_label_filter); the query set is broadcast
+    as in the brute-force baseline, and cos_sim is rounded BEFORE
+    ranking so rank order matches the oracle bit-for-bit. Scale path:
+    compose the same predicate with the bucketed/IVF candidate
+    generators — the filter column rides the candidate relation and
+    prunes before the exact re-rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.expr("vec_id % 97 = 0"))
+        .select(F.col("vec_id").alias("query_id"),
+                to_double_array(F.col("embedding")).alias("qv"))
+    )
+    corpus = (
+        e.filter(F.col("label") == _FILTER_LABEL)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            to_double_array(F.col("embedding")).alias("ev"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("ev")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _FILTERED_TOP_K)
+    )
+
+
+vec_ann_filtered_topk.__doc__ = vec_ann_filtered_topk.__doc__.format(
+    k=_FILTERED_TOP_K, label=_FILTER_LABEL
+)

@@ -381,3 +381,23 @@ def test_registry_wide_join_lint(spark, sf_dir):
     unexpected = {n: v for n, v in late_filters.items() if n not in allow}
     assert not unexpected, f"unpushed filters above joins: {unexpected}"
     assert not unbounded_cross, f"cross joins without a broadcast-bounded side: {unbounded_cross}"
+
+
+def test_filtered_ann_pushes_label_filter(spark, sf_dir):
+    """vec_ann_filtered_topk: the metadata predicate must reach the
+    corpus parquet scan (PushedFilters), not run as a post-filter above
+    the distance work — at 100 TB that is the difference between
+    scanning a slice and scanning the lake."""
+    plan = _plan(spark, sf_dir, "vec_ann_filtered_topk")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p and "EqualTo" in p for p in pushed), pushed
+
+
+def test_limitk_series_dim_broadcasts(spark, sf_dir):
+    """promql_limitk: the ranked series dim is tiny and must broadcast
+    back into the sample stream — the fact table is never sorted or
+    reshuffled for the ranking."""
+    plan = _plan(spark, sf_dir, "promql_limitk")
+    assert "BroadcastHashJoin" in plan
