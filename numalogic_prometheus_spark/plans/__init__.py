@@ -65,13 +65,13 @@ _MODULES = (
 
 # ROUND-8 ROTATION (VERDICT r7 next-round #4 and #5). The driver verifies
 # the first 50 entries of queries(). This window holds:
-#   * the 10 entries whose SEMANTICS changed this round — the framed
-#     *_over_time family + promql_subquery_max_rate (plans/promql2.py)
-#     and promql_mad_over_time (plans/promql3.py) migrated from the
-#     closed [t-1h, t] lookback to the Prometheus-3 left-open (t-1h, t]
-#     convention (VERDICT r7 #4), so their cumulative green rows no
-#     longer cover the shipped code; re-verified locally at
-#     sf0.001 + sf0.01 before rotation,
+#   * the 10 entries whose SEMANTICS changed via the left-open
+#     window-edge unification — the framed *_over_time family +
+#     promql_subquery_max_rate (plans/promql2.py) and
+#     promql_mad_over_time (plans/promql3.py) migrated from the closed
+#     [t-1h, t] lookback to the Prometheus-3 left-open (t-1h, t]
+#     convention (VERDICT r7 #4); re-verified locally at
+#     sf0.001 + sf0.01 + sf0.1 before rotation,
 #   * the 10-entry round-8 stale pool displaced from the r7 window
 #     (VERDICT r7 #5) — last driver rows r1,
 #   * the 6 diverse long-green sentinels (same set as r6/r7: a TPC-H, a
@@ -80,10 +80,15 @@ _MODULES = (
 #     ts_holt_winters_level_trend) whose last driver rows (r4) predate
 #     the round-7 JVM re-key — refresh the weaker rows-only check on the
 #     shipped plans,
-#   * any queries REGISTERED this round (in-window from day one — the
+#   * the 4 queries REGISTERED this round (in-window from day one — the
 #     r6 rule that no entry ships without a driver row),
-#   * the stalest r2-green entries filling the window to 50 — the r2
-#     pool drains before anything seen more recently.
+#   * the 14 entries whose SEMANTICS changed via the rounding-tie-class
+#     eradication the sf0.1 sweep triggered (SCALE.md round-8 section;
+#     includes the stream_counter_rate sentinel and the in-pool
+#     text_stats / text_quality_by_source / ml_static_threshold),
+#   * the stalest r2-green entries filling the window to 50 — the
+#     remainder of the r2 pool (7 entries displaced by the tie-class
+#     rotations, 3 by the new registrations) drains in round 9.
 _CHECK_FIRST = (
     # -- left-open window-edge migration (semantics changed r8) --
     "promql_sum_over_time",
