@@ -529,3 +529,87 @@ def test_profile_matches_direct_computation(spark, rows, tmp_path_factory):
     pr = got["o_orderpriority"]
     assert (pr["n_null"], pr["n_distinct"]) == (n, 0)
     assert pr["min_str"] is None and pr["max_str"] is None
+
+
+# ---------------------------------------------------------------------------
+# quantile_over_time sliding: the shared grouped-bucket window assembly
+# (_windowed_cents) + R-7 interpolation expressions must equal a
+# brute-force per-anchor reference on arbitrary series — guarding the
+# prev/cur bucket join, the left-open (t-1h, t] range, duplicate
+# timestamps, and the interpolation index arithmetic at every n.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    series=st.lists(
+        st.lists(_mad_sample, min_size=1, max_size=20),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_settings
+def test_quantile_sliding_matches_bruteforce(spark, series, tmp_path_factory):
+    import math
+    from datetime import datetime, timedelta, timezone
+
+    from numalogic_prometheus_spark.plans.promql3 import (
+        _LOOK_US,
+        promql_quantile_over_time_sliding,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for si, samples in enumerate(series):
+        for j, (off, cents) in enumerate(samples):
+            rows.append(
+                (
+                    f"s{si}",
+                    base + timedelta(seconds=off),
+                    si * 1000 + j,
+                    cents / 100.0,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    path = tmp_path_factory.mktemp("qot_prop")
+    df.write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    def us(dt):
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+
+    def q(sorted_vals, phi):
+        rank = phi * (len(sorted_vals) - 1)
+        lo = math.floor(rank)
+        hi = min(len(sorted_vals) - 1, lo + 1)
+        return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (
+            rank - lo
+        )
+
+    ref = {}
+    for si, samples in enumerate(series):
+        pts = [
+            (us(base + timedelta(seconds=off)), si * 1000 + j, cents)
+            for j, (off, cents) in enumerate(samples)
+        ]
+        for a_us, eid, _c in pts:
+            window = sorted(
+                c for b_us, _e, c in pts if a_us - _LOOK_US < b_us <= a_us
+            )
+            ref[(f"s{si}", eid)] = (
+                round(q(window, 0.95) / 100.0, 6),
+                round(q(window, 0.50) / 100.0, 6),
+            )
+
+    got = {
+        (r["event_type"], r["event_id"]): (r["q95_1h"], r["q50_1h"])
+        for r in promql_quantile_over_time_sliding(spark, str(path))
+        .join(
+            df.select("event_type", "event_id"), ["event_type", "event_id"]
+        )
+        .collect()
+    }
+    assert got.keys() == ref.keys()
+    for k in ref:
+        for g, r in zip(got[k], ref[k]):
+            assert abs(g - r) < 1e-6, (k, got[k], ref[k])
