@@ -54,3 +54,17 @@ def test_column_names_unique_per_query(spark, sf_dir):
         if len(cols) != len(set(cols)):
             dupes[name] = cols
     assert not dupes, f"duplicate output column names: {dupes}"
+
+
+def test_check_window_names_resolve_and_fill():
+    """Every _CHECK_FIRST name must resolve to a registered query (a
+    typo'd rotation entry silently shrinks the driver's 50-entry
+    verification window), the window must hold exactly 50 unique names,
+    and the driver-facing order must actually front-load them."""
+    cf = plans._CHECK_FIRST
+    names = list(QUERIES)
+    assert len(cf) == 50
+    assert len(set(cf)) == 50
+    missing = [n for n in cf if n not in QUERIES]
+    assert not missing, f"rotation names not in registry: {missing}"
+    assert names[:50] == list(cf)
