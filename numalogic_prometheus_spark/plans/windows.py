@@ -163,10 +163,17 @@ def win_running_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_sliding_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding RANGE frame on event-time seconds (B5 rolling scaler stats;
-    PromQL range-vector analog): per user, mean of the trailing hour.
-    RANGE frames are tie-safe, so no tiebreak column is needed — rows at
-    the same second share a frame in both engines."""
+    """Sliding RANGE frame on event-time seconds (B5 rolling scaler
+    stats): per user, mean of the trailing hour. RANGE frames are
+    tie-safe, so no tiebreak column is needed — rows at the same second
+    share a frame in both engines.
+
+    Deliberately CLOSED [t-1h, t]: this entry demonstrates the ANSI SQL
+    RANGE frame itself (both bounds inclusive per the standard), not a
+    PromQL range selector — the PromQL `*_over_time` family
+    (plans/promql2.py/promql3.py) is uniformly left-open (t-1h, t] per
+    the round-8 convention unification, and this is the one documented
+    intentional exception because its contract IS the SQL standard."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
