@@ -42,11 +42,17 @@ class _Slice(InputPartition):
     end: float
 
 
-def _fetch_json(url: str, retries: int = 3, backoff: float = 0.5) -> dict:
+def _fetch_json(
+    url: str,
+    retries: int = 3,
+    backoff: float = 0.5,
+    headers: dict[str, str] | None = None,
+) -> dict:
     last: Exception | None = None
     for attempt in range(retries):
         try:
-            with urllib.request.urlopen(url, timeout=30) as resp:
+            req = urllib.request.Request(url, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=30) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except Exception as exc:  # bounded retry on transient failures
             last = exc
@@ -86,6 +92,17 @@ class PrometheusScanReader(DataSourceReader):
         self.end = _parse_ts(options["end"])
         self.step = options.get("step", "60s")
         self.n_partitions = int(options.get("partitions", "8"))
+        # auth: a bearer token (Prometheus behind an auth proxy / Cortex /
+        # Thanos gateway — the common production posture) or a raw
+        # Authorization header value. Shipped to every executor task with
+        # the reader; stdlib-only, no dependency.
+        self.headers: dict[str, str] = {}
+        token = options.get("token")
+        if token:
+            self.headers["Authorization"] = f"Bearer {token}"
+        auth_header = options.get("authorization")
+        if auth_header:
+            self.headers["Authorization"] = auth_header
         if self.end <= self.start:
             raise ValueError("prometheus source: end must be after start")
 
@@ -121,7 +138,9 @@ class PrometheusScanReader(DataSourceReader):
                 "step": self.step,
             }
         )
-        payload = _fetch_json(f"{self.url}/api/v1/query_range?{params}")
+        payload = _fetch_json(
+            f"{self.url}/api/v1/query_range?{params}", headers=self.headers
+        )
         if payload.get("status") != "success":
             raise RuntimeError(f"prometheus error response: {payload}")
         for series in payload.get("data", {}).get("result", []):
@@ -140,7 +159,8 @@ class PrometheusDataSource(DataSource):
     """``spark.read.format("prometheus")`` — range query → samples relation.
 
     Options: url (server base), query (PromQL), start/end (unix seconds or
-    RFC3339), step (default 60s), partitions (time slices, default 8).
+    RFC3339), step (default 60s), partitions (time slices, default 8),
+    token (bearer token) / authorization (raw Authorization header value).
     """
 
     @classmethod

@@ -146,3 +146,118 @@ def test_prometheus_source_feeds_discipline_operators(spark, fake_prom):
         ["instance"],
     ).collect()
     assert len(g) == 2  # one series per instance label
+
+
+class _AuthProm(_FakeProm):
+    """Same fake API, but 401s any request without the expected bearer
+    token — and fails the FIRST authorized request with a 500 so the
+    bounded-retry path is exercised end-to-end."""
+
+    requests: list[dict] = []
+    expected = "Bearer sekret-token"
+    fail_first = True
+
+    def do_GET(self):
+        if self.headers.get("Authorization") != type(self).expected:
+            self.send_response(401)
+            self.end_headers()
+            return
+        if type(self).fail_first:
+            type(self).fail_first = False
+            self.send_response(500)
+            self.end_headers()
+            return
+        super().do_GET()
+
+
+@pytest.fixture()
+def auth_prom():
+    _AuthProm.requests = []
+    _AuthProm.fail_first = True
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _AuthProm)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_prometheus_source_bearer_auth_and_retry(spark, auth_prom):
+    """The `token` option must reach every executor task's request as an
+    Authorization header (the auth-proxy / Cortex / Thanos posture), and
+    a transient 5xx must be absorbed by the bounded retry — the read
+    still returns the full sample set."""
+    register_prometheus_source(spark)
+    df = (
+        spark.read.format("prometheus")
+        .option("url", auth_prom)
+        .option("query", "http_requests_total")
+        .option("start", str(START))
+        .option("end", str(START + 10 * STEP))
+        .option("step", "60s")
+        .option("partitions", "2")
+        .option("token", "sekret-token")
+        .load()
+    )
+    rows = df.collect()
+    # 11 ticks × 2 instances, no tick double-fetched across slices
+    assert len(rows) == 22
+    assert not _AuthProm.fail_first  # the 500 was actually served
+
+
+def test_prometheus_source_rejects_bad_token(spark, auth_prom):
+    register_prometheus_source(spark)
+    df = (
+        spark.read.format("prometheus")
+        .option("url", auth_prom)
+        .option("query", "http_requests_total")
+        .option("start", str(START))
+        .option("end", str(START + STEP))
+        .option("token", "wrong")
+        .load()
+    )
+    with pytest.raises(Exception, match="fetch failed|401|HTTP"):
+        df.collect()
+
+
+def test_partition_slices_reproduce_global_tick_grid():
+    """Pure-planner property: for arbitrary (duration, step, partition
+    count), the union of per-slice query_range tick sets must equal the
+    single-query tick set exactly — no duplicate, shifted, or dropped
+    ticks. This is the invariant that makes the fan-out semantically
+    invisible."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from numalogic_prometheus_spark.sources.prometheus import (
+        PrometheusScanReader,
+        _step_seconds,
+    )
+
+    @given(
+        n_steps=st.integers(min_value=0, max_value=500),
+        step=st.sampled_from(["15s", "60s", "5m", "1h"]),
+        parts=st.integers(min_value=1, max_value=32),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(n_steps, step, parts):
+        s = _step_seconds(step)
+        reader = PrometheusScanReader(
+            {
+                "url": "http://x",
+                "query": "q",
+                "start": str(START),
+                "end": str(START + n_steps * s + s / 2),
+                "step": step,
+                "partitions": str(parts),
+            }
+        )
+        global_ticks = [START + k * s for k in range(n_steps + 1)]
+        got: list[float] = []
+        for sl in reader.partitions():
+            k = 0
+            while sl.start + k * s <= sl.end + 1e-9:
+                got.append(sl.start + k * s)
+                k += 1
+        assert sorted(got) == pytest.approx(global_ticks)
+
+    check()
