@@ -82,13 +82,16 @@ _MODULES = (
 #     shipped plans,
 #   * the 4 queries REGISTERED this round (in-window from day one — the
 #     r6 rule that no entry ships without a driver row),
-#   * the 14 entries whose SEMANTICS changed via the rounding-tie-class
+#   * the 17 entries whose SEMANTICS changed via the rounding-tie-class
 #     eradication the sf0.1 sweep triggered (SCALE.md round-8 section;
 #     includes the stream_counter_rate sentinel and the in-pool
 #     text_stats / text_quality_by_source / ml_static_threshold),
 #   * the stalest r2-green entries filling the window to 50 — the
-#     remainder of the r2 pool (7 entries displaced by the tie-class
-#     rotations, 3 by the new registrations) drains in round 9.
+#     remainder of the r2 pool (10 entries displaced by the tie-class
+#     rotations, 3 by the new registrations) drains in round 9. The
+#     only tie-class member left for r9 is ml_minmax_scaled (double
+#     ratio of exact selections — measure-zero risk, queued in the
+#     tests/test_rounding_lint.py allowlist).
 _CHECK_FIRST = (
     # -- left-open window-edge migration (semantics changed r8) --
     "promql_sum_over_time",
@@ -146,12 +149,12 @@ _CHECK_FIRST = (
     "promql_rate_per_hour",
     "promql_irate_last_delta",
     "text_ngram_jaccard_pairs",
+    "promql_histogram_quantile_p90",
+    "ml_conformal_threshold",
+    "profile_drift_halves",
     # -- stale re-green: last driver row r2 --
     "text_stats",
     "text_quality_by_source",
-    "text_langid_confusion",
-    "dedup_cluster_components",
-    "vec_ann_signbucket_topk",
     "ml_static_threshold",
 )
 

@@ -85,8 +85,8 @@ def ml_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_scored,
            sum(CASE WHEN e.value > c.threshold THEN 1 ELSE 0 END)::BIGINT
                AS n_anomalies,
-           round(1.0 - sum(CASE WHEN e.value > c.threshold THEN 1 ELSE 0 END)
-                       / count(*)::DOUBLE, 6) AS empirical_coverage
+           1.0 - sum(CASE WHEN e.value > c.threshold THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE AS empirical_coverage
     FROM events e
     JOIN cal c ON c.event_type = e.event_type
     WHERE e.ts >= TIMESTAMP '{_SPLIT}'
@@ -115,8 +115,9 @@ def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_scored"),
             F.sum(exceed).alias("n_anomalies"),
-            F.round(
-                1.0 - F.sum(exceed) / F.count(F.lit(1)).cast("double"), 6
+            # unrounded exact-integer ratio (r8 sweep tie class)
+            (
+                1.0 - F.sum(exceed) / F.count(F.lit(1)).cast("double")
             ).alias("empirical_coverage"),
         )
     )

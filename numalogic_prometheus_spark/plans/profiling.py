@@ -169,7 +169,7 @@ def _drift_oracle() -> str:
         "WITH per_col AS (" + "\nUNION ALL".join(per_col) + ")\n"
         "SELECT column_name, n_early, n_late, null_early, null_late,\n"
         "       nd_early, nd_late,\n"
-        "       round(nd_late / NULLIF(nd_early, 0), 6) AS distinct_ratio,\n"
+        "       nd_late / NULLIF(nd_early, 0) AS distinct_ratio,\n"
         "       (nd_late * 2 < nd_early OR nd_early * 2 < nd_late\n"
         "        OR null_late * n_early > 2 * null_early * n_late + n_late)\n"
         "           AS drift_flag\n"
@@ -190,7 +190,7 @@ def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin is per-column FILTER-clause scans. The only float is the
     final ratio — one IEEE division of two BIGINTs (try_divide: a column
     with no early-era non-null values reports NULL, matching DuckDB's
-    x/0, instead of raising under ANSI mode), then round(6)."""
+    x/0, instead of raising under ANSI mode), emitted unrounded."""
     orders = spread_if_compact(spark, load_table(spark, sf_dir, "orders"))
     melted = orders.selectExpr(
         f"o_orderdate >= DATE '{_DRIFT_CUTOFF}' AS late",
@@ -230,9 +230,11 @@ def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_late",
         "nd_early",
         "nd_late",
-        F.round(
-            F.try_divide(F.col("nd_late"), F.col("nd_early")), 6
-        ).alias("distinct_ratio"),
+        # unrounded exact-integer ratio: bit-identical cross-engine
+        # (the round-8 sf0.1 sweep tie class)
+        F.try_divide(F.col("nd_late"), F.col("nd_early")).alias(
+            "distinct_ratio"
+        ),
         (
             (F.col("nd_late") * 2 < F.col("nd_early"))
             | (F.col("nd_early") * 2 < F.col("nd_late"))

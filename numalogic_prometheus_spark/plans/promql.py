@@ -135,9 +135,9 @@ _BUCKET_CTE = f"""
         WHERE cum_count >= total * {{q}}
     )
     SELECT event_type,
-           round(CASE WHEN isinf(le) THEN max_finite_le
-                 ELSE prev_le + (le - prev_le) * (total * {{q}} - prev_n)
-                      / (cum_count - prev_n) END, 6) AS quantile_value
+           CASE WHEN isinf(le) THEN max_finite_le
+                ELSE prev_le + (le - prev_le) * (total * {{q}} - prev_n)
+                     / (cum_count - prev_n) END AS quantile_value
     FROM hit WHERE rn = 1
 """
 
@@ -150,9 +150,11 @@ def promql_histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     buckets = M.histogram_buckets(ev, ["event_type"])
     out = histogram_quantile(buckets, ["event_type"], 0.9)
-    return out.select(
-        "event_type", F.round("quantile_value", 6).alias("quantile_value")
-    )
+    # unrounded: bounds are literal doubles and counts exact ints through
+    # the identical interpolation operand order in both engines, so the
+    # result is bit-identical — in-query round(x, 6) would be the only
+    # divergence source (the round-8 sf0.1 sweep tie class)
+    return out.select("event_type", "quantile_value")
 
 
 @register(

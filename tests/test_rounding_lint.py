@@ -68,17 +68,9 @@ _ALLOWLIST: dict[str, str] = {
     "su / 1000000.0": "fixed-point integer / 1e6 — on-grid, tie-free",
     "sum(lp_fp)::BIGINT / (count(*) * 1000000.0)":
         "fixed-point mean: numerator on the 1e-6 grid",
-    # histogram_quantile bucket interpolation of integer counts: R9
-    # QUEUE — same tie class in principle; rotate to unrounded with a
-    # round-9 window slot (documented in SCALE.md)
-    "CASE WHEN isinf(le) THEN max_finite_le":
-        "r9 queue: interpolated int counts (tie class, needs window slot)",
-    # conformal threshold 1 - n/N: R9 QUEUE, same as above
-    "1.0 - sum(CASE WHEN e.value > c.threshold":
-        "r9 queue: int ratio (tie class, needs window slot)",
-    # drift ratio of exact distinct counts: R9 QUEUE
-    "nd_late / NULLIF(nd_early, 0)":
-        "r9 queue: int ratio (tie class, needs window slot)",
+    # threshold = round(quantile_cont) of RAW doubles: interpolation
+    # over engine-divergent inputs -> absorber (conformal's coverage
+    # ratio itself is now unrounded)
     # min-max scaling of raw doubles: (v - min)/(max - min) is
     # bit-identical (min/max are exact selections, not sums) BUT the
     # result is a raw-double ratio with no grid — tie probability is
@@ -120,9 +112,9 @@ def test_no_unabsorbed_ratio_rounding_in_oracles():
 
 
 def test_fixed_entries_stay_unrounded():
-    """The 16 entries the round-8 sweep fix touched must never regain a
-    2-arg round over a division (except text_quality_by_source's avg
-    absorber)."""
+    """The entries the round-8 sweep fix touched must never regain a
+    2-arg round over a division (except avg/stddev absorbers and
+    no-division rounds like conformal's quantile_cont threshold)."""
     fixed = [
         "join_interval_bucketed",
         "promql_avg_over_time",
@@ -144,6 +136,9 @@ def test_fixed_entries_stay_unrounded():
         "text_ngram_jaccard_pairs",
         "stream_counter_rate",
         "ml_static_threshold",
+        "promql_histogram_quantile_p90",
+        "ml_conformal_threshold",
+        "profile_drift_halves",
     ]
     oracles = plans.all_oracles()
     for name in fixed:
