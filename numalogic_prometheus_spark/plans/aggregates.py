@@ -152,9 +152,9 @@ def _kmv_est_sql(col: str) -> str:
     return f"""
         SELECT l_returnflag,
                CASE WHEN max(rn) < {_ADK}
-                    THEN round(max(rn)::DOUBLE, 4)
-                    ELSE round({_ADNUM!r} /
-                               max(CASE WHEN rn = {_ADK} THEN h END), 4)
+                    THEN max(rn)::DOUBLE
+                    ELSE {_ADNUM!r} /
+                         max(CASE WHEN rn = {_ADK} THEN h END)
                END AS est
         FROM (
             SELECT l_returnflag, h,
@@ -219,16 +219,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(W.partitionBy("l_returnflag").orderBy("h"))
             .alias("rn"),
         ).filter(F.col("rn") <= _ADK)
+        # Unrounded (r9): integer-valued double / one IEEE division of
+        # exact inputs — bit-identical cross-engine, so no round needed
+        # (and round was the tie-class liability, SCALE.md round-8).
         return sk.groupBy("l_returnflag").agg(
-            F.when(
-                F.max("rn") < _ADK, F.round(F.max("rn").cast("double"), 4)
-            )
+            F.when(F.max("rn") < _ADK, F.max("rn").cast("double"))
             .otherwise(
-                F.round(
-                    F.lit(_ADNUM)
-                    / F.max(F.when(F.col("rn") == _ADK, F.col("h"))),
-                    4,
-                )
+                F.lit(_ADNUM)
+                / F.max(F.when(F.col("rn") == _ADK, F.col("h")))
             )
             .alias("est"),
         )

@@ -106,9 +106,9 @@ _KMV_ORACLE = f"""
     per_day AS (
         SELECT s.day,
                CASE WHEN max(s.rn) < {_KMV_K}
-                    THEN round(max(s.rn)::DOUBLE, 4)
-                    ELSE round({_KMV_NUM!r} /
-                               max(CASE WHEN s.rn = {_KMV_K} THEN s.h END), 4)
+                    THEN max(s.rn)::DOUBLE
+                    ELSE {_KMV_NUM!r} /
+                         max(CASE WHEN s.rn = {_KMV_K} THEN s.h END)
                END AS est_users,
                any_value(nev.n_events) AS n_events
         FROM sk s JOIN nev ON s.day = nev.day
@@ -122,9 +122,9 @@ _KMV_ORACLE = f"""
     total AS (
         SELECT NULL::TIMESTAMP AS day,
                CASE WHEN max(rn) < {_KMV_K}
-                    THEN round(max(rn)::DOUBLE, 4)
-                    ELSE round({_KMV_NUM!r} /
-                               max(CASE WHEN rn = {_KMV_K} THEN h END), 4)
+                    THEN max(rn)::DOUBLE
+                    ELSE {_KMV_NUM!r} /
+                         max(CASE WHEN rn = {_KMV_K} THEN h END)
                END AS est_users,
                (SELECT count(*)::BIGINT FROM events) AS n_events
         FROM usk
@@ -172,9 +172,13 @@ def agg_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ranked.filter(F.col("rn") <= _KMV_K)
 
     def estimate(rn_col, hk_col):
-        return F.when(
-            rn_col < _KMV_K, F.round(rn_col.cast("double"), 4)
-        ).otherwise(F.round(F.lit(_KMV_NUM) / hk_col, 4))
+        # Unrounded (r9): both branches are bit-identical cross-engine —
+        # an integer-valued double and one IEEE division of exact inputs —
+        # so the old round(·, 4) was a pure tie-class liability
+        # (SCALE.md round-8 section), not a sketch-contract necessity.
+        return F.when(rn_col < _KMV_K, rn_col.cast("double")).otherwise(
+            F.lit(_KMV_NUM) / hk_col
+        )
 
     nev = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")

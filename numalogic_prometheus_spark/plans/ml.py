@@ -41,21 +41,25 @@ def ml_zscore_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_minmax_scaled",
     oracle="""
     SELECT e.event_id, e.user_id,
-           round(CASE WHEN s.vmax - s.vmin = 0 THEN 0.0
-                      ELSE (e.value - s.vmin) / (s.vmax - s.vmin) END, 6) AS scaled
+           CASE WHEN s.vmax - s.vmin = 0 THEN 0.0
+                ELSE (e.value - s.vmin) / (s.vmax - s.vmin) END AS scaled
     FROM events e
     JOIN (SELECT user_id, min(value) AS vmin, max(value) AS vmax
           FROM events GROUP BY user_id) s USING (user_id)
     """,
 )
 def ml_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5 min-max scaler per entity key."""
+    """B5 min-max scaler per entity key.
+
+    Unrounded (r9, closing the round-8 tie class): vmin/vmax are exact
+    SELECTIONS of parquet doubles (not sums), so (v−vmin)/(vmax−vmin) is
+    two IEEE subtractions and one IEEE division of bit-identical inputs —
+    bit-identical cross-engine. The old round(·, 6) was the only possible
+    divergence source (the .5-ulp tie class, SCALE.md round-8 section)."""
     ev = load_table(spark, sf_dir, "events")
     fitted = ML.fit_minmax(ev, ["user_id"], "value")
     out = ML.transform_minmax(ev, fitted, ["user_id"], "value")
-    return out.select(
-        "event_id", "user_id", F.round("scaled", 6).alias("scaled")
-    )
+    return out.select("event_id", "user_id", "scaled")
 
 
 @register(

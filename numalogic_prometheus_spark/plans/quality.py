@@ -364,8 +364,7 @@ _UNIGRAM_ORACLE = """
         FROM c, t
     )
     SELECT doc_id, count(*)::BIGINT AS n_toks,
-           round(sum(lp_fp)::BIGINT / (count(*) * 1000000.0), 6)
-               AS mean_logprob
+           sum(lp_fp)::BIGINT / (count(*) * 1000000.0) AS mean_logprob
     FROM tok JOIN lp USING (tk)
     GROUP BY doc_id
 """
@@ -397,8 +396,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
-            F.round(
-                F.sum("lp_fp") / (F.count(F.lit(1)) * 1000000.0), 6
-            ).alias("mean_logprob"),
+            # Unrounded (r9): exact BIGINT sum over exact integer count —
+            # one IEEE division, bit-identical cross-engine; the outer
+            # round(·,6) was the tie-class liability (SCALE.md round-8).
+            (F.sum("lp_fp") / (F.count(F.lit(1)) * 1000000.0)).alias(
+                "mean_logprob"
+            ),
         )
     )

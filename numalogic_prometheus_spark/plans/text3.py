@@ -65,7 +65,7 @@ _BM25_ORACLE = f"""
     ),
     score AS (SELECT doc_id, sum(cu)::BIGINT AS su FROM contrib GROUP BY doc_id)
     SELECT doc_id, bm25, rank FROM (
-        SELECT doc_id, round(su / 1000000.0, 6) AS bm25,
+        SELECT doc_id, su / 1000000.0 AS bm25,
                row_number() OVER (ORDER BY su DESC, doc_id) AS rank
         FROM score
     ) WHERE rank <= 10
@@ -128,7 +128,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         score.select(
             "doc_id",
-            F.round(F.col("su") / 1000000.0, 6).alias("bm25"),
+            # Unrounded (r9): su is an exact BIGINT, so su/1e6 is one IEEE
+            # division — bit-identical cross-engine; round(·,6) was the
+            # tie-class liability (SCALE.md round-8 section).
+            (F.col("su") / 1000000.0).alias("bm25"),
             F.row_number().over(w).cast("long").alias("rank"),
         )
         .filter(F.col("rank") <= 10)

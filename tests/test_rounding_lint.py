@@ -33,7 +33,10 @@ _ROUND2 = re.compile(
 )
 
 # absorber patterns: any ONE occurring inside the rounded expression
-# marks the round as load-bearing (engine-divergent inputs)
+# marks the round as load-bearing (engine-divergent inputs). Every
+# pattern names the SPECIFIC divergence source — a blanket pattern like
+# "sum(" would absorb exact-integer sums, the flagship of the very tie
+# class this lint blocks (round-9 narrowing, ADVICE r8 item 3).
 _ABSORBERS = (
     "exp(",        # libm transcendental — no cross-libm bit guarantee
     "ln(",         # libm
@@ -41,47 +44,30 @@ _ABSORBERS = (
     "regr_",       # regression aggregates, engine-specific accumulation
     "stddev",      # double variance accumulation
     "nullif(",     # z-score family: sd/mu are double aggregates upstream
+    # quantile interpolation over raw doubles: DuckDB's quantile_cont
+    # and Spark's percentile may order the a+(b−a)·frac arithmetic
+    # differently → ulp-divergent inputs, round is the absorber
+    "quantile_cont(",
+    # sums whose summand is a RAW PARQUET DOUBLE (TPC-H l.* money
+    # columns): accumulation order differs across engines. The dot is
+    # load-bearing: "sum(l." does NOT match fixed-point integer sums
+    # like sum(lp_fp) — those must be emitted unrounded instead.
+    "sum(l.",
+    # z-score family: s.sigma/s.mu come from avg()/stddev_samp() in an
+    # upstream CTE — engine-divergent double accumulation reaches the
+    # ratio even though the aggregate call sits outside the round()
+    "/ s.sigma",
 )
 
-# per-entry justifications for sites the generic patterns don't cover.
-# Each entry documents WHY the round is not the tie class; anything new
-# must be argued here, not silently added.
-_ALLOWLIST: dict[str, str] = {
-    # sums of raw parquet doubles (order-dependent) rounded at 2-4
-    # digits before or after the division — absorbers by the same
-    # argument as avg(); matched as sum( below
-    "sum(": "summation-order-dependent double aggregate",
-    # KMV estimator: round(k_norm / h_k, 4) quantizes the ESTIMATE — the
-    # sketch contract, applied identically from identical 48-bit hash
-    # integers; a tie would require the rational k_norm/h to land on the
-    # .5e-4 grid, and the estimate is not an exact-parity quantity in
-    # the first place (the oracle replays the identical estimator)
-    "3.574732204225331e+16 /": "KMV estimate quantization (by design)",
-    # sliding quantile: outputs land on the 5e-4 value grid (cents x
-    # phi-fractions), exact at 6 decimals, so no .5e-6 tie exists
-    "quantile_cont(b.c": "outputs on a 5e-4 grid — tie-free at 6 digits",
-    # tumbling quantile / quantile threshold: quantile_cont over RAW
-    # doubles — engine interpolation order may differ in ulps → absorber
-    "quantile_cont(value": "interpolation over raw doubles — absorber",
-    # fixed-point ln tables: su is an integer of pre-rounded 1e-6
-    # fixed-point logs, so su/1e6 is ON the 1e-6 grid — no half-grid tie
-    "su / 1000000.0": "fixed-point integer / 1e6 — on-grid, tie-free",
-    "sum(lp_fp)::BIGINT / (count(*) * 1000000.0)":
-        "fixed-point mean: numerator on the 1e-6 grid",
-    # threshold = round(quantile_cont) of RAW doubles: interpolation
-    # over engine-divergent inputs -> absorber (conformal's coverage
-    # ratio itself is now unrounded)
-    # min-max scaling of raw doubles: (v - min)/(max - min) is
-    # bit-identical (min/max are exact selections, not sums) BUT the
-    # result is a raw-double ratio with no grid — tie probability is
-    # measure-zero-ish; queued with the r9 batch for uniformity
-    "CASE WHEN s.vmax - s.vmin = 0":
-        "r9 queue: double ratio of exact selections",
-    # z-score: mu/sigma come from avg()/stddev() in the upstream CTE —
-    # engine-divergent double accumulation → absorber (the aggregate is
-    # just outside this round's regex scope)
-    "/ s.sigma": "mu/sigma are double aggregates upstream — absorber",
-}
+# Round 9 (VERDICT r8 #1): the per-entry allowlist is EMPTY — every
+# former member was either unrounded (KMV estimates, bm25 su/1e6,
+# unigram fixed-point mean, minmax ratio of exact selections: all
+# bit-identical cross-engine, so their round() calls were pure tie-class
+# liabilities) or generalized into a documented absorber pattern above
+# (quantile_cont interpolation, raw-double sums, upstream-sigma ratios).
+# Keep it empty: a new rounded ratio must either match a named absorber
+# or be emitted unrounded.
+_ALLOWLIST: dict[str, str] = {}
 
 
 def _is_absorbed(inner: str) -> str | None:
@@ -139,6 +125,12 @@ def test_fixed_entries_stay_unrounded():
         "promql_histogram_quantile_p90",
         "ml_conformal_threshold",
         "profile_drift_halves",
+        # round-9 unrounds (the allowlist drain, VERDICT r8 #1)
+        "ml_minmax_scaled",
+        "agg_approx_distinct",
+        "agg_hll_mergeable_daily",
+        "text_bm25_topk",
+        "text_unigram_logprob",
     ]
     oracles = plans.all_oracles()
     for name in fixed:
