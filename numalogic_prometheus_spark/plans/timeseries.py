@@ -129,30 +129,24 @@ def ts_step_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_linear_interpolate",
     oracle=f"""
     WITH {_SAMPLES_SQL}, {_GRID_SQL},
+    ge AS (SELECT se.event_type, g.gts FROM grid g CROSS JOIN series se),
     prevs AS (
-        SELECT se.event_type, g.gts, s.value AS pv, epoch_us(s.ts) AS pt,
-               row_number() OVER (PARTITION BY se.event_type, g.gts
-                                  ORDER BY s.ts DESC) AS rn
-        FROM grid g CROSS JOIN series se
-        LEFT JOIN samples s
-          ON s.event_type = se.event_type AND s.ts <= g.gts
+        SELECT ge.event_type, ge.gts, s.value AS pv, epoch_us(s.ts) AS pt
+        FROM ge ASOF LEFT JOIN samples s
+          ON ge.event_type = s.event_type AND ge.gts >= s.ts
     ),
     nexts AS (
-        SELECT se.event_type, g.gts, s.value AS nv, epoch_us(s.ts) AS nt,
-               row_number() OVER (PARTITION BY se.event_type, g.gts
-                                  ORDER BY s.ts ASC) AS rn
-        FROM grid g CROSS JOIN series se
-        LEFT JOIN samples s
-          ON s.event_type = se.event_type AND s.ts > g.gts
+        SELECT ge.event_type, ge.gts, s.value AS nv, epoch_us(s.ts) AS nt
+        FROM ge ASOF LEFT JOIN samples s
+          ON ge.event_type = s.event_type AND ge.gts < s.ts
     )
     SELECT p.event_type, p.gts AS grid_ts,
            CASE WHEN p.pv IS NOT NULL AND n.nv IS NOT NULL THEN
-               round(p.pv + (n.nv - p.pv)
-                     * ((epoch_us(p.gts) - p.pt) / (n.nt - p.pt)), 6)
+               p.pv + (n.nv - p.pv)
+                    * ((epoch_us(p.gts) - p.pt) / (n.nt - p.pt))
            END AS value
     FROM prevs p
     JOIN nexts n ON n.event_type = p.event_type AND n.gts = p.gts
-    WHERE p.rn = 1 AND n.rn = 1
     """,
 )
 def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +155,14 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is missing — outside the observed range). prev is inclusive (ts ≤ g),
     next strictly after (ts > g), so a sample landing exactly on the grid
     returns itself and the denominator can never be zero. Two window
-    passes over one interleaved union replace both inequality joins."""
+    passes over one interleaved union replace both inequality joins.
+
+    Oracle linearized r9 (VERDICT r8 #2): the old grid×samples LEFT JOIN
+    + per-(grid,ts) row_number form was O(grid·samples) — 142 s of the
+    626 s sf0.1 sweep on its own; the two DuckDB ASOF joins (one per
+    direction, DuckDB ≥0.10 supports all four inequality orientations)
+    match the engine's O(rows) shape, so the differential check now
+    scales with the data."""
     u = _interleaved_union(
         _deduped_samples(spark, sf_dir), _grid(spark, sf_dir)
     )
@@ -179,14 +180,16 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     g_us = epoch_us("gts")
+    # Unrounded (r9): (g−pt)/(nt−pt) is a ratio of exact integer
+    # microseconds; pv/nv are raw parquet doubles passed through — the
+    # whole expression is IEEE arithmetic over bit-identical inputs in
+    # identical written order on both engines, so the former round(·,6)
+    # was a tie-class liability (SCALE.md round-8), not an absorber.
     interp = F.when(
         F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-        F.round(
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * ((g_us - F.col("pt")) / (F.col("nt") - F.col("pt"))),
-            6,
-        ),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((g_us - F.col("pt")) / (F.col("nt") - F.col("pt"))),
     )
     return (
         u.withColumn("pv", F.last("value", ignorenulls=True).over(wp))
