@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
     cosine_similarity,
+    dot_product,
+    l2_norm,
     to_double_array,
 )
 from numalogic_prometheus_spark.plans import register
@@ -251,4 +253,163 @@ def vec_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 vec_ann_filtered_topk.__doc__ = vec_ann_filtered_topk.__doc__.format(
     k=_FILTERED_TOP_K, label=_FILTER_LABEL
+)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — filtered ANN × IVF (VERDICT r8 #3): the predicate composed
+# with the coarse-quantizer candidate generator, the scale path the
+# vec_ann_filtered_topk docstring promises. The label filter rides the
+# CORPUS side of the cell-assignment stage, i.e. it prunes at the
+# parquet scan BEFORE the N×C centroid expansion — cell membership is a
+# per-vector property (nearest centroid), so filtering before or after
+# assignment yields the identical candidate set, and filtering first
+# makes the whole index pass O(|filtered|·C) instead of O(N·C).
+# Centroids stay a FULL-corpus artifact (every 31st vec_id, as in
+# vec_ivf_topk): a production IVF index is trained once per corpus and
+# shared by every filtered query, not rebuilt per predicate.
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROID_FILTER = "vec_id % 31 = 0"  # mirrors plans/vectors2.py
+_IVF_NPROBE = 2
+
+_IVF_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_aggregate(list_transform({a}, x -> x*x), 'sum'))"
+    "    * sqrt(list_aggregate(list_transform({b}, x -> x*x), 'sum')))"
+)
+_IVF_KEY_SQL = (
+    f"round((1 - {_IVF_COS_SQL.format(a='b.v', b='c.cv')}) * 1000000)::BIGINT"
+    " * 100000 + c.cent_id"
+)
+
+
+@register(
+    "vec_ivf_filtered_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM b
+              WHERE {_IVF_CENTROID_FILTER}),
+    assign AS (
+        SELECT vec_id, arg_min(cent_id, {_IVF_KEY_SQL}) AS cell
+        FROM b CROSS JOIN cents c
+        WHERE b.label = {_FILTER_LABEL}
+        GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {_IVF_KEY_SQL}) AS rn
+        FROM b CROSS JOIN cents c
+        WHERE {_QUERY_FILTER}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE p.rn <= {_IVF_NPROBE} AND a.vec_id != p.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               round({_IVF_COS_SQL.format(a='qv.v', b='nv.v')}, 6) AS cos_sim
+        FROM cands cd
+        JOIN b qv ON qv.vec_id = cd.query_id
+        JOIN b nv ON nv.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_FILTERED_TOP_K}
+    """,
+)
+def vec_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe={nprobe}, top-{k}) RESTRICTED to corpus rows with
+    label = {label}: the metadata predicate composed with the coarse
+    quantizer. The label filter sits on the assignment input so Catalyst
+    pushes it into the parquet scan (pinned:
+    tests/test_plan_shape.py::test_ivf_filtered_pushes_label_filter) and
+    the N×C distance expansion only sees filtered rows; probing and the
+    exact cosine re-rank then run exactly as in vec_ivf_topk
+    (plans/vectors2.py). Recall against the exact filtered search
+    (vec_ann_filtered_topk) is measured in
+    tests/test_ann_recall.py::test_ivf_filtered_recall_floor. At 100 TB
+    this is the production retrieval shape: predicate pruning at the
+    scan, candidate volume bounded by nprobe/n_cells of the FILTERED
+    corpus, exact work only on survivors."""
+    e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    b = e.select(
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", l2_norm(F.col("v")))
+    cents = b.filter(F.expr(_IVF_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+
+    def dist_key(v, nv, cv, nc, cent_id) -> F.Column:
+        dist = 1 - dot_product(v, cv) / (nv * nc)
+        return F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+
+    # Predicate FIRST: the filtered corpus enters the N×C expansion,
+    # carrying only scalars into the assignment hash aggregate.
+    corpus_f = b.filter(F.col("label") == _FILTER_LABEL)
+    keyed = corpus_f.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        dist_key(
+            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"),
+            F.col("cent_id"),
+        ).alias("key"),
+    )
+    assign = keyed.groupBy("vec_id").agg(
+        F.min_by("cent_id", "key").alias("cell")
+    )
+    assign_v = assign.join(corpus_f.select("vec_id", "v", "nv"), "vec_id")
+    wq = W.partitionBy("query_id").orderBy("key")
+    q = b.filter(F.expr("vec_id % 97 = 0")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nqv"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "nqv",
+            F.col("cent_id").alias("cell"),
+            dist_key(
+                F.col("qv"), F.col("nqv"), F.col("cv"), F.col("nc"),
+                F.col("cent_id"),
+            ).alias("key"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .drop("rn", "key")
+    )
+    scored = (
+        F.broadcast(probes).join(assign_v, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot_product(F.col("qv"), F.col("v"))
+                / (F.col("nqv") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _FILTERED_TOP_K)
+    )
+
+
+vec_ivf_filtered_topk.__doc__ = vec_ivf_filtered_topk.__doc__.format(
+    k=_FILTERED_TOP_K, label=_FILTER_LABEL, nprobe=_IVF_NPROBE
 )

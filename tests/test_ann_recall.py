@@ -137,3 +137,20 @@ def test_ivf_recall_floor(spark, sf_dir, ground_truth):
     cand_map = ann.groupby("query_id")["neighbor_id"].apply(set).to_dict()
     recall, _ = _recall_and_cost(cand_map, ground_truth)
     assert recall >= 0.30
+
+
+def test_ivf_filtered_recall_floor(spark, sf_dir):
+    """vec_ivf_filtered_topk vs the exact filtered search
+    (vec_ann_filtered_topk, the ground truth for the SAME predicate):
+    measured 0.278 on the near-uniform fixture — slightly under the
+    unfiltered IVF floor because halving the corpus with the label
+    predicate does not halve the probe set's cell coverage. Pinned with
+    slack; on clustered real corpora the same harness re-measures the
+    nprobe needed for production recall."""
+    qs = all_queries()
+    gt = qs["vec_ann_filtered_topk"](spark, sf_dir).toPandas()
+    gt_map = gt.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    ann = qs["vec_ivf_filtered_topk"](spark, sf_dir).toPandas()
+    cand_map = ann.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    recall, _ = _recall_and_cost(cand_map, gt_map)
+    assert recall >= 0.20, f"filtered-IVF recall@{K} {recall:.3f}"

@@ -395,6 +395,19 @@ def test_filtered_ann_pushes_label_filter(spark, sf_dir):
     assert any("label" in p and "EqualTo" in p for p in pushed), pushed
 
 
+def test_ivf_filtered_pushes_label_filter(spark, sf_dir):
+    """vec_ivf_filtered_topk: the metadata predicate rides the
+    assignment input, so it must reach the corpus parquet scan
+    (PushedFilters) BEFORE the N×C centroid expansion — the composed
+    filter×IVF shape only beats filtered-brute-force if the filter
+    prunes the index pass too."""
+    plan = _plan(spark, sf_dir, "vec_ivf_filtered_topk")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p and "EqualTo" in p for p in pushed), pushed
+
+
 def test_limitk_series_dim_broadcasts(spark, sf_dir):
     """promql_limitk: the ranked series dim is tiny and must broadcast
     back into the sample stream — the fact table is never sorted or
