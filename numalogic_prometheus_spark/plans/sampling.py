@@ -448,3 +448,27 @@ def sample_split_from_snapshot(
         load_table(spark, sf_dir, "documents").select("doc_id"),
         read_components_snapshot(spark, snapshot_dir),
     )
+
+
+@register("sample_split_snapshot_fed", oracle=_split_by_cluster_oracle())
+def sample_split_snapshot_fed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION split path end-to-end as one registered query
+    (VERDICT r8 #7): materialize the components relation to a parquet
+    snapshot (write_components_snapshot — BSP fixpoint runs once,
+    `_SUCCESS`-committed), then read it back through the marker-gated
+    reader and assign the 80/10/10 split from the SNAPSHOT, not the
+    inline fixpoint. Assignments are identical to sample_split_by_cluster
+    by construction, so the entry shares its DuckDB oracle and stays
+    HASH-verified — the driver row now covers the read-a-snapshot shape
+    the 100 TB deployment actually runs (fixpoint amortized across every
+    downstream consumer). The snapshot lands under the local Spark
+    warehouse keyed by scale factor; overwrite mode keeps the entry
+    idempotent across driver replays."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    snapshot_dir = os.path.join(
+        "spark-warehouse", f"components_snapshot_{sf_tag}"
+    )
+    write_components_snapshot(spark, sf_dir, snapshot_dir)
+    return sample_split_from_snapshot(spark, sf_dir, snapshot_dir)
