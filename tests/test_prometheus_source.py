@@ -219,6 +219,102 @@ def test_prometheus_source_rejects_bad_token(spark, auth_prom):
         df.collect()
 
 
+def test_stream_batches_tile_tick_grid(fake_prom):
+    """Streaming tail-read (VERDICT r8 #4): consecutive micro-batches
+    must cover contiguous, DISJOINT runs of the tick grid — no tick
+    fetched twice, none skipped — and an up-to-date reader must emit an
+    empty batch rather than advance. Driver-level check against the
+    fake server: two catch-up batches + one idle batch."""
+    import time as _time
+
+    from numalogic_prometheus_spark.sources.prometheus import (
+        PrometheusStreamReader,
+    )
+
+    # anchor the grid 10 ticks behind wall clock so catch-up is bounded
+    now = _time.time()
+    anchor = (int(now) // STEP) * STEP - 9 * STEP
+    reader = PrometheusStreamReader(
+        {
+            "url": fake_prom,
+            "query": "http_requests_total",
+            "start": str(anchor),
+            "step": "60s",
+            "max_ticks_per_batch": "4",
+        }
+    )
+    off0 = reader.initialOffset()
+    rows1, off1 = reader.read(off0)
+    rows1 = list(rows1)
+    rows2, off2 = reader.read(off1)
+    rows2 = list(rows2)
+    # batch 1 = ticks 0..3, batch 2 = ticks 4..7 (2 instances each)
+    t1 = sorted({r[2].timestamp() for r in rows1})
+    t2 = sorted({r[2].timestamp() for r in rows2})
+    assert t1 == [float(anchor + k * STEP) for k in range(4)]
+    assert t2 == [float(anchor + k * STEP) for k in range(4, 8)]
+    assert off1 == {"k": 3} and off2 == {"k": 7}
+    assert len(rows1) == 8 and len(rows2) == 8  # 4 ticks × 2 instances
+    # replay of batch 2 must reproduce it exactly (checkpoint recovery)
+    replay = list(reader.readBetweenOffsets(off1, off2))
+    key = lambda r: (r[1]["instance"], r[2])  # noqa: E731
+    assert sorted(replay, key=key) == sorted(rows2, key=key)
+    # drain to the wall-clock frontier, then the reader must idle
+    off = off2
+    for _ in range(10):
+        rows, noff = reader.read(off)
+        list(rows)
+        if noff == off:
+            break
+        assert noff["k"] > off["k"]
+        off = noff
+    idle_rows, idle_off = reader.read(off)
+    assert list(idle_rows) == [] and idle_off == off
+
+
+def test_stream_end_to_end_memory_sink(spark, fake_prom):
+    """readStream → memory sink with availableNow: the full Structured
+    Streaming path (offsets through Spark's checkpoint, the canonical
+    samples schema) delivers every grid tick exactly once."""
+    import time as _time
+
+    register_prometheus_source(spark)
+    now = _time.time()
+    anchor = (int(now) // STEP) * STEP - 9 * STEP
+    q = (
+        spark.readStream.format("prometheus")
+        .option("url", fake_prom)
+        .option("query", "http_requests_total")
+        .option("start", str(anchor))
+        .option("step", "60s")
+        .option("max_ticks_per_batch", "4")
+        .load()
+        .writeStream.format("memory")
+        .queryName("prom_tail")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # poll until ≥3 micro-batches have tiled the 10 anchored ticks
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT * FROM prom_tail").count() >= 10 * 2:
+                break
+            _time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM prom_tail").collect()
+    finally:
+        q.stop()
+    n_ticks = int((_time.time() - anchor) // STEP) + 1
+    # the 10 anchored ticks × 2 instances arrived; no (instance, ts) dup
+    assert len(rows) >= 10 * 2
+    assert len(rows) <= (n_ticks + 1) * 2
+    assert len({(r["labels"]["instance"], r["ts"]) for r in rows}) == len(rows)
+    got = sorted({r["ts"].timestamp() for r in rows})
+    assert got[:10] == [float(anchor + k * STEP) for k in range(10)]
+    # contiguous grid — no gaps between consecutive fetched ticks
+    assert all(b - a == STEP for a, b in zip(got, got[1:]))
+
+
 def test_partition_slices_reproduce_global_tick_grid():
     """Pure-planner property: for arbitrary (duration, step, partition
     count), the union of per-slice query_range tick sets must equal the
