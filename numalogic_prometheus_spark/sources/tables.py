@@ -97,6 +97,37 @@ def _size_bytes(conf_val: str) -> int:
     return int(s)
 
 
+# Analyzed-plan nodes that preserve the scan's split width 1:1. Leaf
+# scan relations (DSv1 LogicalRelation, DSv2 relation, catalog/hive
+# relations) plus row-wise projection/filter and naming plumbing.
+_WIDTH_PRESERVING_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",
+        "LogicalRelation",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "UnresolvedCatalogRelation",
+        "HiveTableRelation",
+    }
+)
+
+
+def _scan_rooted(jnode) -> bool:
+    """True iff every node in the analyzed logical plan is on the
+    width-preserving allowlist — i.e. the executed scan width IS the
+    file-split count. Walks JVM node class names, not the rendered
+    string (see _estimated_scan_splits)."""
+    if jnode.getClass().getSimpleName() not in _WIDTH_PRESERVING_NODES:
+        return False
+    children = jnode.children()
+    return all(
+        _scan_rooted(children.apply(i)) for i in range(children.length())
+    )
+
+
 def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int | None:
     """Estimate how many input splits the plan's file scans produce,
     WITHOUT converting the plan to an RDD (``df.rdd.getNumPartitions()``
@@ -110,13 +141,14 @@ def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int | None:
     and filter only): any width-changing operator — an explicit
     repartition, a join, an aggregate — means the plan's executed width
     is no longer the scan's file-split count, so the estimate would be
-    wrong in both directions."""
+    wrong in both directions. The cap walks the analyzed plan's NODE
+    CLASS NAMES (ADVICE r8: substring-matching the rendered plan string
+    misfired on column aliases like "SortKey" and silently missed any
+    width-changing operator not in the token list) via an ALLOWLIST:
+    anything that is not projection / filter / scan-relation plumbing
+    disqualifies the plan, so a future width-changing node fails safe."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(
-            tok in plan
-            for tok in ("Repartition", "Join", "Aggregate", "Window", "Sort")
-        ):
+        if not _scan_rooted(df._jdf.queryExecution().analyzed()):
             return None
         files = df.inputFiles()
     except Exception:  # non-scan-rooted or unresolvable plan

@@ -133,3 +133,30 @@ def test_spread_if_compact_is_conditional(spark, sf_dir):
     untouched = spread_if_compact(spark, wide)
     assert untouched.rdd.getNumPartitions() == par + 4
     assert untouched is wide  # no new plan node at all
+
+
+def test_scan_split_estimate_walks_nodes_not_strings(spark, sf_dir):
+    """ADVICE r8: the scan-rooted cap must classify by analyzed-plan
+    NODE CLASS, not by substring of the rendered plan — a column alias
+    containing a width-token ('SortKey') must not disable the estimate,
+    and every width-changing operator must (allowlist fails safe)."""
+    from pyspark.sql import functions as F
+
+    from numalogic_prometheus_spark.sources.tables import (
+        _estimated_scan_splits,
+        load_table,
+    )
+
+    base = load_table(spark, sf_dir, "orders")
+    aliased = base.filter(F.col("o_totalprice") > 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("SortKeyJoinWindow")
+    )
+    assert _estimated_scan_splits(spark, aliased) is not None
+    for widthy in (
+        base.repartition(4),
+        base.groupBy("o_orderstatus").count(),
+        base.join(base.select("o_orderkey"), "o_orderkey"),
+        base.orderBy("o_orderkey"),
+        base.limit(10),  # GlobalLimit/LocalLimit: not width-preserving
+    ):
+        assert _estimated_scan_splits(spark, widthy) is None
