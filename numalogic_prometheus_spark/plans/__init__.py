@@ -63,99 +63,92 @@ _MODULES = (
     "profiling",
 )
 
-# ROUND-8 ROTATION (VERDICT r7 next-round #4 and #5). The driver verifies
-# the first 50 entries of queries(). This window holds:
-#   * the 10 entries whose SEMANTICS changed via the left-open
-#     window-edge unification — the framed *_over_time family +
-#     promql_subquery_max_rate (plans/promql2.py) and
-#     promql_mad_over_time (plans/promql3.py) migrated from the closed
-#     [t-1h, t] lookback to the Prometheus-3 left-open (t-1h, t]
-#     convention (VERDICT r7 #4); re-verified locally at
-#     sf0.001 + sf0.01 + sf0.1 before rotation,
-#   * the 10-entry round-8 stale pool displaced from the r7 window
-#     (VERDICT r7 #5) — last driver rows r1,
-#   * the 6 diverse long-green sentinels (same set as r6/r7: a TPC-H, a
-#     curation, an ANN, a streaming twin, a rollup, the counter guard),
-#   * 2 rows-only recurrences (ts_ewma_irregular,
-#     ts_holt_winters_level_trend) whose last driver rows (r4) predate
-#     the round-7 JVM re-key — refresh the weaker rows-only check on the
-#     shipped plans,
-#   * the 4 queries REGISTERED this round (in-window from day one — the
-#     r6 rule that no entry ships without a driver row),
-#   * the 17 entries whose SEMANTICS changed via the rounding-tie-class
-#     eradication the sf0.1 sweep triggered (SCALE.md round-8 section;
-#     includes the stream_counter_rate sentinel and the in-pool
-#     text_stats / text_quality_by_source / ml_static_threshold),
-#   * the stalest r2-green entries filling the window to 50 — the
-#     remainder of the r2 pool (10 entries displaced by the tie-class
-#     rotations, 3 by the new registrations) drains in round 9. The
-#     only tie-class member left for r9 is ml_minmax_scaled (double
-#     ratio of exact selections — measure-zero risk, queued in the
-#     tests/test_rounding_lint.py allowlist).
+# ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
+# verifies the first 50 entries of queries(). This window holds,
+# enumerated by reason:
+#   * the FULL remaining r2-stale pool — all 35 entries whose last
+#     driver row is round 2 (VERDICT r8 #1 asked for the 13 displaced
+#     fills + ml_minmax_scaled; the window has room for the entire
+#     backlog, so the re-green ledger drains to zero this round). Four
+#     are rows-only by nature (ml_reconstruction_error,
+#     stream_dedup_within_watermark, stream_stateful_scaler,
+#     multimodal_decode_features) and refresh the weaker check.
+#     ml_minmax_scaled is ALSO a semantics change: its scaled ratio is
+#     now emitted unrounded (tie-class drain — the rounding-lint
+#     allowlist is empty as of r9),
+#   * the 7 entries whose SEMANTICS or ORACLES changed this round:
+#     agg_approx_distinct + agg_hll_mergeable_daily (KMV estimate
+#     unrounded), text_bm25_topk + text_unigram_logprob (fixed-point
+#     ratios unrounded), ts_linear_interpolate (oracle linearized to
+#     ASOF joins + output unrounded), promql_mad_over_time (oracle
+#     linearized to a native mad() RANGE frame),
+#     promql_quantile_over_time_sliding (oracle linearized to a RANGE
+#     frame) — all re-verified locally at sf0.001 + sf0.01 before
+#     rotation (VERDICT r8 #1 and #2),
+#   * the 6 diverse long-green sentinels (same set as r6/r7/r8: a
+#     TPC-H, a curation, an ANN, a streaming twin, a rollup, the
+#     counter guard),
+#   * the 2 queries REGISTERED this round (in-window from day one —
+#     the r6 rule that no entry ships without a driver row):
+#     vec_ivf_filtered_topk (VERDICT r8 #3) and
+#     sample_split_snapshot_fed (VERDICT r8 #7).
+# 35 + 7 + 6 + 2 = 50 exactly; after this round no entry's last driver
+# row predates round 4.
 _CHECK_FIRST = (
-    # -- left-open window-edge migration (semantics changed r8) --
-    "promql_sum_over_time",
-    "promql_avg_over_time",
-    "promql_min_over_time",
-    "promql_max_over_time",
-    "promql_count_over_time",
-    "promql_stdvar_over_time",
-    "promql_stddev_over_time",
-    "promql_last_over_time",
-    "promql_subquery_max_rate",
+    # -- r2-stale pool, drained in full (35) --
+    "text_langid_confusion",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_minhash_signatures",
+    "text_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_cluster_components",
+    "vec_norm_stats",
+    "vec_ann_signbucket_topk",
+    "vec_ann_multiband_topk",
+    "vec_neardup_pairs",
+    "ml_zscore_scaled",
+    "ml_minmax_scaled",  # + unrounded this round (tie-class drain)
+    "ml_tanh_scaled",
+    "ml_quantile_threshold",
+    "ml_reconstruction_error",  # rows-only by nature
+    "tpch_q10_returned_items",
+    "udf_scalar_pandas_tanh",
+    "udf_grouped_agg_threshold",
+    "udtf_tokenize_positions",
+    "subquery_scalar_above_avg",
+    "pipeline_anomaly_scores",
+    "agg_salted_distinct",
+    "stream_dedup_within_watermark",  # rows-only by nature
+    "stream_stateful_scaler",  # rows-only by nature
+    "agg_pivot_status",
+    "agg_unpivot_part_attrs",
+    "agg_grouping_sets",
+    "registry_latest_artifact",
+    "samples_label_algebra",
+    "explode_token_frequencies",
+    "multimodal_decode_features",  # rows-only by nature
+    "agg_window_vectors",
+    "agg_approx_quantiles",
+    # -- semantics/oracle changed r9 (unrounds + linearized oracles) --
+    "agg_approx_distinct",
+    "agg_hll_mergeable_daily",
+    "text_bm25_topk",
+    "text_unigram_logprob",
+    "ts_linear_interpolate",
     "promql_mad_over_time",
-    # -- round-8 stale pool (displaced from the r7 window; last row r1) --
-    "agg_cube_flag_status",
-    "project_computed",
-    "join_left_outer_order_counts",
-    "join_cross_small",
-    "win_rank_variants",
-    "win_first_last_nth",
-    "sort_global_topk",
-    "scalar_string_funcs",
-    "scalar_math_funcs",
-    "exposition_full_registry",
-    # -- long-green sentinels (diverse families, same as r6/r7) --
+    "promql_quantile_over_time_sliding",
+    # -- long-green sentinels (diverse families, same as r6/r7/r8) --
     "counter_monotonic_guard",
     "tpch_q6_forecast_revenue",
     "pipeline_curation_verdicts",
     "vec_ann_tuned_topk",
     "stream_counter_rate",
     "rollup_quantile_sketch_daily",
-    # -- rows-only refresh: last driver rows r4, plans re-keyed r7 --
-    "ts_ewma_irregular",
-    "ts_holt_winters_level_trend",
-    # -- new round-8 registrations (in-window from day one) --
-    "promql_quantile_over_time_sliding",
-    "vec_ann_filtered_topk",
-    "promql_limit_ratio",
-    "promql_limitk",
-    # -- semantics changed r8: the sf0.1 sweep caught a rounding-tie
-    # divergence class (in-query round of exact-integer ratios). Fixed
-    # engine-wide: interval overlap now exact integer microseconds, the
-    # rollup avg / vector-matching ratios / text-family ratios emit
-    # unrounded bit-identical doubles. Every changed entry sits here
-    # (text_stats + text_quality_by_source were already in the stale
-    # pool below) --
-    "join_interval_bucketed",
-    "rollup_daily_from_hourly",
-    "promql_vector_ratio_on",
-    "promql_vector_ratio_ignoring",
-    "promql_vector_share_group_left",
-    "promql_ratio_group_right",
-    "quality_repetition_stats",
-    "quality_constraint_checks",
-    "text_contamination_eval_overlap",
-    "promql_rate_per_hour",
-    "promql_irate_last_delta",
-    "text_ngram_jaccard_pairs",
-    "promql_histogram_quantile_p90",
-    "ml_conformal_threshold",
-    "profile_drift_halves",
-    # -- stale re-green: last driver row r2 --
-    "text_stats",
-    "text_quality_by_source",
-    "ml_static_threshold",
+    # -- new round-9 registrations (in-window from day one) --
+    "vec_ivf_filtered_topk",
+    "sample_split_snapshot_fed",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
