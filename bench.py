@@ -67,6 +67,8 @@ HEADLINE = [
     "sample_split_by_cluster",    # leakage-safe split over BSP components
     "promql_quantile_over_time_sliding",  # grouped-bucket order statistics
     "vec_ann_filtered_topk",      # metadata-filtered similarity search
+    "vec_ivf_filtered_topk",      # filter×IVF composed retrieval (r9)
+    "sample_split_snapshot_fed",  # snapshot-write + marker-gated read (r9)
 ]
 
 

@@ -213,10 +213,10 @@ def vec_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader (pinned: tests/test_plan_shape.py
     test_filtered_ann_pushes_label_filter); the query set is broadcast
     as in the brute-force baseline, and cos_sim is rounded BEFORE
-    ranking so rank order matches the oracle bit-for-bit. Scale path:
-    compose the same predicate with the bucketed/IVF candidate
-    generators — the filter column rides the candidate relation and
-    prunes before the exact re-rank."""
+    ranking so rank order matches the oracle bit-for-bit. This exact
+    form is the ground truth for the composed scale path,
+    vec_ivf_filtered_topk (below), where the same predicate rides the
+    IVF candidate generator and prunes before the exact re-rank."""
     e = load_table(spark, sf_dir, "embeddings")
     q = (
         e.filter(F.expr("vec_id % 97 = 0"))

@@ -27,14 +27,21 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_invariants(spark)
     batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file streaming source requires a *directory*; glob-filter down
-    # to the events table inside the sf dir.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The file streaming source requires a *directory*. The driver's
+    # testdata ships events as ONE FILE ({sf_dir}/events.parquet), so we
+    # stream the sf dir glob-filtered to that name; Spark-WRITTEN
+    # fixtures (goldens, the sf1.0-scale replica) have events.parquet as
+    # a DIRECTORY of part files — the glob matches leaf file names, so
+    # filtering by "events.parquet" there would silently stream 0 files.
+    # Detect the layout and stream the table directory itself instead.
+    import os
+
+    table_path = os.path.join(sf_dir, "events.parquet")
+    rs = spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(table_path):
+        stream = rs.parquet(table_path)
+    else:
+        stream = rs.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     # Re-apply the loader's ns→µs ts normalization on the streaming side.
     if dict(stream.dtypes)["ts"] == "bigint":
         from pyspark.sql import functions as F
