@@ -61,6 +61,8 @@ _MODULES = (
     "text4",
     "promql3",
     "profiling",
+    "promql4",
+    "layout",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -85,14 +87,25 @@ _MODULES = (
 #     promql_quantile_over_time_sliding (oracle linearized to a RANGE
 #     frame) — all re-verified locally at sf0.001 + sf0.01 before
 #     rotation (VERDICT r8 #1 and #2),
-#   * the 6 diverse long-green sentinels (same set as r6/r7/r8: a
-#     TPC-H, a curation, an ANN, a streaming twin, a rollup, the
-#     counter guard),
-#   * the 2 queries REGISTERED this round (in-window from day one —
+#   * tpch_q9_product_profit — semantics/oracle changed LATE in r9:
+#     the sf1.0 rest-sweep caught its round(sum(double),2) flipping a
+#     cent under accumulation-order noise (SWEEP_sf1_rest.log); both
+#     engines now sum exact integer 1e-4-dollar units. Re-verified at
+#     sf0.001/sf0.01/sf1.0 before rotation,
+#   * the 7 queries REGISTERED this round (in-window from day one —
 #     the r6 rule that no entry ships without a driver row):
-#     vec_ivf_filtered_topk (VERDICT r8 #3) and
-#     sample_split_snapshot_fed (VERDICT r8 #7).
-# 35 + 7 + 6 + 2 = 50 exactly; after this round no entry's last driver
+#     vec_ivf_filtered_topk (VERDICT r8 #3), sample_split_snapshot_fed
+#     (VERDICT r8 #7), promql_time_functions, promql_quantile_agg_by,
+#     layout_zorder_files, layout_compaction_bins, profile_key_skew.
+#     The 8th r9 registration, promql_sort_by_label, did NOT fit (the
+#     35-entry stale-pool drain owns the space); it is locally
+#     verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log appended
+#     run) and is first in line for the r10 window.
+# The 6 long-green sentinels of r6-r8 rotate OUT this round: their
+# job was detecting recency drift while a stale pool existed; with the
+# pool drained to zero every window slot is a first-class check again.
+# tpch_q6_forecast_revenue stays continuously measured in bench.py.
+# 35 + 7 + 1 + 7 = 50 exactly; after this round no entry's last driver
 # row predates round 4.
 _CHECK_FIRST = (
     # -- r2-stale pool, drained in full (35) --
@@ -139,16 +152,16 @@ _CHECK_FIRST = (
     "ts_linear_interpolate",
     "promql_mad_over_time",
     "promql_quantile_over_time_sliding",
-    # -- long-green sentinels (diverse families, same as r6/r7/r8) --
-    "counter_monotonic_guard",
-    "tpch_q6_forecast_revenue",
-    "pipeline_curation_verdicts",
-    "vec_ann_tuned_topk",
-    "stream_counter_rate",
-    "rollup_quantile_sketch_daily",
+    # -- semantics/oracle changed late r9 (sf1 sweep catch: exact-cents) --
+    "tpch_q9_product_profit",
     # -- new round-9 registrations (in-window from day one) --
     "vec_ivf_filtered_topk",
     "sample_split_snapshot_fed",
+    "promql_time_functions",
+    "promql_quantile_agg_by",
+    "layout_zorder_files",
+    "layout_compaction_bins",
+    "profile_key_skew",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -30,7 +30,7 @@ route (agg_approx_distinct, agg_hll_mergeable_daily) and keep pass 2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.plans import register
@@ -244,4 +244,97 @@ def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("n_late")
             )
         ).alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew / heavy-hitter profile: the pre-shuffle diagnostic that decides
+# whether a join/agg key needs salting or an AQE skew-join split BEFORE the
+# job runs. Round 9 (the layout/maintenance family's analysis twin).
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+
+@register(
+    "profile_key_skew",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, count(*)::BIGINT AS cnt
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT sum(cnt)::BIGINT AS total_rows,
+               count(*)::BIGINT AS n_keys,
+               max(cnt)::BIGINT AS max_cnt
+        FROM counts
+    ),
+    top AS (
+        SELECT user_id, cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+        FROM counts
+        ORDER BY cnt DESC, user_id LIMIT {_SKEW_TOPK}
+    )
+    SELECT top.user_id, top.rank, top.cnt,
+           top.cnt / tot.total_rows AS share,
+           sum(top.cnt) OVER (ORDER BY top.rank) / tot.total_rows
+               AS cum_share,
+           tot.n_keys, tot.total_rows,
+           (tot.max_cnt * tot.n_keys) / tot.total_rows AS skew_ratio
+    FROM top, tot
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the `events.user_id` shuffle key: the
+    top-{k} keys by row count with their individual and cumulative
+    traffic share, plus the relation-level skew ratio max_cnt·n_keys /
+    total (1.0 = perfectly uniform; ≫1 = the hottest key's partition
+    runs that many times longer than the average — the number that
+    decides salting / AQE skew-split before a 100 TB shuffle runs).
+
+    Shape: one per-key partial count (map-side combine, one exchange on
+    the key — the same exchange the diagnosed join would make), then
+    top-k via orderBy+limit so it compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k·partitions rows), NEVER a
+    global sort or a rank window over the full key relation. The
+    summary row (a 3-value aggregate) broadcasts; the rank/cum-share
+    windows run over the k surviving rows only. All ratios are single
+    IEEE divisions of exact BIGINTs, emitted unrounded (the round-8
+    tie-class rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "user_id").limit(_SKEW_TOPK)
+    w_rank = W.orderBy(F.col("cnt").desc(), "user_id")
+    ranked = top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+    w_cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.try_divide(F.col("cnt"), F.col("total_rows")))
+        .withColumn(
+            "cum_share",
+            F.try_divide(F.sum("cnt").over(w_cum), F.col("total_rows")),
+        )
+        .withColumn(
+            "skew_ratio",
+            F.try_divide(
+                F.col("max_cnt") * F.col("n_keys"), F.col("total_rows")
+            ),
+        )
+        .select(
+            "user_id",
+            "rank",
+            "cnt",
+            "share",
+            "cum_share",
+            "n_keys",
+            "total_rows",
+            "skew_ratio",
+        )
     )

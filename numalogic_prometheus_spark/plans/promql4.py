@@ -1,0 +1,176 @@
+"""PromQL read-side operators, round 9: the calendar/time function
+family (`hour` / `minute` / `day_of_week` / `day_of_month` / `month` /
+`year` / `days_in_month` / `timestamp`), the Prometheus-3 experimental
+`sort_by_label`, and the cross-series `quantile by (...)` aggregator.
+The reference delegates all PromQL evaluation to the Prometheus Query
+Service (reference CHANGELOG.md:10 #168); this engine owns those
+semantics over the canonical samples relation.
+
+Semantics notes (public PromQL spec):
+
+* The time functions are defined on UTC (Prometheus has no zoned
+  evaluation); the engine session pins spark.sql.session.timeZone=UTC
+  (session.RUNTIME_INVARIANTS), so Spark's calendar extraction and
+  DuckDB's agree by construction. `day_of_week` is 0=Sunday..6=Saturday
+  (Prometheus convention): Spark's 1-based `dayofweek` shifts by −1;
+  DuckDB's `dayofweek` is already 0-based Sunday.
+* `timestamp(v)` returns the sample's own timestamp; emitted here as
+  exact epoch SECONDS (BIGINT, floor) rather than Prometheus's float
+  seconds so the cross-engine check stays integer-exact. Positive-epoch
+  assumption as in promql3._k0 (Spark `div` truncates, DuckDB `//`
+  floors; equal for ts >= 1970).
+* `sort_by_label` orders by the STRING form of the label (label values
+  are strings in Prometheus, so "10" < "2" lexicographically — fidelity
+  the numeric-sort entries deliberately do not have), tiebroken by the
+  metric name for a total order; the rank is materialized as a column
+  so the result is order-insensitively comparable.
+* `quantile by (group)(φ, v)` interpolates linearly between cross-series
+  order statistics, exactly like quantile_over_time on the time axis.
+  φ=0.75 keeps every factor binary-exact ((n−1)·0.75 and the lo+(hi−lo)·φ
+  blend over integer cents are exact doubles), so the result hash-matches
+  bit-for-bit — same discipline as the promql3 median family.
+
+Scale notes (100 TB design points): all three entries reduce the fact
+table with ONE per-series partial aggregation (max_by / percentile over
+(event_type[, user_id]) — map-side combine, one exchange keyed by the
+series id). The ranking/sort windows then run over the SERIES dimension
+only (cardinality thousands, not corpus-sized), so the global
+row_number window is a no-op at any scale — the same posture as
+promql_sort_desc (plans/promql.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.timeutil import epoch_us_sql
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+
+@register(
+    "promql_time_functions",
+    oracle="""
+    WITH latest AS (
+        SELECT event_type, max(ts) AS ts
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           (epoch_us(ts) // 1000000)::BIGINT AS ts_epoch_s,
+           hour(ts)::BIGINT AS hour_utc,
+           minute(ts)::BIGINT AS minute_utc,
+           dayofweek(ts)::BIGINT AS day_of_week,
+           day(ts)::BIGINT AS day_of_month,
+           month(ts)::BIGINT AS month_utc,
+           year(ts)::BIGINT AS year_utc,
+           date_part('day', date_trunc('month', ts) + INTERVAL 1 MONTH
+                            - INTERVAL 1 DAY)::BIGINT AS days_in_month
+    FROM latest
+    """,
+)
+def promql_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL calendar-function family over the instant vector: the
+    latest sample timestamp per series, decomposed by `timestamp()` /
+    `hour()` / `minute()` / `day_of_week()` / `day_of_month()` /
+    `month()` / `year()` / `days_in_month()` (UTC; 0=Sunday weekday per
+    the Prometheus convention — Spark's 1-based dayofweek shifts by −1).
+    One partial max per series; calendar extraction on the tiny series
+    relation only."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("event_type").agg(F.max("ts").alias("ts"))
+    ts = F.col("ts")
+    return latest.select(
+        "event_type",
+        F.expr(f"{epoch_us_sql('ts')} div 1000000").alias("ts_epoch_s"),
+        F.hour(ts).cast("long").alias("hour_utc"),
+        F.minute(ts).cast("long").alias("minute_utc"),
+        (F.dayofweek(ts) - 1).cast("long").alias("day_of_week"),
+        F.dayofmonth(ts).cast("long").alias("day_of_month"),
+        F.month(ts).cast("long").alias("month_utc"),
+        F.year(ts).cast("long").alias("year_utc"),
+        F.dayofmonth(F.last_day(ts)).cast("long").alias("days_in_month"),
+    )
+
+
+@register(
+    "promql_sort_by_label",
+    oracle="""
+    -- row_number, not arg_max: DuckDB's arg_max cannot order by a
+    -- (ts, event_id) struct (same idiom as gauge_latest_per_user)
+    WITH latest AS (
+        SELECT event_type, user_id, value
+        FROM (
+            SELECT event_type, user_id, value,
+                   row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT event_type, user_id::VARCHAR AS user_lbl, value,
+           row_number() OVER (ORDER BY user_id::VARCHAR, event_type)
+               AS sort_rank
+    FROM latest
+    """,
+)
+def promql_sort_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-3 experimental `sort_by_label(v, "user")`: the instant
+    vector (latest sample per (event_type, user) series, event_id
+    tiebroken) ordered by the label's STRING value — "10" < "2", the
+    lexicographic label semantics, not numeric — tiebroken by metric
+    name for a total order, rank materialized. Fact-table cost is one
+    per-series max_by partial agg; the ranking window sees only the
+    series relation."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("event_type", "user_id").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("value")
+    )
+    lbl = F.col("user_id").cast("string")
+    w = W.orderBy(lbl.asc(), F.col("event_type").asc())
+    return latest.select(
+        "event_type",
+        lbl.alias("user_lbl"),
+        "value",
+        F.row_number().over(w).cast("long").alias("sort_rank"),
+    )
+
+
+@register(
+    "promql_quantile_agg_by",
+    oracle="""
+    -- row_number, not arg_max: DuckDB's arg_max cannot order by a
+    -- (ts, event_id) struct (same idiom as gauge_latest_per_user)
+    WITH latest AS (
+        SELECT event_type, user_id, round(value * 100)::BIGINT AS cents
+        FROM (
+            SELECT event_type, user_id, value,
+                   row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT event_type,
+           quantile_cont(cents, 0.75) AS p75_cents,
+           count(*)::BIGINT AS n_series
+    FROM latest
+    GROUP BY event_type
+    """,
+)
+def promql_quantile_agg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `quantile by (event_type) (0.75, v)`: the φ-quantile
+    ACROSS series of the instant vector (cross-series axis — the
+    aggregator, not `quantile_over_time`'s time axis). Interpolation
+    runs over integer cents with φ=0.75, so position and blend are
+    binary-exact doubles and the value hash-matches without rounding
+    (module docstring). Two partial aggregations: per-series max_by,
+    then per-family percentile over the series relation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    latest = ev.groupBy("event_type", "user_id").agg(
+        F.max_by(cents, F.struct("ts", "event_id")).alias("cents")
+    )
+    return latest.groupBy("event_type").agg(
+        F.percentile("cents", 0.75).alias("p75_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+    )

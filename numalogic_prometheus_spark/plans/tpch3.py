@@ -180,8 +180,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+           sum(round(l.l_extendedprice * 100)::BIGINT
+                   * (100 - round(l.l_discount * 100)::BIGINT)
+               - 60 * round(p.p_retailprice * 100)::BIGINT
+                    * round(l.l_quantity)::BIGINT)
+               / 10000.0 AS profit
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -194,7 +197,16 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 analog: profit on widget parts by supplier nation and year.
     The fixture has no ps_supplycost, so cost is proxied as 60% of
     p_retailprice — the plan (fact×fact join + three broadcast dims +
-    two-key aggregate) is the TPC-H shape unchanged."""
+    two-key aggregate) is the TPC-H shape unchanged.
+
+    Summation runs in EXACT integer 1e-4-dollar units: every money
+    column is 2-decimal (cents-exact), so ep_cents·(100−disc_hundredths)
+    − 60·retail_cents·qty is an exact BIGINT per row (≤1.05e9; the sf1
+    group sums stay ≪2^63) and the grouped sum is order-independent.
+    The old round(sum(double),2) form flipped a cent at sf1 volume
+    (SWEEP_sf1_rest.log r9: 3 groups off by .01 — double accumulation
+    order near a cent boundary); the fix emits one IEEE division of the
+    exact BIGINT sum, unrounded (the round-8 tie-class rule)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -203,7 +215,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = supp.join(
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    profit = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    rp_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit_1e4 = ep_c * (F.lit(100).cast("long") - disc_h) - 60 * rp_c * qty
     return (
         li.join(
             F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
@@ -212,7 +228,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg((F.sum(profit_1e4) / 10000.0).alias("profit"))
     )
 
 
