@@ -90,6 +90,60 @@ def histogram_quantile(
     )
 
 
+def histogram_fraction(
+    buckets: DataFrame,
+    keys: Sequence[str],
+    lower: float,
+    upper: float,
+    le: str = "le",
+    cum_count: str = "cum_count",
+) -> DataFrame:
+    """Classic-bucket analog of Prometheus `histogram_fraction(lower,
+    upper, …)`: the estimated fraction of observations in (lower, upper],
+    the CDF dual of `histogram_quantile` (upstream defines the function
+    for native histograms only; over cumulative `le` buckets the analog
+    is the same within-bucket linear interpolation, applied to the CDF at
+    each endpoint).
+
+    CDF(x) for x inside bucket (prev_le, le] is
+    prev_n + (n − prev_n)·(x − prev_le)/(le − prev_le); both endpoints
+    must land strictly inside finite buckets (the +Inf bucket has no
+    width to interpolate — same reason histogram_quantile clamps there).
+    The bucket relation is tiny (series × |bounds| rows), so the two
+    endpoint lookups are window-free filters over one enriched frame; the
+    expensive part (bucketing the corpus) happened upstream in the
+    single-exchange histogram aggregation.
+    """
+    w = W.partitionBy(*keys).orderBy(le)
+    wall = W.partitionBy(*keys)
+    enriched = buckets.select(
+        *keys,
+        F.col(le).alias("__le"),
+        F.col(cum_count).alias("__n"),
+        F.lag(cum_count, 1, 0).over(w).alias("__prev_n"),
+        F.lag(le, 1, 0.0).over(w).alias("__prev_le"),
+        F.max(cum_count).over(wall).alias("__total"),
+    )
+
+    def _cdf_at(x: float, out: str) -> DataFrame:
+        hit = enriched.filter(
+            (F.col("__prev_le") < F.lit(x)) & (F.lit(x) <= F.col("__le"))
+        )
+        interp = F.col("__prev_n") + (F.col("__n") - F.col("__prev_n")) * (
+            F.lit(x) - F.col("__prev_le")
+        ) / (F.col("__le") - F.col("__prev_le"))
+        return hit.select(*keys, interp.alias(out), F.col("__total"))
+
+    lo = _cdf_at(lower, "__cdf_lo").drop("__total")
+    hi = _cdf_at(upper, "__cdf_hi")
+    return lo.join(hi, list(keys)).select(
+        *keys,
+        (
+            (F.col("__cdf_hi") - F.col("__cdf_lo")) / F.col("__total")
+        ).alias("fraction"),
+    )
+
+
 def topk_per_group(
     df: DataFrame, keys: Sequence[str], value: str, k: int,
     tiebreak: Sequence[str] = (),

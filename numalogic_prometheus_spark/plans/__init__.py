@@ -97,10 +97,11 @@ _MODULES = (
 #     vec_ivf_filtered_topk (VERDICT r8 #3), sample_split_snapshot_fed
 #     (VERDICT r8 #7), promql_time_functions, promql_quantile_agg_by,
 #     layout_zorder_files, layout_compaction_bins, profile_key_skew.
-#     The 8th r9 registration, promql_sort_by_label, did NOT fit (the
-#     35-entry stale-pool drain owns the space); it is locally
+#     The other r9 registrations — promql_sort_by_label,
+#     promql_histogram_fraction, promql_idelta — did NOT fit (the
+#     35-entry stale-pool drain owns the space); all three are locally
 #     verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log appended
-#     run) and is first in line for the r10 window.
+#     runs) and are first in line for the r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their
 # job was detecting recency drift while a stale pool existed; with the
 # pool drained to zero every window slot is a first-class check again.

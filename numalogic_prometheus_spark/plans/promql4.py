@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.timeutil import epoch_us_sql
+from numalogic_prometheus_spark.operators import metrics as M
+from numalogic_prometheus_spark.operators.promql import histogram_fraction
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
 
@@ -173,4 +175,121 @@ def promql_quantile_agg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("event_type").agg(
         F.percentile("cents", 0.75).alias("p75_cents"),
         F.count(F.lit(1)).cast("long").alias("n_series"),
+    )
+
+
+_FRAC_LO = 0.175  # strictly inside bucket (0.1, 0.25]
+_FRAC_HI = 3.0    # strictly inside bucket (2.5, 5.0]
+_BOUNDS_SQL = ",".join(str(b) for b in M.DEFAULT_BUCKETS)
+
+
+@register(
+    "promql_histogram_fraction",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT event_type, le,
+               sum(CASE WHEN value <= le THEN 1 ELSE 0 END)::BIGINT
+                   AS cum_count
+        FROM events
+        CROSS JOIN (SELECT unnest([{_BOUNDS_SQL}, 'inf'::DOUBLE]) AS le) b
+        GROUP BY event_type, le
+    ),
+    enriched AS (
+        SELECT event_type, le, cum_count,
+               lag(cum_count, 1, 0) OVER w AS prev_n,
+               lag(le, 1, 0.0) OVER w AS prev_le,
+               max(cum_count) OVER (PARTITION BY event_type) AS total
+        FROM buckets
+        WINDOW w AS (PARTITION BY event_type ORDER BY le)
+    ),
+    lo AS (
+        SELECT event_type,
+               prev_n + (cum_count - prev_n) * ({_FRAC_LO} - prev_le)
+                   / (le - prev_le) AS cdf_lo
+        FROM enriched WHERE prev_le < {_FRAC_LO} AND {_FRAC_LO} <= le
+    ),
+    hi AS (
+        SELECT event_type,
+               prev_n + (cum_count - prev_n) * ({_FRAC_HI} - prev_le)
+                   / (le - prev_le) AS cdf_hi,
+               total
+        FROM enriched WHERE prev_le < {_FRAC_HI} AND {_FRAC_HI} <= le
+    )
+    SELECT event_type, (cdf_hi - cdf_lo) / total AS fraction
+    FROM lo JOIN hi USING (event_type)
+    """,
+)
+def promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-bucket `histogram_fraction(0.175, 3.0, …)`:
+    the estimated fraction of observations per series falling in
+    (0.175, 3.0], by within-bucket linear interpolation of the CDF at
+    both endpoints — the dual of `promql_histogram_quantile_p90`, on the
+    same cumulative-le bucket substrate (operators/metrics.py
+    histogram_buckets; one conditional aggregation, one exchange).
+    Endpoints sit strictly inside finite buckets (the +Inf bucket has no
+    width); interpolation operands are exact BIGINT counts and literal
+    double bounds combined in the identical order in both engines, so
+    the value is bit-identical unrounded (the round-8 tie-class rule —
+    same argument as the quantile entry's docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = M.histogram_buckets(ev, ["event_type"])
+    return histogram_fraction(buckets, ["event_type"], _FRAC_LO, _FRAC_HI)
+
+
+@register(
+    "promql_idelta",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, ts, event_id,
+               round(value * 100)::BIGINT AS cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           (max(CASE WHEN rn = 1 THEN cents END)
+            - max(CASE WHEN rn = 2 THEN cents END)) / 100.0 AS idelta,
+           (epoch_us(max(CASE WHEN rn = 1 THEN ts END))
+            - epoch_us(max(CASE WHEN rn = 2 THEN ts END)))
+               // 1000000 AS gap_s
+    FROM ranked WHERE rn <= 2
+    GROUP BY event_type
+    HAVING count(*) = 2
+    """,
+)
+def promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `idelta(v[1h])`: the raw difference between the LAST TWO
+    samples of each series (the gauge sibling of `irate`'s last-delta
+    rate), with the inter-sample gap in whole seconds. Series with fewer
+    than two samples drop out (Prometheus returns no point). The rank
+    window runs per-series after one exchange; the subtraction is exact
+    integer cents with one final IEEE division (gap_s is an exact
+    integer floor-div of the µs difference — positive by construction,
+    so Spark `div` and DuckDB `//` agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type", "ts", cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    last_c = F.max(F.when(F.col("rn") == 1, F.col("cents")))
+    prev_c = F.max(F.when(F.col("rn") == 2, F.col("cents")))
+    last_ts = F.max(F.when(F.col("rn") == 1, F.col("ts")))
+    prev_ts = F.max(F.when(F.col("rn") == 2, F.col("ts")))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            ((last_c - prev_c) / 100.0).alias("idelta"),
+            F.expr(
+                f"({epoch_us_sql('max(CASE WHEN rn = 1 THEN ts END)')}"
+                f" - {epoch_us_sql('max(CASE WHEN rn = 2 THEN ts END)')})"
+                " div 1000000"
+            ).alias("gap_s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == 2)
+        .drop("__n")
     )
