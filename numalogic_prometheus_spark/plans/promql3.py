@@ -271,7 +271,17 @@ def promql_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin (the algorithmically independent quantile_cont
     formulation) hash-matches. Same-timestamp samples are kept by the
     range filter (s.a_us ≤ anchor us keeps equal-us rows), matching the
-    oracle's RANGE-frame peer semantics, so duplicates need no dedup."""
+    oracle's RANGE-frame peer semantics, so duplicates need no dedup.
+
+    Cost model (measured, SCALE.md round-9 10× scaling): O(rows × w)
+    where w = samples per series-hour — per-sample exact order
+    statistics cannot beat this without giving up exactness
+    (Prometheus's own range evaluator shares it). The domain bounds w
+    (scrape interval), not the fixture: growth adds series, and at
+    fixed w the plan is linear in rows with no parallelism ceiling.
+    Grid-anchored evaluation (`promql_quantile_over_time`) is the
+    O(steps × w) production shape; sketch rollups are the approximate
+    escape hatch."""
     # midpoint median of a sorted array, exact for both parities: odd n
     # reads the middle element twice, even n averages the two middles
     med_of = (
@@ -335,7 +345,11 @@ def promql_quantile_over_time_sliding(
     v_lo + (v_hi − v_lo)·frac, written in DuckDB's operand order so the
     two sides agree bit-for-bit on identical integer-cent inputs
     (Prometheus's `v_lo(1−w) + v_hi·w` form differs only in ulps;
-    promql/quantile.go lineage documented for parity, not copied)."""
+    promql/quantile.go lineage documented for parity, not copied).
+    Cost model: O(rows × w) in per-series density, same bound and same
+    domain argument as `promql_mad_over_time`'s docstring (measured in
+    SCALE.md round-9 10× scaling; the tumbling sibling is the
+    O(steps × w) production shape)."""
 
     def q_expr(phi: str) -> F.Column:
         n = "size(arr)"
