@@ -63,6 +63,7 @@ _MODULES = (
     "profiling",
     "promql4",
     "layout",
+    "promql_dense",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -98,10 +99,12 @@ _MODULES = (
 #     (VERDICT r8 #7), promql_time_functions, promql_quantile_agg_by,
 #     layout_zorder_files, layout_compaction_bins, profile_key_skew.
 #     The other r9 registrations — promql_sort_by_label,
-#     promql_histogram_fraction, promql_idelta — did NOT fit (the
-#     35-entry stale-pool drain owns the space); all three are locally
-#     verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log appended
-#     runs) and are first in line for the r10 window.
+#     promql_histogram_fraction, promql_idelta, and the dense-regime
+#     order-statistic twins promql_quantile_sliding_dense /
+#     promql_mad_sliding_dense (plans/promql_dense.py) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all five are
+#     locally verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log
+#     appended runs) and are first in line for the r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their
 # job was detecting recency drift while a stale pool existed; with the
 # pool drained to zero every window slot is a first-class check again.
