@@ -69,6 +69,11 @@ HEADLINE = [
     "vec_ann_filtered_topk",      # metadata-filtered similarity search
     "vec_ivf_filtered_topk",      # filter×IVF composed retrieval (r9)
     "sample_split_snapshot_fed",  # snapshot-write + marker-gated read (r9)
+    "layout_zorder_files",        # Morton clustering census (r9)
+    "layout_compaction_bins",     # running-sum compaction plan (r9)
+    "profile_key_skew",           # pre-shuffle heavy-hitter top-k (r9)
+    "promql_histogram_fraction",  # bucket-CDF interpolation (r9)
+    "promql_mad_sliding_dense",   # Arrow window-matrix kernel (r9)
 ]
 
 
