@@ -613,3 +613,48 @@ def test_quantile_sliding_matches_bruteforce(spark, series, tmp_path_factory):
     for k in ref:
         for g, r in zip(got[k], ref[k]):
             assert abs(g - r) < 1e-6, (k, got[k], ref[k])
+
+
+_phi = st.floats(min_value=0.05, max_value=0.95, allow_nan=False)
+_incr = st.lists(
+    st.integers(min_value=1, max_value=50), min_size=4, max_size=4
+)
+
+
+@given(incr=_incr, phi=_phi)
+@_settings
+def test_histogram_fraction_inverts_quantile_property(spark, incr, phi):
+    """For any strictly-increasing cumulative bucket profile with no
+    +Inf mass, the interpolated CDF evaluated at histogram_quantile(φ)
+    equals φ·total — the two interpolations are inverses inside finite
+    buckets (operators/promql.py)."""
+    from numalogic_prometheus_spark.operators.promql import (
+        histogram_fraction,
+        histogram_quantile,
+    )
+
+    bounds = [1.0, 2.0, 4.0, 8.0]
+    cum = []
+    t = 0
+    for d in incr:
+        t += d
+        cum.append(t)
+    rows = [("k", b, c) for b, c in zip(bounds, cum)]
+    rows.append(("k", float("inf"), cum[-1]))  # no +Inf mass
+    buckets = spark.createDataFrame(
+        rows, "key string, le double, cum_count long"
+    )
+    total = cum[-1]
+    v = histogram_quantile(buckets, ["key"], phi).collect()[0][
+        "quantile_value"
+    ]
+    lower = 0.5  # strictly inside the first bucket (lower bound 0)
+    if v <= lower:  # quantile landed below the probe point: skip
+        return
+    frac = histogram_fraction(buckets, ["key"], lower, v).collect()[0][
+        "fraction"
+    ]
+    cdf_lower = cum[0] * (lower - 0.0) / (bounds[0] - 0.0)
+    assert frac * total == __import__("pytest").approx(
+        phi * total - cdf_lower, abs=1e-6
+    )
