@@ -64,6 +64,7 @@ _MODULES = (
     "promql4",
     "layout",
     "promql_dense",
+    "promql5",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -101,8 +102,11 @@ _MODULES = (
 #     The other r9 registrations — promql_sort_by_label,
 #     promql_histogram_fraction, promql_idelta, and the dense-regime
 #     order-statistic twins promql_quantile_sliding_dense /
-#     promql_mad_sliding_dense (plans/promql_dense.py) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all five are
+#     promql_mad_sliding_dense (plans/promql_dense.py), and the final
+#     pair promql_at_modifier / promql_agg_family (plans/promql5.py,
+#     the @ modifier and the simple cross-series aggregator family)
+#     — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all seven are
 #     locally verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log
 #     appended runs) and are first in line for the r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their
