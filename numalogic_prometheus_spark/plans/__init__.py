@@ -65,6 +65,7 @@ _MODULES = (
     "layout",
     "promql_dense",
     "promql5",
+    "vectors4",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -104,9 +105,10 @@ _MODULES = (
 #     order-statistic twins promql_quantile_sliding_dense /
 #     promql_mad_sliding_dense (plans/promql_dense.py), and the final
 #     pair promql_at_modifier / promql_agg_family (plans/promql5.py,
-#     the @ modifier and the simple cross-series aggregator family)
-#     — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all seven are
+#     the @ modifier and the simple cross-series aggregator family),
+#     and vec_ann_incremental_batch (plans/vectors4.py, the
+#     incremental-ingest ANN serving shape) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all eight are
 #     locally verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log
 #     appended runs) and are first in line for the r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their

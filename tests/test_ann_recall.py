@@ -154,3 +154,32 @@ def test_ivf_filtered_recall_floor(spark, sf_dir):
     cand_map = ann.groupby("query_id")["neighbor_id"].apply(set).to_dict()
     recall, _ = _recall_and_cost(cand_map, gt_map)
     assert recall >= 0.20, f"filtered-IVF recall@{K} {recall:.3f}"
+
+
+def test_incremental_recall_floor(spark, sf_dir, corpus):
+    """vec_ann_incremental_batch vs exact brute force of the SAME
+    batch-vs-corpus split (batch = vec_id % 11 == 0, corpus the rest):
+    measured 0.326 on the near-uniform fixture — the nprobe=2 cell-probe
+    floor, in line with test_ivf_recall_floor's 0.389 (the incremental
+    entry probes the same quantizer, just from outside the corpus).
+    Pinned with slack."""
+    batch = corpus.filter(F.expr("vec_id % 11 = 0")).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rest = corpus.filter(F.expr("vec_id % 11 != 0"))
+    wk = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    gt = (
+        batch.crossJoin(rest)
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= K)
+    ).toPandas()
+    gt_map = gt.groupby("query_id")["vec_id"].apply(set).to_dict()
+    ann = all_queries()["vec_ann_incremental_batch"](spark, sf_dir).toPandas()
+    cand_map = ann.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    recall, _ = _recall_and_cost(cand_map, gt_map)
+    assert recall >= 0.25, f"incremental-ANN recall@{K} {recall:.3f}"
