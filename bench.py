@@ -74,6 +74,8 @@ HEADLINE = [
     "profile_key_skew",           # pre-shuffle heavy-hitter top-k (r9)
     "promql_histogram_fraction",  # bucket-CDF interpolation (r9)
     "promql_mad_sliding_dense",   # Arrow window-matrix kernel (r9)
+    "vec_ann_incremental_batch",  # new-batch ANN vs IVF corpus index (r9)
+    "promql_at_modifier",         # @-pinned instant vector, one scan (r9)
 ]
 
 
