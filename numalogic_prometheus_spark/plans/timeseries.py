@@ -662,3 +662,84 @@ def ts_holt_winters_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_samples long, level double, "
         "trend double, forecast_1 double",
     )
+
+
+_SHIFT_W = 12          # samples per side of the split point
+_SHIFT_THRESHOLD = 40.0  # |level change| that flags (p99-ish at sf0.001)
+
+
+@register(
+    "ts_level_shift_detect",
+    oracle=f"""
+    WITH {_SAMPLES_SQL.strip()},
+    c AS (
+        SELECT event_type, ts, round(value * 100)::BIGINT AS cents
+        FROM samples
+    ),
+    s AS (
+        SELECT event_type, ts,
+               sum(cents) OVER (PARTITION BY event_type ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS run,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    sh AS (
+        SELECT event_type, ts,
+               ((lead(run, {_SHIFT_W - 1}) OVER w - lag(run, 1, 0) OVER w)
+                    / {_SHIFT_W}.0
+                - (lag(run, 1, 0) OVER w
+                   - lag(run, {_SHIFT_W + 1}, 0) OVER w) / {_SHIFT_W}.0)
+                   / 100.0 AS shift_value
+        FROM s
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+        QUALIFY rn > {_SHIFT_W} AND rn <= n - {_SHIFT_W - 1}
+    )
+    SELECT event_type, ts, shift_value,
+           abs(shift_value) > {_SHIFT_THRESHOLD} AS is_shift
+    FROM sh
+    """,
+)
+def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) detection per series: at every sample,
+    the mean of the NEXT 12 samples (current included) minus the mean
+    of the PREVIOUS 12 — a step-edge filter; |shift| > threshold flags
+    a level change. Only full two-sided windows are emitted (no edge
+    noise).
+
+    Expressed as a PREFIX-SUM REWRITE rather than two sliding frames:
+    one running cumulative sum of exact integer cents per series, then
+    both window sums are lag/lead differences of it — O(rows) total
+    where Spark evaluates each bounded sliding frame O(rows x w) (the
+    same cost observation as ts_linear_interpolate's reversed-frame
+    note). Each side's mean is exact-BIGINT-difference / w, so
+    shift_value is the identical IEEE sequence in both engines,
+    emitted unrounded (tie-class rule). One exchange: every window
+    shares the per-series partition."""
+    w = _SHIFT_W
+    samples = _deduped_samples(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    wo = W.partitionBy("event_type").orderBy("ts")
+    s = samples.select(
+        "event_type",
+        "ts",
+        F.sum(cents).over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("run"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    lag1 = F.lag("run", 1, 0).over(wo)
+    shift = (
+        (F.lead("run", w - 1).over(wo) - lag1) / float(w)
+        - (lag1 - F.lag("run", w + 1, 0).over(wo)) / float(w)
+    ) / 100.0
+    return (
+        s.withColumn("shift_value", shift)
+        .filter((F.col("rn") > w) & (F.col("rn") <= F.col("n") - (w - 1)))
+        .select(
+            "event_type",
+            "ts",
+            "shift_value",
+            (F.abs("shift_value") > _SHIFT_THRESHOLD).alias("is_shift"),
+        )
+    )
