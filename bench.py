@@ -76,6 +76,7 @@ HEADLINE = [
     "promql_mad_sliding_dense",   # Arrow window-matrix kernel (r9)
     "vec_ann_incremental_batch",  # new-batch ANN vs IVF corpus index (r9)
     "promql_at_modifier",         # @-pinned instant vector, one scan (r9)
+    "ts_level_shift_detect",      # prefix-sum changepoint rewrite (r9)
 ]
 
 

@@ -715,8 +715,11 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cost observation as ts_linear_interpolate's reversed-frame
     note). Each side's mean is exact-BIGINT-difference / w, so
     shift_value is the identical IEEE sequence in both engines,
-    emitted unrounded (tie-class rule). One exchange: every window
-    shares the per-series partition."""
+    emitted unrounded (tie-class rule). Two exchanges total (the
+    (series, ts) dedup agg, then the per-series window partition every
+    window function shares); the right-edge full-window test is a null
+    check on a lead the shift already computes, not a count(*) over
+    the partition — two Window passes, not three."""
     w = _SHIFT_W
     samples = _deduped_samples(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
@@ -726,16 +729,21 @@ def ts_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(cents).over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("run"),
         F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
     )
     lag1 = F.lag("run", 1, 0).over(wo)
+    # the right window is full iff lead(run, w-1) exists — this replaces
+    # a count(*)-over-unordered-partition (a third Window pass over the
+    # data) with a null test on a lead the shift already needs
+    lead_r = F.lead("run", w - 1).over(wo)
     shift = (
-        (F.lead("run", w - 1).over(wo) - lag1) / float(w)
+        (lead_r - lag1) / float(w)
         - (lag1 - F.lag("run", w + 1, 0).over(wo)) / float(w)
     ) / 100.0
     return (
-        s.withColumn("shift_value", shift)
-        .filter((F.col("rn") > w) & (F.col("rn") <= F.col("n") - (w - 1)))
+        s.withColumn("__lead_r", lead_r)
+        .withColumn("shift_value", shift)
+        .filter((F.col("rn") > w) & F.col("__lead_r").isNotNull())
+        .drop("__lead_r")
         .select(
             "event_type",
             "ts",
