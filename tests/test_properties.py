@@ -658,3 +658,62 @@ def test_histogram_fraction_inverts_quantile_property(spark, incr, phi):
     assert frac * total == __import__("pytest").approx(
         phi * total - cdf_lower, abs=1e-6
     )
+
+
+_shift_value = st.floats(
+    min_value=0.0, max_value=100.0, allow_nan=False, allow_infinity=False
+)
+
+
+@given(
+    series=st.lists(
+        st.lists(_shift_value, min_size=1, max_size=40),
+        min_size=1,
+        max_size=2,
+    )
+)
+@_settings
+def test_level_shift_prefix_sum_matches_direct_windows(
+    spark, series, tmp_path_factory
+):
+    """The prefix-sum rewrite (plans/timeseries.py
+    ts_level_shift_detect) must equal the definition it rewrites: the
+    mean of the next w samples minus the mean of the previous w,
+    computed DIRECTLY from slices of the ordered series — catching any
+    lag/lead off-by-one in the running-sum differences, including the
+    full-window edge conditions (series shorter than 2w emit nothing)."""
+    from datetime import datetime, timedelta
+
+    from numalogic_prometheus_spark.plans.timeseries import (
+        _SHIFT_W,
+        ts_level_shift_detect,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for si, samples in enumerate(series):
+        for j, v in enumerate(samples):
+            rows.append((f"s{si}", base + timedelta(minutes=j), float(v)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    path = tmp_path_factory.mktemp("shift_prop")
+    df.write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+    w = _SHIFT_W
+    want = {}
+    for si, samples in enumerate(series):
+        cents = [round(v * 100) for v in samples]
+        # full two-sided windows only: position i (0-based) needs w
+        # samples strictly before it and w from i onward
+        for i in range(w, len(cents) - (w - 1)):
+            left = sum(cents[i - w:i]) / float(w)
+            right = sum(cents[i:i + w]) / float(w)
+            t_us = int((base + timedelta(minutes=i)).timestamp() * 1e6)
+            want[(f"s{si}", t_us)] = (right - left) / 100.0
+
+    got = {
+        (r["event_type"], int(r["ts"].timestamp() * 1e6)): r["shift_value"]
+        for r in ts_level_shift_detect(spark, str(path)).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
