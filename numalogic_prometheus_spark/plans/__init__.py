@@ -107,10 +107,11 @@ _MODULES = (
 #     pair promql_at_modifier / promql_agg_family (plans/promql5.py,
 #     the @ modifier and the simple cross-series aggregator family),
 #     and vec_ann_incremental_batch (plans/vectors4.py, the
-#     incremental-ingest ANN serving shape) and ts_level_shift_detect
-#     (plans/timeseries.py, prefix-sum changepoint detection) — did
-#     NOT fit
-#     (the 35-entry stale-pool drain owns the space); all nine are
+#     incremental-ingest ANN serving shape), ts_level_shift_detect
+#     (plans/timeseries.py, prefix-sum changepoint detection), and
+#     promql_stddev_agg_by (plans/promql5.py, population cross-series
+#     moments from exact integers) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all ten are
 #     locally verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log
 #     appended runs) and are first in line for the r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their

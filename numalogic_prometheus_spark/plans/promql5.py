@@ -21,10 +21,12 @@ Semantics notes (public PromQL spec):
 * The aggregator family is the remaining cross-series aggregation
   operators not already covered one level up (`topk`/`bottomk` in
   plans/promql.py, `count_values` there, `quantile by` in
-  plans/promql4.py, `stddev`/`stdvar` as *_over_time twins):
-  `sum/min/max/avg/count by (event_type)` plus the Prometheus 2.20
-  `group by` aggregator, whose value is the constant 1 for every
-  group with at least one series.
+  plans/promql4.py): `sum/min/max/avg/count by (event_type)` plus the
+  Prometheus 2.20 `group by` aggregator (constant 1 per non-empty
+  group), and — in the third entry — `stdvar`/`stddev by (...)`, the
+  POPULATION moments (Prometheus aggregators are population, not
+  sample), computed from exact integer moments so even the variance
+  ships unrounded.
 
 Exactness: all arithmetic runs over exact integer cents; each emitted
 double is produced by the identical operand sequence in both engines
@@ -166,4 +168,69 @@ def promql_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents") / F.count(F.lit(1)) / 100.0).alias("avg_v"),
         F.count(F.lit(1)).cast("long").alias("count_series"),
         F.lit(1).cast("long").alias("group_one"),
+    )
+
+
+@register(
+    "promql_stddev_agg_by",
+    oracle="""
+    -- row_number, not arg_max: DuckDB's arg_max cannot order by a
+    -- (ts, event_id) struct (same idiom as gauge_latest_per_user)
+    WITH latest AS (
+        SELECT event_type, user_id, cents FROM (
+            SELECT event_type, user_id,
+                   round(value * 100)::BIGINT AS cents,
+                   row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    moments AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s1,
+               sum(cents * cents)::BIGINT AS s2
+        FROM latest
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           (n * s2 - s1 * s1) / (n * n) / 10000.0 AS stdvar_v,
+           sqrt((n * s2 - s1 * s1) / (n * n) / 10000.0) AS stddev_v,
+           n AS n_series
+    FROM moments
+    """,
+)
+def promql_stddev_agg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `stdvar by (event_type) (v)` / `stddev by (...)`: the
+    POPULATION variance/deviation across series of the instant vector
+    (the Prometheus aggregators are population moments, not sample).
+    Computed from exact integer moments — var = (n·Σc² − (Σc)²)/n² over
+    cents is exact BIGINT arithmetic until one IEEE division chain
+    (÷n² ÷10⁴ to dollars²), and IEEE sqrt is correctly rounded — so
+    BOTH outputs are bit-identical cross-engine UNROUNDED, where the
+    naive stddev_pop() aggregate would need a rounding absorber for
+    accumulation-order noise (tests/test_rounding_lint.py). Same
+    two-level shape as the rest of the aggregator family: per-series
+    max_by partial agg, then one combine over the series relation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    latest = ev.groupBy("event_type", "user_id").agg(
+        F.max_by(cents, F.struct("ts", "event_id")).alias("cents")
+    )
+    moments = latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    stdvar = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("n") * F.col("n"))
+        / 10000.0
+    )
+    return moments.select(
+        "event_type",
+        stdvar.alias("stdvar_v"),
+        F.sqrt(stdvar).alias("stddev_v"),
+        F.col("n").alias("n_series"),
     )
