@@ -66,6 +66,7 @@ _MODULES = (
     "promql_dense",
     "promql5",
     "vectors4",
+    "promql6",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -110,10 +111,14 @@ _MODULES = (
 #     incremental-ingest ANN serving shape), ts_level_shift_detect
 #     (plans/timeseries.py, prefix-sum changepoint detection), and
 #     promql_stddev_agg_by (plans/promql5.py, population cross-series
-#     moments from exact integers) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all ten are
-#     locally verified at sf0.001/sf0.01/sf1.0 (SWEEP_sf1_rest.log
-#     appended runs) and are first in line for the r10 window.
+#     moments from exact integers), and promql_histogram_avg +
+#     promql_double_exponential_smoothing (plans/promql6.py, the
+#     classic histogram scalar family and the ordered Holt recurrence
+#     pinned by a RECURSIVE-CTE oracle) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all twelve are
+#     locally verified at sf0.001/sf0.01/sf0.1/sf1.0
+#     (SWEEP_sf1_rest.log appended runs) and are first in line for the
+#     r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their
 # job was detecting recency drift while a stale pool existed; with the
 # pool drained to zero every window slot is a first-class check again.
