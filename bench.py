@@ -77,6 +77,10 @@ HEADLINE = [
     "vec_ann_incremental_batch",  # new-batch ANN vs IVF corpus index (r9)
     "promql_at_modifier",         # @-pinned instant vector, one scan (r9)
     "ts_level_shift_detect",      # prefix-sum changepoint rewrite (r9)
+    "promql_double_exponential_smoothing",  # JVM aggregate-fold recurrence (r9)
+    "promql_native_histogram_buckets",      # codegen array-filter buckets (r9)
+    "promql_native_histogram_stddev",       # exact-integer moment stats (r9)
+    "text_chunk_overlap",                   # map-side chunk explode (r9)
 ]
 
 

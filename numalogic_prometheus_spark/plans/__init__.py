@@ -67,6 +67,8 @@ _MODULES = (
     "promql5",
     "vectors4",
     "promql6",
+    "promql7",
+    "text5",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -114,8 +116,18 @@ _MODULES = (
 #     moments from exact integers), and promql_histogram_avg +
 #     promql_double_exponential_smoothing (plans/promql6.py, the
 #     classic histogram scalar family and the ordered Holt recurrence
-#     pinned by a RECURSIVE-CTE oracle) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all twelve are
+#     pinned by a RECURSIVE-CTE oracle), and the plans/promql7.py trio
+#     promql_native_histogram_buckets / promql_native_histogram_quantile
+#     (Prometheus-3 native histograms: sparse schema-0 exponential
+#     buckets over exact power-of-two boundaries + exponentially
+#     interpolated quantile) + promql_info_enrich (PromQL-3 info() as an
+#     as-of label join), and the final late trio
+#     promql_native_histogram_stddev (plans/promql7.py, the native-
+#     histogram moment stats from exact integer bucket moments) +
+#     promql_timestamp_function (plans/promql7.py, timestamp() reads
+#     the sample's T) + text_chunk_overlap (plans/text5.py, RAG-style
+#     overlapping chunking as a map-side posexplode) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all eighteen are
 #     locally verified at sf0.001/sf0.01/sf0.1/sf1.0
 #     (SWEEP_sf1_rest.log appended runs) and are first in line for the
 #     r10 window.

@@ -1,0 +1,469 @@
+"""PromQL read-side operators, round 9 (late batch 4): NATIVE
+HISTOGRAMS — Prometheus 3's headline data-model feature — and the
+PromQL 3 experimental `info()` enrichment function. The reference
+delegates all PromQL evaluation to the Prometheus Query Service
+(reference CHANGELOG.md:10 #168); this engine owns those semantics
+over the canonical samples relation.
+
+Semantics notes (public Prometheus native-histogram spec):
+
+* A native histogram at schema s covers the positive axis with sparse
+  exponential buckets (lower, upper] where upper = γ^idx and
+  γ = 2^(2^−s); at SCHEMA 0 (used here) γ = 2, so every bucket
+  boundary is an exact power of two — which is what makes the operator
+  cross-engine EXACT: bucket membership is decided by comparisons
+  against literal doubles that both engines parse identically (powers
+  of two have exact binary AND decimal representations), with NO
+  log/floor arithmetic whose final-ulp rounding could flip a boundary
+  sample into the wrong bucket (log2(8)=3 is exact, but ln(v)/ln(2)
+  need not be). Negative observations mirror into negative buckets
+  keyed by |v|; v = 0 lands in the zero bucket (zero-threshold 0).
+  The bucket index for v > 0 is the unique idx with
+  2^(idx−1) < v ≤ 2^idx, computed as LO + |{b ∈ bounds : b < v}| over
+  the literal boundary ladder 2^LO..2^HI — values beyond 2^HI collapse
+  into the open-ended overflow bucket (idx HI+1, upper +Inf), the
+  bounded-resolution analog of the native-histogram bucket-limit
+  schema reduction.
+* `histogram_quantile(q, native_histogram)` interpolates
+  EXPONENTIALLY inside the located bucket (the v2.50+ rule for native
+  histograms, vs linear for classic buckets):
+  result = lower · 2^frac with frac the within-bucket count fraction.
+  The single `pow(2.0, frac)` is the entry's one transcendental —
+  final-ulp cross-engine noise is absorbed by the engine-level 1e-6
+  canonicalization exactly like the tanh/regr_slope entries (NO
+  in-query round(): tests/test_rounding_lint.py).
+* `histogram_stddev(v)` / `histogram_stdvar(v)` (native-histogram
+  stats): population variance of the bucket-midpoint distribution,
+  each populated bucket contributing its count at the GEOMETRIC mean
+  of its bounds (functions.go histogramStdDev: sqrt(lower·upper),
+  sign-mirrored for negative buckets, 0 for the zero bucket) against
+  the true mean h.Sum/h.Count. Go kahan-sums c·(val−mean)² in bucket
+  order — an operand sequence neither engine can replay — so the
+  entry computes the algebraically identical moment form from EXACT
+  INTEGER sums instead (see the entry docstring); the overflow bucket
+  clamps to ±2^HI (where Go returns +Inf), the same
+  bounded-resolution rule as the quantile entry.
+* `timestamp(v)` returns each series' SAMPLE timestamp as the value
+  (functions.go funcTimestamp reads T, not the evaluation time); the
+  instant-query lookback picks the latest sample per series.
+* `info(v, target_info)` (PromQL 3 experimental): enrich each sample
+  of v with data labels from the matching info series, matched on
+  identifying labels AND time (the info row in effect at the sample's
+  timestamp). That is an AS-OF join by construction — implemented on
+  the union+window asof_join operator (one shuffle, no range join;
+  operators/relational.py:22) with the right side deduplicated to one
+  info row per (key, ts) by event_id (both engines would otherwise
+  tie-break equal-ts info rows arbitrarily). Samples with no info row
+  in effect DROP (join, not outer-join, semantics).
+
+Scale notes (100 TB design points): bucket assignment is a pure
+map-side expression (a 23-element literal-array filter inside
+whole-stage codegen — no explode, no join, no shuffle), followed by
+ONE exchange on (event_type, kind, idx) whose cardinality is series ×
+~30 buckets, tiny; the quantile then re-aggregates that sparse bucket
+relation with two window passes over ≤ 30 rows per series. The info()
+join is the asof operator's single co-partitioned exchange — no
+broadcast of the fact side, no per-row lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.functions.timeutil import epoch_us
+from numalogic_prometheus_spark.operators.relational import asof_join
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+_LO, _HI = -10, 12  # boundary ladder 2^LO .. 2^HI (23 exact doubles)
+_BOUNDS = [2.0 ** k for k in range(_LO, _HI + 1)]
+# repr() of a power of two is an EXACT decimal ('0.0009765625',
+# '4096.0') — both engines parse it back to the identical double.
+_BOUNDS_SQL = ", ".join(repr(b) for b in _BOUNDS)
+
+_NH_BUCKETS_CTE = f"""
+    WITH tagged AS (
+        SELECT event_type,
+               CASE WHEN value > 0 THEN 'pos'
+                    WHEN value < 0 THEN 'neg'
+                    ELSE 'zero' END AS kind,
+               CASE WHEN value = 0 THEN NULL
+                    ELSE {_LO} + len(list_filter([{_BOUNDS_SQL}],
+                                                 b -> b < abs(value)))
+                    END AS idx
+        FROM events
+    ),
+    sparse AS (
+        SELECT event_type, kind, idx, count(*)::BIGINT AS n
+        FROM tagged
+        GROUP BY event_type, kind, idx
+    )
+"""
+
+
+@register(
+    "promql_native_histogram_buckets",
+    oracle=_NH_BUCKETS_CTE
+    + f"""
+    SELECT event_type, kind, idx, n,
+           CASE kind WHEN 'zero' THEN 0.0
+                WHEN 'pos' THEN pow(2.0, idx - 1)
+                ELSE CASE WHEN idx > {_HI} THEN '-inf'::DOUBLE
+                          ELSE -pow(2.0, idx) END END AS lower,
+           CASE kind WHEN 'zero' THEN 0.0
+                WHEN 'pos' THEN CASE WHEN idx > {_HI} THEN 'inf'::DOUBLE
+                                     ELSE pow(2.0, idx) END
+                ELSE -pow(2.0, idx - 1) END AS upper
+    FROM sparse
+    """,
+)
+def promql_native_histogram_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prometheus 3 native histogram (schema 0): sparse exponential
+    buckets per series — (kind, idx, count, lower, upper) with
+    (2^(idx−1), 2^idx] positive buckets, mirrored negative buckets and
+    the zero bucket (module docstring for the exactness argument: all
+    boundary comparisons are against exact power-of-two literals, no
+    logs). Bucket assignment is a map-side literal-array filter inside
+    codegen; ONE exchange on the sparse (series, kind, idx) key."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.array(*[F.lit(b) for b in _BOUNDS])
+    absv = F.abs(F.col("value"))
+    idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < absv))
+    kind = (
+        F.when(F.col("value") > 0, "pos")
+        .when(F.col("value") < 0, "neg")
+        .otherwise("zero")
+    )
+    tagged = ev.select(
+        "event_type",
+        kind.alias("kind"),
+        F.when(F.col("value") == 0, F.lit(None)).otherwise(idx).alias("idx"),
+    )
+    sparse = tagged.groupBy("event_type", "kind", "idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    inf = F.lit(float("inf"))
+    pos_upper = F.when(F.col("idx") > _HI, inf).otherwise(
+        F.pow(F.lit(2.0), F.col("idx"))
+    )
+    neg_lower = F.when(F.col("idx") > _HI, -inf).otherwise(
+        -F.pow(F.lit(2.0), F.col("idx"))
+    )
+    lower = (
+        F.when(F.col("kind") == "zero", F.lit(0.0))
+        .when(F.col("kind") == "pos", F.pow(F.lit(2.0), F.col("idx") - 1))
+        .otherwise(neg_lower)
+    )
+    upper = (
+        F.when(F.col("kind") == "zero", F.lit(0.0))
+        .when(F.col("kind") == "pos", pos_upper)
+        .otherwise(-F.pow(F.lit(2.0), F.col("idx") - 1))
+    )
+    return sparse.select(
+        "event_type", "kind", "idx", "n",
+        lower.alias("lower"), upper.alias("upper"),
+    )
+
+
+@register(
+    "promql_native_histogram_quantile",
+    oracle=_NH_BUCKETS_CTE
+    + f"""
+    , pos AS (
+        SELECT event_type, idx, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM sparse WHERE kind = 'pos'
+    ),
+    hit AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY idx) AS rn
+        FROM pos WHERE cum >= total * 0.9
+    )
+    SELECT event_type, total::BIGINT AS n_obs,
+           CASE WHEN idx > {_HI} THEN pow(2.0, {_HI})
+                ELSE pow(2.0, idx - 1)
+                     * pow(2.0, (total * 0.9 - (cum - n)) / n) END
+               AS quantile_value
+    FROM hit WHERE rn = 1
+    """,
+)
+def promql_native_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`histogram_quantile(0.9, native_histogram)`: locate the target
+    bucket by cumulative count over the SPARSE positive exponential
+    buckets, then interpolate EXPONENTIALLY inside it —
+    lower · 2^frac, the v2.50+ native-histogram rule (vs the linear
+    interpolation of the classic-bucket `promql_histogram_quantile_p90`).
+    An overflow-bucket hit returns the largest finite boundary, the
+    same guard as the classic entry's +Inf rule. The quantile runs
+    entirely on the sparse bucket relation (≤ ~30 rows per series)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.array(*[F.lit(b) for b in _BOUNDS])
+    absv = F.abs(F.col("value"))
+    idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < absv))
+    sparse = (
+        ev.filter(F.col("value") > 0)
+        .select("event_type", idx.alias("idx"))
+        .groupBy("event_type", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_cum = W.partitionBy("event_type").orderBy("idx")
+    w_all = W.partitionBy("event_type")
+    pos = sparse.select(
+        "event_type", "idx", "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    hit = (
+        pos.filter(F.col("cum") >= F.col("total") * 0.9)
+        .withColumn("rn", F.row_number().over(w_cum))
+        .filter(F.col("rn") == 1)
+    )
+    frac = (F.col("total") * 0.9 - (F.col("cum") - F.col("n"))) / F.col("n")
+    qv = F.when(F.col("idx") > _HI, F.pow(F.lit(2.0), F.lit(_HI))).otherwise(
+        F.pow(F.lit(2.0), F.col("idx") - 1) * F.pow(F.lit(2.0), frac)
+    )
+    return hit.select(
+        "event_type",
+        F.col("total").cast("long").alias("n_obs"),
+        qv.alias("quantile_value"),
+    )
+
+
+@register(
+    "promql_info_enrich",
+    oracle="""
+    WITH info AS (
+        -- one info row per (user, ts): equal-ts info updates are
+        -- event_id tie-broken BEFORE the as-of match, or both engines
+        -- would pick arbitrarily
+        SELECT user_id, ts, max_by(json_extract_string(props, '$.k')::BIGINT,
+                                   event_id) AS info_k
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.value AS purchase_value, i.info_k
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN info i
+      ON p.user_id = i.user_id AND i.ts <= p.ts
+    """,
+)
+def promql_info_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL 3 `info()` analog: each purchase sample enriched with the
+    data label `k` of the user's `signup` info series IN EFFECT AT the
+    sample's timestamp — identifying-label match (user_id) + temporal
+    validity = an as-of join (module docstring). Samples with no info
+    row yet DROP (join semantics). One co-partitioned union+window
+    shuffle via the asof_join operator; the info side is deduplicated
+    to one row per (user, ts) by event_id first."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    info = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(
+                F.get_json_object("props", "$.k").cast("long"), "event_id"
+            ).alias("info_k")
+        )
+    )
+    joined = asof_join(purchases, info, on=["user_id"], value_cols=["info_k"])
+    return joined.filter(F.col("info_k").isNotNull()).select(
+        "event_id", "user_id", "purchase_value", "info_k"
+    )
+
+
+@register(
+    "promql_native_histogram_stddev",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type,
+               CASE WHEN value > 0 THEN 1
+                    WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+               CASE WHEN value = 0 THEN NULL
+                    ELSE {_LO} + len(list_filter([{_BOUNDS_SQL}],
+                                                 b -> b < abs(value)))
+                    END AS idx,
+               round(value * 100)::BIGINT AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS s_cents,
+               coalesce(sum(CASE WHEN sgn <> 0 AND idx <= {_HI}
+                            THEN sgn * (1::BIGINT << (idx + 10))
+                            ELSE 0 END), 0)::BIGINT AS a_sum,
+               coalesce(sum(CASE WHEN sgn <> 0 AND idx > {_HI}
+                            THEN sgn ELSE 0 END), 0)::BIGINT AS b_sum,
+               -- DuckDB sum(BIGINT) is HUGEINT: the 2^(2idx+20) terms
+               -- reach 2^44 and their sum would overflow BIGINT at sf1
+               coalesce(sum(CASE WHEN sgn <> 0 AND idx <= {_HI}
+                            THEN (1::BIGINT << (2 * idx + 20))
+                            ELSE 0 END), 0) AS c_sum,
+               coalesce(sum(CASE WHEN sgn <> 0 AND idx > {_HI}
+                            THEN 1 ELSE 0 END), 0)::BIGINT AS d_sum
+        FROM tagged GROUP BY event_type
+    ),
+    mom AS (
+        SELECT event_type, n,
+               s_cents / n / 100.0 AS mean,
+               a_sum / 1024.0 / sqrt(2.0) + b_sum * 4096.0 AS sumval,
+               c_sum::DOUBLE / 2097152.0 + d_sum * 16777216.0 AS sumval2
+        FROM agg
+    )
+    SELECT event_type, n AS n_obs,
+           (sumval2 - 2.0 * mean * sumval + mean * mean * n) / n
+               AS stdvar_value,
+           CASE WHEN (sumval2 - 2.0 * mean * sumval + mean * mean * n) / n
+                     < 0 THEN 0.0
+                ELSE sqrt((sumval2 - 2.0 * mean * sumval
+                           + mean * mean * n) / n) END AS stddev_value
+    FROM mom
+    """,
+)
+def promql_native_histogram_stddev(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL `histogram_stddev` / `histogram_stdvar` over the schema-0
+    native histogram: per series, the population variance of the
+    bucket-midpoint distribution — each populated bucket contributes
+    its count at the GEOMETRIC mean of its bounds (functions.go
+    histogramStdDev: val = sqrt(lower·upper), sign-mirrored for
+    negative buckets, 0 for the zero bucket), against the true sample
+    mean h.Sum/h.Count.
+
+    Exactness: Go kahan-sums c·(val−mean)² in bucket order; neither
+    engine can replay that operand sequence, so the entry computes the
+    ALGEBRAICALLY IDENTICAL moment form from exact integers instead —
+    for a positive bucket idx, val = 2^(idx−1/2), so
+    Σc·val = (Σ±c·2^(idx+10)) / 2^10 / √2 and
+    Σc·val² = (Σc·2^(2idx+20)) / 2^21 with BOTH inner sums exact
+    integers (the second as Spark DECIMAL(38,0) / DuckDB HUGEINT — its
+    2^44-scale terms would overflow BIGINT at sf1), then ONE identical
+    IEEE chain (sumval2 − 2·mean·sumval + mean²·n)/n on each engine:
+    bit-identical without kahan. The overflow bucket (idx > HI) clamps
+    val to the largest finite boundary ±2^HI — the same
+    bounded-resolution rule as the quantile entry's overflow guard
+    (module docstring), where Go would return +Inf. A negative stdvar
+    (pure cancellation noise) floors to 0 under the same branch on both
+    engines. One map-side bucket tag, ONE exchange on the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.array(*[F.lit(b) for b in _BOUNDS])
+    absv = F.abs(F.col("value"))
+    idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < absv))
+    sgn = (
+        F.when(F.col("value") > 0, F.lit(1))
+        .when(F.col("value") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    tagged = ev.select(
+        "event_type",
+        sgn.alias("sgn"),
+        F.when(F.col("value") == 0, F.lit(None)).otherwise(idx).alias("idx"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # variable-amount shifts need expression SQL (F.shiftleft's numBits
+    # is a python int); 1L keeps the shift in BIGINT, never 32-bit
+    agg = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s_cents"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN sgn <> 0 AND idx <= {_HI} THEN"
+                    " sgn * shiftleft(1L, idx + 10) ELSE 0L END"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("a_sum"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN sgn <> 0 AND idx > {_HI} THEN sgn"
+                    " ELSE 0 END"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("b_sum"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN sgn <> 0 AND idx <= {_HI} THEN"
+                    " CAST(shiftleft(1L, 2 * idx + 20) AS DECIMAL(38,0))"
+                    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("c_sum"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN sgn <> 0 AND idx > {_HI} THEN 1"
+                    " ELSE 0 END"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("d_sum"),
+    )
+    mean = F.col("s_cents") / F.col("n") / F.lit(100.0)
+    sumval = (
+        F.col("a_sum") / F.lit(1024.0) / F.sqrt(F.lit(2.0))
+        + F.col("b_sum") * F.lit(4096.0)
+    )
+    sumval2 = (
+        F.col("c_sum").cast("double") / F.lit(2097152.0)
+        + F.col("d_sum") * F.lit(16777216.0)
+    )
+    stdvar = (
+        sumval2 - F.lit(2.0) * mean * sumval + mean * mean * F.col("n")
+    ) / F.col("n")
+    stddev = F.when(stdvar < 0, F.lit(0.0)).otherwise(F.sqrt(stdvar))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_obs"),
+        stdvar.alias("stdvar_value"),
+        stddev.alias("stddev_value"),
+    )
+
+
+@register(
+    "promql_timestamp_function",
+    oracle="""
+    SELECT event_type, user_id,
+           epoch_us(max(ts)) AS ts_micros,
+           epoch_us(max(ts)) / 1000000.0 AS ts_value
+    FROM events
+    GROUP BY event_type, user_id
+    """,
+)
+def promql_timestamp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `timestamp(v)`: for an instant query, each series' value
+    becomes the epoch timestamp OF ITS SAMPLE (functions.go
+    funcTimestamp reads the sample's T, not the evaluation time) — per
+    (event_type, user_id) series the lookback picks the latest sample,
+    so the value is max(ts) as epoch seconds. Emitted both as exact
+    integer micros and as the PromQL double value via ONE identical
+    IEEE division (micros / 1e6) on each engine — epoch micros at
+    2026 scale (~1.8e15) are ≪ 2^53, so the integer is exact and the
+    single division is the only rounding. Pure partial aggregation,
+    one exchange on the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = epoch_us(F.max("ts"))
+    return ev.groupBy("event_type", "user_id").agg(
+        micros.alias("ts_micros"),
+        (micros / F.lit(1000000.0)).alias("ts_value"),
+    )

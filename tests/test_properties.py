@@ -717,3 +717,114 @@ def test_level_shift_prefix_sum_matches_direct_windows(
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+_cents = st.integers(min_value=-600_000, max_value=600_000)
+
+
+@given(
+    cents=st.lists(_cents, min_size=1, max_size=25),
+)
+@_settings
+def test_native_stddev_moment_equals_direct(spark, cents, tmp_path_factory):
+    """The exact-integer moment form of promql_native_histogram_stddev
+    equals the direct functions.go bucket loop (geometric mids, zero
+    bucket, overflow clamp) on random series spanning all regimes —
+    the algebra the entry docstring claims, checked numerically."""
+    from datetime import datetime
+
+    from numalogic_prometheus_spark.plans.promql7 import (
+        _BOUNDS,
+        _HI,
+        _LO,
+        promql_native_histogram_stddev,
+    )
+
+    tmp = tmp_path_factory.mktemp("nhsd")
+    t = datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t, 1, "a", c / 100.0, "{}") for i, c in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    def mid(v: float) -> float:
+        if v == 0:
+            return 0.0
+        sign = 1.0 if v > 0 else -1.0
+        idx = _LO + sum(1 for b in _BOUNDS if b < abs(v))
+        if idx > _HI:
+            return sign * 2.0 ** _HI  # bounded-resolution clamp
+        return sign * math.sqrt(2.0 ** (idx - 1) * 2.0 ** idx)
+
+    n = len(cents)
+    mean = sum(cents) / n / 100.0
+    ref_var = sum((mid(c / 100.0) - mean) ** 2 for c in cents) / n
+
+    out = promql_native_histogram_stddev(spark, str(tmp)).collect()
+    assert len(out) == 1 and out[0]["n_obs"] == n
+    got = out[0]["stdvar_value"]
+    # moment-form cancellation noise scales with mean^2 * n
+    tol = 1e-7 * max(1.0, mean * mean * n)
+    assert abs(got - ref_var) <= tol
+    if ref_var > tol:
+        assert abs(out[0]["stddev_value"] - math.sqrt(ref_var)) <= math.sqrt(
+            tol
+        )
+
+
+_chunk_text = st.text(
+    alphabet="abc XY.\n\té中", min_size=0, max_size=400
+)
+
+
+@given(texts=st.lists(_chunk_text, min_size=1, max_size=10))
+@_settings
+def test_chunk_ladder_property(spark, texts, tmp_path_factory):
+    """text_chunk_overlap emits exactly the 128/96 ladder of every doc
+    — including empty docs (no chunks), non-ASCII (char-grain
+    boundaries, byte-grain md5), and the fully-overlapped-tail edge —
+    and the DuckDB twin agrees on the same random fixture."""
+    import hashlib
+
+    from numalogic_prometheus_spark.plans.text5 import (
+        _CHUNK,
+        _STRIDE,
+        text_chunk_overlap,
+    )
+    from tests.oracle_harness import compare_crafted
+
+    tmp = tmp_path_factory.mktemp("chunks")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    expected = []
+    for doc_id, text in enumerate(texts):
+        for i, s in enumerate(range(0, len(text), _STRIDE)):
+            body = text[s : s + _CHUNK]
+            expected.append(
+                (
+                    doc_id,
+                    i,
+                    s,
+                    len(body),
+                    hashlib.md5(body.encode("utf-8")).hexdigest(),
+                )
+            )
+
+    got = sorted(
+        (
+            r["doc_id"],
+            r["chunk_idx"],
+            r["chunk_start"],
+            r["chunk_len"],
+            r["chunk_md5"],
+        )
+        for r in text_chunk_overlap(spark, str(tmp)).collect()
+    )
+    assert got == sorted(expected)
+    compare_crafted(spark, tmp, "text_chunk_overlap")
