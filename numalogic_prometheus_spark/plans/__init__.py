@@ -69,6 +69,7 @@ _MODULES = (
     "promql6",
     "promql7",
     "text5",
+    "promql8",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -126,9 +127,17 @@ _MODULES = (
 #     histogram moment stats from exact integer bucket moments) +
 #     promql_timestamp_function (plans/promql7.py, timestamp() reads
 #     the sample's T) + text_chunk_overlap (plans/text5.py, RAG-style
-#     overlapping chunking as a map-side posexplode) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all eighteen are
-#     locally verified at sf0.001/sf0.01/sf0.1/sf1.0
+#     overlapping chunking as a map-side posexplode), and the closing
+#     promql8 batch promql_math_functions / promql_comparison_bool /
+#     promql_scalar_binop / promql_ts_of_over_time (plans/promql8.py,
+#     the remaining instant-vector function surface: math family with
+#     gated ln/sqrt, comparison binops in filter AND bool modes,
+#     vector÷scalar() with a one-row broadcast, and Prometheus-3.x
+#     ts_of_{max,min,last}_over_time with the ties→latest-ts rule) +
+#     text_tfidf_topterms (plans/text5.py, TF-IDF keyword extraction
+#     under the exact tf-major selection rule) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all twenty-three
+#     are locally verified at sf0.001/sf0.01/sf0.1/sf1.0
 #     (SWEEP_sf1_rest.log appended runs) and are first in line for the
 #     r10 window.
 # The 6 long-green sentinels of r6-r8 rotate OUT this round: their

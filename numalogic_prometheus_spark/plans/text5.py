@@ -1,5 +1,6 @@
-"""Training-data chunking, round 9: RAG/pretraining-style overlapping
-document chunking.
+"""Training-data chunking + keyword extraction, round 9:
+RAG/pretraining-style overlapping document chunking, and TF-IDF
+top-term extraction per document.
 
 Every context-window pipeline (RAG indexing, pretraining example prep,
 long-doc eval harnesses) starts by splitting documents into fixed-size
@@ -80,4 +81,116 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_start").cast("long").alias("chunk_start"),
         F.length(body).cast("long").alias("chunk_len"),
         F.md5(body.cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, term, tf,
+               sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+        FROM tf
+    ),
+    df AS (
+        SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ),
+    corpus AS (
+        SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf
+    ),
+    ranked AS (
+        SELECT l.doc_id, l.term, l.tf, l.dl, d.df, c.n_docs,
+               row_number() OVER (PARTITION BY l.doc_id
+                                  ORDER BY l.tf DESC, d.df ASC,
+                                           l.term ASC) AS rank
+        FROM dl l JOIN df d USING (term) CROSS JOIN corpus c
+    )
+    SELECT doc_id, rank, term, tf, df, dl,
+           round((tf / dl) * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6)
+               AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: 3 keywords per document selected by
+    the deterministic tf-major rule (tf DESC, then rarity df ASC, then
+    term ASC), each emitted with its sklearn-smoothed score
+    (tf/dl) · (ln((1+N)/(1+df)) + 1).
+
+    Exactness discipline: the RANKING never touches the transcendental
+    — a rank on the ln-based score itself could flip across engines at
+    near-ties (libm ulp divergence, the round-8 tie class in rank
+    clothing), so selection uses the exact integer key, which is
+    tie-free because term is unique within a document. The tf-major
+    key agrees with the score order whenever tf differs at equal
+    rarity or rarity differs at equal tf; where a rarer lower-tf term
+    would outscore a commoner higher-tf one the rule deliberately
+    prefers tf — a documented, portable contract rather than a
+    cross-engine coin flip. The displayed tfidf is computed AFTER
+    selection with the identical operand sequence on both engines,
+    rounded at 6 — the ln( absorber of tests/test_rounding_lint.py
+    (libm, no cross-libm bit guarantee).
+
+    Scale (100 TB design): tf is one exchange on (doc_id, term) with
+    map-side combine; df is a groupBy(term) whose partial aggregation
+    collapses stopword skew ("the" shrinks to one row per map task
+    BEFORE the exchange) and rejoins on term under AQE's skew-join —
+    deliberately a join, NOT a count-over-window by term, which would
+    haul every (doc, "the") row to one reducer unaggregated. dl rides
+    a window over doc_id (per-doc row counts are bounded by doc
+    vocabulary). N is a one-row broadcast crossJoin (bounded;
+    test_plan_shape pins crossJoin boundedness). Top-3 is the
+    rank-within-partition pattern — no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    from pyspark.sql import Window as W
+
+    dl = tf.withColumn(
+        "dl", F.sum("tf").over(W.partitionBy("doc_id")).cast("long")
+    )
+    df_rel = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    corpus = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    joined = dl.join(df_rel, "term").crossJoin(F.broadcast(corpus))
+    rank = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        )
+    )
+    ranked = joined.withColumn("rank", rank).filter(F.col("rank") <= 3)
+    score = F.round(
+        (F.col("tf") / F.col("dl"))
+        * (
+            F.log(
+                (F.lit(1.0) + F.col("n_docs"))
+                / (F.lit(1.0) + F.col("df"))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "tf",
+        "df",
+        "dl",
+        score.alias("tfidf"),
     )
