@@ -70,6 +70,7 @@ _MODULES = (
     "promql7",
     "text5",
     "promql8",
+    "scd",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -135,8 +136,11 @@ _MODULES = (
 #     vector÷scalar() with a one-row broadcast, and Prometheus-3.x
 #     ts_of_{max,min,last}_over_time with the ties→latest-ts rule) +
 #     text_tfidf_topterms (plans/text5.py, TF-IDF keyword extraction
-#     under the exact tf-major selection rule) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all twenty-three
+#     under the exact tf-major selection rule) + scd2_state_history
+#     (plans/scd.py, SCD Type-2 dimension build: consecutive-deduped
+#     state transitions to versioned validity intervals, one
+#     exchange + one sort, float-free) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all twenty-four
 #     are locally verified at sf0.001/sf0.01/sf0.1/sf1.0
 #     (SWEEP_sf1_rest.log appended runs) and are first in line for the
 #     r10 window.

@@ -828,3 +828,56 @@ def test_chunk_ladder_property(spark, texts, tmp_path_factory):
     )
     assert got == sorted(expected)
     compare_crafted(spark, tmp, "text_chunk_overlap")
+
+
+@given(
+    samples=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),       # minute offset
+            st.integers(min_value=-500, max_value=500),   # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_ts_of_over_time_matches_go_scan(spark, samples, tmp_path_factory):
+    """promql_ts_of_over_time equals Prometheus's reference algorithm —
+    an ascending scan updating on >= (max) / <= (min), so value ties
+    resolve to the LATEST timestamp — on random series including
+    duplicate values and duplicate timestamps."""
+    from datetime import datetime, timedelta
+
+    from numalogic_prometheus_spark.plans.promql8 import (
+        promql_ts_of_over_time,
+    )
+
+    tmp = tmp_path_factory.mktemp("tsof")
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + timedelta(minutes=m), 1, "a", c / 100.0, "{}")
+        for i, (m, c) in enumerate(samples)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    # reference: Go functions.go ascending scan (ties -> latest ts)
+    ordered = sorted(samples, key=lambda p: p[0])
+    max_c = min_c = None
+    ts_max = ts_min = None
+    for m, c in ordered:
+        if max_c is None or c >= max_c:
+            max_c, ts_max = c, m
+        if min_c is None or c <= min_c:
+            min_c, ts_min = c, m
+    us = lambda m: int((t0 + timedelta(minutes=m)).timestamp() * 1_000_000)  # noqa: E731
+
+    (row,) = promql_ts_of_over_time(spark, str(tmp)).collect()
+    assert row["ts_of_max"] == us(ts_max)
+    assert row["ts_of_min"] == us(ts_min)
+    assert row["ts_of_last"] == us(ordered[-1][0])
+    assert row["max_v"] == max_c / 100.0
+    assert row["min_v"] == min_c / 100.0
