@@ -71,6 +71,7 @@ _MODULES = (
     "text5",
     "promql8",
     "scd",
+    "funnel",
 )
 
 # ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
@@ -139,8 +140,12 @@ _MODULES = (
 #     under the exact tf-major selection rule) + scd2_state_history
 #     (plans/scd.py, SCD Type-2 dimension build: consecutive-deduped
 #     state transitions to versioned validity intervals, one
-#     exchange + one sort, float-free) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all twenty-four
+#     exchange + one sort, float-free) + funnel_signup_view_purchase /
+#     cohort_retention_weekly (plans/funnel.py, ordered-funnel
+#     conversion as chained running-min windows — the O(rows) form of
+#     the SQL-92 3-way self-join — and integer-epoch-day weekly cohort
+#     retention) — did NOT fit
+#     (the 35-entry stale-pool drain owns the space); all twenty-six
 #     are locally verified at sf0.001/sf0.01/sf0.1/sf1.0
 #     (SWEEP_sf1_rest.log appended runs) and are first in line for the
 #     r10 window.
