@@ -106,13 +106,18 @@ def histogram_fraction(
     each endpoint).
 
     CDF(x) for x inside bucket (prev_le, le] is
-    prev_n + (n − prev_n)·(x − prev_le)/(le − prev_le); both endpoints
-    must land strictly inside finite buckets (the +Inf bucket has no
-    width to interpolate — same reason histogram_quantile clamps there).
-    The bucket relation is tiny (series × |bounds| rows), so the two
-    endpoint lookups are window-free filters over one enriched frame; the
-    expensive part (bucketing the corpus) happened upstream in the
-    single-exchange histogram aggregation.
+    prev_n + (n − prev_n)·(x − prev_le)/(le − prev_le). Endpoints outside
+    the bucket ladder CLAMP instead of dropping the series (ADVICE r9 —
+    the old strict in-bucket filter silently erased a series via the
+    inner join when, e.g., lower = 0 sat exactly on the ladder start or
+    upper exceeded the last bucket): x ≤ 0 (the ladder start, the lag
+    default for the first bucket's lower edge) clamps to CDF 0; x above
+    the relation's last bound clamps to CDF total — the same
+    no-width-to-interpolate reasoning behind histogram_quantile's +Inf
+    clamp. The bucket relation is tiny (series × |bounds| rows), so the
+    endpoint lookups are filters + one left join against the per-key
+    totals; the expensive part (bucketing the corpus) happened upstream
+    in the single-exchange histogram aggregation.
     """
     w = W.partitionBy(*keys).orderBy(le)
     wall = W.partitionBy(*keys)
@@ -124,15 +129,27 @@ def histogram_fraction(
         F.lag(le, 1, 0.0).over(w).alias("__prev_le"),
         F.max(cum_count).over(wall).alias("__total"),
     )
+    base = enriched.groupBy(*keys).agg(F.max("__total").alias("__total"))
 
     def _cdf_at(x: float, out: str) -> DataFrame:
+        if x <= 0.0:
+            # at/below the ladder start: no observation can be ≤ x
+            return base.select(*keys, F.lit(0.0).alias(out), "__total")
         hit = enriched.filter(
             (F.col("__prev_le") < F.lit(x)) & (F.lit(x) <= F.col("__le"))
         )
         interp = F.col("__prev_n") + (F.col("__n") - F.col("__prev_n")) * (
             F.lit(x) - F.col("__prev_le")
         ) / (F.col("__le") - F.col("__prev_le"))
-        return hit.select(*keys, interp.alias(out), F.col("__total"))
+        # x > 0 with no in-ladder hit means x is above the last bound
+        # (the ladder is contiguous from 0): clamp to the full count.
+        return base.join(
+            hit.select(*keys, interp.alias(out)), list(keys), "left"
+        ).select(
+            *keys,
+            F.coalesce(F.col(out), F.col("__total").cast("double")).alias(out),
+            "__total",
+        )
 
     lo = _cdf_at(lower, "__cdf_lo").drop("__total")
     hi = _cdf_at(upper, "__cdf_hi")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
+    cell_argmin_key,
     cosine_similarity,
     dot_product,
     l2_norm,
@@ -35,9 +36,11 @@ _QUERY_FILTER = "vec_id % 97 = 0"
 _CENTROID_FILTER = "vec_id % 31 = 0"
 
 # Deterministic composite argmin key: rounded cosine distance in 1e-6
-# units, then centroid id as the tiebreak — integer-exact in a double
-# (≤ 2e6 * 1e5 + 2e3 ≪ 2^53) so both engines pick the same cell even
-# when two centroids are equidistant.
+# units, then centroid id as the tiebreak — BIGINT-exact in both engines
+# (bucket ≤ 2e6, so key ≤ ~2.0e15; the Spark twin cell_argmin_key guards
+# cent_id < TIEBREAK_MOD = 1e9 so the id can never bleed into the
+# distance component) so both engines pick the same cell even when two
+# centroids are equidistant.
 _COS_SQL = (
     "list_dot_product({a}, {b})"
     " / (sqrt(list_aggregate(list_transform({a}, x -> x*x), 'sum'))"
@@ -45,15 +48,8 @@ _COS_SQL = (
 )
 _KEY_SQL = (
     f"round((1 - {_COS_SQL.format(a='b.v', b='c.cv')}) * 1000000)::BIGINT"
-    " * 100000 + c.cent_id"
+    " * 1000000000 + c.cent_id"
 )
-
-
-def _dist_key(v, cv, cent_id) -> F.Column:
-    dist = 1 - cosine_similarity(v, cv)
-    return (
-        F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
-    )
 
 
 @register(
@@ -111,9 +107,7 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("nc"),
     )
 
-    def dist_key(v, nv, cv, nc, cent_id) -> F.Column:
-        dist = 1 - dot_product(v, cv) / (nv * nc)
-        return F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+    dist_key = cell_argmin_key
 
     # The N×C expansion carries ONLY (vec_id, cent_id, key): the 64-dim
     # vector is consumed by the distance expression and dropped before

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
+    cell_argmin_key,
     cosine_similarity,
     dot_product,
     l2_norm,
@@ -280,7 +281,7 @@ _IVF_COS_SQL = (
 )
 _IVF_KEY_SQL = (
     f"round((1 - {_IVF_COS_SQL.format(a='b.v', b='c.cv')}) * 1000000)::BIGINT"
-    " * 100000 + c.cent_id"
+    " * 1000000000 + c.cent_id"
 )
 
 
@@ -347,9 +348,7 @@ def vec_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("nc"),
     )
 
-    def dist_key(v, nv, cv, nc, cent_id) -> F.Column:
-        dist = 1 - dot_product(v, cv) / (nv * nc)
-        return F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+    dist_key = cell_argmin_key
 
     # Predicate FIRST: the filtered corpus enters the N×C expansion,
     # carrying only scalars into the assignment hash aggregate.

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
+    cell_argmin_key,
     dot_product,
     l2_norm,
     to_double_array,
@@ -51,10 +52,10 @@ _COS_SQL = (
     "    * sqrt(list_aggregate(list_transform({b}, x -> x*x), 'sum')))"
 )
 # Composite argmin key: rounded cosine distance in 1e-6 units, then
-# centroid id tiebreak — integer-exact in a double (plans/vectors2.py).
+# centroid id tiebreak — BIGINT-exact, id guarded < 1e9 (plans/vectors2.py).
 _KEY_SQL = (
     f"round((1 - {_COS_SQL.format(a='{v}', b='c.cv')}) * 1000000)::BIGINT"
-    " * 100000 + c.cent_id"
+    " * 1000000000 + c.cent_id"
 )
 
 
@@ -118,9 +119,7 @@ def vec_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("nc"),
     )
 
-    def dist_key(v, nv, cv, nc, cent_id) -> F.Column:
-        dist = 1 - dot_product(v, cv) / (nv * nc)
-        return F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+    dist_key = cell_argmin_key
 
     # The "index": every corpus vector's cell (min_by partial agg — one
     # N-row exchange; in production this relation is read back from the

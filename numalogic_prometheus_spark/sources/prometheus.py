@@ -228,36 +228,53 @@ class PrometheusStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         # k = -1: nothing fetched yet; the first batch starts at tick 0
         # (= the `start` option), matching the batch source's convention
-        # that `start` itself is the first evaluation.
-        return {"k": -1}
+        # that `start` itself is the first evaluation. The resolved grid
+        # anchor and step ride IN the offset: on checkpoint restart Spark
+        # rebuilds the reader (a default `start` would resolve to a NEW
+        # wall-clock anchor), and the persisted pair keeps the stored k
+        # mapping to the same ticks — the disjoint-tiling and
+        # readBetweenOffsets replay-determinism guarantees survive
+        # restarts.
+        return {"k": -1, "anchor": self.anchor, "step_s": self.step_s}
 
-    def _tick(self, k: int) -> float:
-        return self.anchor + k * self.step_s
+    def _grid(self, offset: dict) -> tuple[float, float]:
+        # Prefer the offset's persisted grid over the (possibly
+        # re-resolved) constructor options; legacy offsets without the
+        # fields fall back to the constructor grid.
+        return (
+            float(offset.get("anchor", self.anchor)),
+            float(offset.get("step_s", self.step_s)),
+        )
 
     def read(self, start: dict):
+        anchor, step_s = self._grid(start)
         k0 = int(start["k"])
-        k_wall = int((time.time() - self.lag - self.anchor) // self.step_s)
+        k_wall = int((time.time() - self.lag - anchor) // step_s)
         k1 = min(k_wall, k0 + self.max_ticks)
+        nxt = {"k": max(k1, k0), "anchor": anchor, "step_s": step_s}
         if k1 <= k0:
-            return [], start  # nothing new on the grid yet
+            return [], nxt  # nothing new on the grid yet
         # materialized (not a generator): Spark pickles the prefetched
         # batch into the block manager for executor replay
         rows = list(
             _fetch_slice(
                 self.url,
                 self.query,
-                self._tick(k0 + 1),
-                self._tick(k1),
+                anchor + (k0 + 1) * step_s,
+                anchor + k1 * step_s,
                 self.step,
                 self.headers,
             )
         )
-        return rows, {"k": k1}
+        return rows, nxt
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # Replay after a failure: the same (start, end] tick run the
         # original read() covered — grid determinism makes the fetch
-        # idempotent against an unchanged TSDB.
+        # idempotent against an unchanged TSDB. The grid comes from the
+        # offsets themselves, so replay is exact even when the reader was
+        # reconstructed with different/default options.
+        anchor, step_s = self._grid(start)
         k0, k1 = int(start["k"]), int(end["k"])
         if k1 <= k0:
             return []
@@ -265,8 +282,8 @@ class PrometheusStreamReader(SimpleDataSourceStreamReader):
             _fetch_slice(
                 self.url,
                 self.query,
-                self._tick(k0 + 1),
-                self._tick(k1),
+                anchor + (k0 + 1) * step_s,
+                anchor + k1 * step_s,
                 self.step,
                 self.headers,
             )

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
+    cell_argmin_key,
     dot_product,
     l2_norm,
     to_double_array,
@@ -63,15 +64,27 @@ def featurize_vectors(batch: DataFrame) -> DataFrame:
     ).withColumn("nv", l2_norm(F.col("v")))
 
 
-def _dist_key(v, nv, cv, nc, cent_id) -> F.Column:
-    """Composite argmin key: rounded cosine distance in 1e-6 units,
-    centroid id tiebreak — integer-exact in a double (plans/vectors2.py)."""
-    dist = 1 - dot_product(v, cv) / (nv * nc)
-    return F.round(dist * 1000000, 0).cast("long") * 100000 + cent_id
+# Composite argmin key: rounded cosine distance in 1e-6 units, centroid
+# id tiebreak — BIGINT-exact, cent_id guarded < TIEBREAK_MOD so the id
+# never bleeds into the distance component (functions/vectors.py).
+_dist_key = cell_argmin_key
+
+
+_FALLBACK_CENTROIDS = 8  # quantizer size when the id-slice misses the batch
 
 
 def derive_centroids(feat: DataFrame) -> DataFrame:
-    return feat.filter(F.expr(_CENTROID_FILTER)).select(
+    """Deterministic quantizer slice of a batch. If the id-modulus slice
+    is empty (small or adversarially-keyed first batch), fall back to the
+    batch's lowest vec_ids — still a pure function of the batch, so a
+    replay rewrites bit-identical content. The caller must never commit
+    an empty quantizer: with zero centroids every later assign_cells
+    crossJoin yields zero assignments and the index silently drops all
+    vectors forever (ADVICE r9)."""
+    cents = feat.filter(F.expr(_CENTROID_FILTER))
+    if cents.isEmpty():
+        cents = feat.orderBy("vec_id").limit(_FALLBACK_CENTROIDS)
+    return cents.select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nv").alias("nc"),
@@ -199,10 +212,19 @@ def make_incremental_ann_sink(
         feat = batch_df.transform(featurize_vectors).localCheckpoint(
             eager=True
         )
+        if feat.isEmpty():
+            # Empty micro-batch (common for batch 0 of file/rate
+            # sources): commit NOTHING — in particular not the
+            # quantizer, which would otherwise pin an empty centroid
+            # set under _SUCCESS forever. The next non-empty batch
+            # defines it instead.
+            return
         cents = read_centroids(spark, index_dir)
         if cents is None:
-            # First committed batch defines the quantizer. Deterministic
-            # from the batch, so a replay rewrites identical content.
+            # First committed NON-EMPTY batch defines the quantizer.
+            # Deterministic from the batch (id-slice, or lowest-id
+            # fallback), so a replay rewrites identical content;
+            # derive_centroids is non-empty by construction here.
             derive_centroids(feat).write.mode("overwrite").parquet(
                 os.path.join(index_dir, "centroids")
             )

@@ -253,7 +253,8 @@ def test_stream_batches_tile_tick_grid(fake_prom):
     t2 = sorted({r[2].timestamp() for r in rows2})
     assert t1 == [float(anchor + k * STEP) for k in range(4)]
     assert t2 == [float(anchor + k * STEP) for k in range(4, 8)]
-    assert off1 == {"k": 3} and off2 == {"k": 7}
+    grid = {"anchor": float(anchor), "step_s": float(STEP)}
+    assert off1 == {"k": 3, **grid} and off2 == {"k": 7, **grid}
     assert len(rows1) == 8 and len(rows2) == 8  # 4 ticks × 2 instances
     # replay of batch 2 must reproduce it exactly (checkpoint recovery)
     replay = list(reader.readBetweenOffsets(off1, off2))
@@ -270,6 +271,55 @@ def test_stream_batches_tile_tick_grid(fake_prom):
         off = noff
     idle_rows, idle_off = reader.read(off)
     assert list(idle_rows) == [] and idle_off == off
+
+
+def test_stream_restart_keeps_offset_grid(fake_prom):
+    """Checkpoint-restart determinism: the tick grid (anchor, step) is
+    persisted in every offset, so a RECONSTRUCTED reader — here with the
+    default wall-clock `start`, i.e. a different constructor anchor —
+    must keep reading the ORIGINAL grid from a stored offset, and
+    readBetweenOffsets replay must be exact across the restart."""
+    import time as _time
+
+    from numalogic_prometheus_spark.sources.prometheus import (
+        PrometheusStreamReader,
+    )
+
+    now = _time.time()
+    anchor = (int(now) // STEP) * STEP - 9 * STEP
+    opts = {
+        "url": fake_prom,
+        "query": "http_requests_total",
+        "step": "60s",
+        "max_ticks_per_batch": "4",
+    }
+    first = PrometheusStreamReader({**opts, "start": str(anchor)})
+    off0 = first.initialOffset()
+    rows1, off1 = first.read(off0)
+    rows1 = list(rows1)
+    assert off1["anchor"] == float(anchor)
+
+    # "restart": new reader, NO start option → constructor anchor is a
+    # fresh wall-clock time, different from the original grid
+    restarted = PrometheusStreamReader(dict(opts))
+    assert restarted.anchor != float(anchor)
+    rows2, off2 = restarted.read(off1)
+    rows2 = list(rows2)
+    # batch 2 continues the ORIGINAL grid: ticks 4..7, and the grid
+    # fields survive into the next offset
+    t2 = sorted({r[2].timestamp() for r in rows2})
+    assert t2 == [float(anchor + k * STEP) for k in range(4, 8)]
+    assert off2["anchor"] == float(anchor) and off2["step_s"] == float(STEP)
+    # replay across the restart is exact
+    replay = list(restarted.readBetweenOffsets(off1, off2))
+    key = lambda r: (r[1]["instance"], r[2])  # noqa: E731
+    assert sorted(replay, key=key) == sorted(rows2, key=key)
+    # legacy offsets (pre-grid checkpoints) still work: constructor grid
+    legacy = PrometheusStreamReader({**opts, "start": str(anchor)})
+    rows_legacy, off_legacy = legacy.read({"k": 3})
+    t_legacy = sorted({r[2].timestamp() for r in list(rows_legacy)})
+    assert t_legacy == [float(anchor + k * STEP) for k in range(4, 8)]
+    assert off_legacy["anchor"] == float(anchor)
 
 
 def test_stream_end_to_end_memory_sink(spark, fake_prom):

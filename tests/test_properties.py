@@ -660,6 +660,41 @@ def test_histogram_fraction_inverts_quantile_property(spark, incr, phi):
     )
 
 
+def test_histogram_fraction_clamps_out_of_range_endpoints(spark):
+    """ADVICE r9: endpoints outside the bucket ladder must CLAMP, not
+    silently drop the series — lower = 0 (exactly the ladder start) is
+    CDF 0, an upper above the last bound is CDF total, and a series is
+    never erased from the output by an endpoint choice."""
+    from numalogic_prometheus_spark.operators.promql import histogram_fraction
+
+    # two series; no +Inf row at all (the sparse caller shape)
+    rows = [
+        ("a", 1.0, 10), ("a", 2.0, 30), ("a", 4.0, 40),
+        ("b", 1.0, 4), ("b", 2.0, 4), ("b", 4.0, 8),
+    ]
+    buckets = spark.createDataFrame(
+        rows, "key string, le double, cum_count long"
+    )
+    # (0, 100]: whole ladder → fraction exactly 1 for every series
+    out = {
+        r["key"]: r["fraction"]
+        for r in histogram_fraction(buckets, ["key"], 0.0, 100.0).collect()
+    }
+    assert out == {"a": 1.0, "b": 1.0}
+    # (-5, 2]: negative lower clamps to CDF 0 → fraction = cum(2)/total
+    out = {
+        r["key"]: r["fraction"]
+        for r in histogram_fraction(buckets, ["key"], -5.0, 2.0).collect()
+    }
+    assert out == {"a": 30 / 40, "b": 4 / 8}
+    # (2, 100]: upper clamps to total → 1 − cum(2)/total
+    out = {
+        r["key"]: r["fraction"]
+        for r in histogram_fraction(buckets, ["key"], 2.0, 100.0).collect()
+    }
+    assert out == {"a": 10 / 40, "b": 4 / 8}
+
+
 _shift_value = st.floats(
     min_value=0.0, max_value=100.0, allow_nan=False, allow_infinity=False
 )

@@ -54,7 +54,7 @@ def _cos(a: list[float], b: list[float]) -> float:
 
 
 def _key(q, cid, vecs) -> int:
-    return round((1 - _cos(q, vecs[cid])) * 1000000) * 100000 + cid
+    return round((1 - _cos(q, vecs[cid])) * 1000000) * 1000000000 + cid
 
 
 def _mirror_topk(vecs, corpus_ids, query_ids):
@@ -176,3 +176,44 @@ def test_replay_is_idempotent(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert snap_after == snap_before
+
+
+def test_empty_first_batch_defers_quantizer(spark, sf_dir, tmp_path):
+    """ADVICE r9: an empty batch 0 (or one missing the id-slice) must
+    NOT commit an empty quantizer under _SUCCESS — that would zero out
+    assign_cells forever. The quantizer waits for the first non-empty
+    batch; an id-slice miss falls back to the batch's lowest vec_ids."""
+    from numalogic_prometheus_spark.streaming.incremental_ann import (
+        read_centroids,
+    )
+
+    index_dir = str(tmp_path / "index")
+    result_dir = str(tmp_path / "results")
+    sink = make_incremental_ann_sink(index_dir, result_dir, k=_K, nprobe=_NPROBE)
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    sink(empty, 0)
+    assert read_centroids(spark, index_dir) is None  # nothing committed
+    assert not os.path.exists(os.path.join(result_dir, "batch=0"))
+
+    # batch 1: vec_ids 1..20 — NO vec_id % 31 == 0 row → fallback picks
+    # the 8 lowest ids as centroids; the full batch lands in the index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 20)).select(
+        "vec_id", "embedding"
+    )
+    sink(b1, 1)
+    cents = read_centroids(spark, index_dir)
+    assert cents is not None
+    assert sorted(r["cent_id"] for r in cents.collect()) == list(range(1, 9))
+    idx = read_index(spark, index_dir)
+    assert sorted(r["vec_id"] for r in idx.collect()) == list(range(1, 21))
+
+    # batch 2 is served non-empty results from batch 1's index
+    b2 = emb.filter((F.col("vec_id") >= 21) & (F.col("vec_id") <= 30)).select(
+        "vec_id", "embedding"
+    )
+    sink(b2, 2)
+    served = _result_map(spark, result_dir, 2)
+    assert set(served) == set(range(21, 31))
+    assert all(1 <= n <= 20 for ns in served.values() for n in ns)
