@@ -74,142 +74,84 @@ _MODULES = (
     "funnel",
 )
 
-# ROUND-9 ROTATION (VERDICT r8 next-round #1/#2/#3/#7). The driver
-# verifies the first 50 entries of queries(). This window holds,
-# enumerated by reason:
-#   * the FULL remaining r2-stale pool — all 35 entries whose last
-#     driver row is round 2 (VERDICT r8 #1 asked for the 13 displaced
-#     fills + ml_minmax_scaled; the window has room for the entire
-#     backlog, so the re-green ledger drains to zero this round). Four
-#     are rows-only by nature (ml_reconstruction_error,
-#     stream_dedup_within_watermark, stream_stateful_scaler,
-#     multimodal_decode_features) and refresh the weaker check.
-#     ml_minmax_scaled is ALSO a semantics change: its scaled ratio is
-#     now emitted unrounded (tie-class drain — the rounding-lint
-#     allowlist is empty as of r9),
-#   * the 7 entries whose SEMANTICS or ORACLES changed this round:
-#     agg_approx_distinct + agg_hll_mergeable_daily (KMV estimate
-#     unrounded), text_bm25_topk + text_unigram_logprob (fixed-point
-#     ratios unrounded), ts_linear_interpolate (oracle linearized to
-#     ASOF joins + output unrounded), promql_mad_over_time (oracle
-#     linearized to a native mad() RANGE frame),
-#     promql_quantile_over_time_sliding (oracle linearized to a RANGE
-#     frame) — all re-verified locally at sf0.001 + sf0.01 before
-#     rotation (VERDICT r8 #1 and #2),
-#   * tpch_q9_product_profit — semantics/oracle changed LATE in r9:
-#     the sf1.0 rest-sweep caught its round(sum(double),2) flipping a
-#     cent under accumulation-order noise (SWEEP_sf1_rest.log); both
-#     engines now sum exact integer 1e-4-dollar units. Re-verified at
-#     sf0.001/sf0.01/sf1.0 before rotation,
-#   * the 7 queries REGISTERED this round (in-window from day one —
-#     the r6 rule that no entry ships without a driver row):
-#     vec_ivf_filtered_topk (VERDICT r8 #3), sample_split_snapshot_fed
-#     (VERDICT r8 #7), promql_time_functions, promql_quantile_agg_by,
-#     layout_zorder_files, layout_compaction_bins, profile_key_skew.
-#     The other r9 registrations — promql_sort_by_label,
-#     promql_histogram_fraction, promql_idelta, and the dense-regime
-#     order-statistic twins promql_quantile_sliding_dense /
-#     promql_mad_sliding_dense (plans/promql_dense.py), and the final
-#     pair promql_at_modifier / promql_agg_family (plans/promql5.py,
-#     the @ modifier and the simple cross-series aggregator family),
-#     and vec_ann_incremental_batch (plans/vectors4.py, the
-#     incremental-ingest ANN serving shape), ts_level_shift_detect
-#     (plans/timeseries.py, prefix-sum changepoint detection), and
-#     promql_stddev_agg_by (plans/promql5.py, population cross-series
-#     moments from exact integers), and promql_histogram_avg +
-#     promql_double_exponential_smoothing (plans/promql6.py, the
-#     classic histogram scalar family and the ordered Holt recurrence
-#     pinned by a RECURSIVE-CTE oracle), and the plans/promql7.py trio
-#     promql_native_histogram_buckets / promql_native_histogram_quantile
-#     (Prometheus-3 native histograms: sparse schema-0 exponential
-#     buckets over exact power-of-two boundaries + exponentially
-#     interpolated quantile) + promql_info_enrich (PromQL-3 info() as an
-#     as-of label join), and the final late trio
-#     promql_native_histogram_stddev (plans/promql7.py, the native-
-#     histogram moment stats from exact integer bucket moments) +
-#     promql_timestamp_function (plans/promql7.py, timestamp() reads
-#     the sample's T) + text_chunk_overlap (plans/text5.py, RAG-style
-#     overlapping chunking as a map-side posexplode), and the closing
-#     promql8 batch promql_math_functions / promql_comparison_bool /
-#     promql_scalar_binop / promql_ts_of_over_time (plans/promql8.py,
-#     the remaining instant-vector function surface: math family with
-#     gated ln/sqrt, comparison binops in filter AND bool modes,
-#     vector÷scalar() with a one-row broadcast, and Prometheus-3.x
-#     ts_of_{max,min,last}_over_time with the ties→latest-ts rule) +
-#     text_tfidf_topterms (plans/text5.py, TF-IDF keyword extraction
-#     under the exact tf-major selection rule) + scd2_state_history
-#     (plans/scd.py, SCD Type-2 dimension build: consecutive-deduped
-#     state transitions to versioned validity intervals, one
-#     exchange + one sort, float-free) + funnel_signup_view_purchase /
-#     cohort_retention_weekly (plans/funnel.py, ordered-funnel
-#     conversion as chained running-min windows — the O(rows) form of
-#     the SQL-92 3-way self-join — and integer-epoch-day weekly cohort
-#     retention) — did NOT fit
-#     (the 35-entry stale-pool drain owns the space); all twenty-six
-#     are locally verified at sf0.001/sf0.01/sf0.1/sf1.0
-#     (SWEEP_sf1_rest.log appended runs) and are first in line for the
-#     r10 window.
-# The 6 long-green sentinels of r6-r8 rotate OUT this round: their
-# job was detecting recency drift while a stale pool existed; with the
-# pool drained to zero every window slot is a first-class check again.
-# tpch_q6_forecast_revenue stays continuously measured in bench.py.
-# 35 + 7 + 1 + 7 = 50 exactly; after this round no entry's last driver
-# row predates round 4.
+# ROUND-10 ROTATION (VERDICT r9 next-round #1; per-round narratives
+# now live in COVERAGE.md's dated sections — this comment holds ONLY
+# the current window). The driver verifies the first 50 entries of
+# queries(). 26 + 3 + 21 = 50, enumerated by reason:
+#   * the 26 entries REGISTERED in r9 that did not fit that round's
+#     window (the 35-entry stale-pool drain owned the space) — all were
+#     verified at sf0.001/0.01/0.1/sf1.0 on registration
+#     (SWEEP_sf1_rest.log) and were promised first-in-line for r10;
+#     promql_histogram_fraction additionally changed semantics THIS
+#     round (out-of-ladder endpoints clamp instead of dropping the
+#     series — ADVICE r9) and vec_ann_incremental_batch's tiebreak
+#     modulus widened to 1e9 (ADVICE r9), both re-verified at all four
+#     scales before rotation;
+#   * the 3 entries REGISTERED this round (r6 rule: in-window from day
+#     one): promql_native_histogram_rate (VERDICT r9 #3),
+#     vec_ivf_int8_topk (#5), text_chunk_contamination (#6);
+#   * 21 of the 26 entries whose last driver row is round 4 — the
+#     oldest recency tail after r9 drained the r2 pool. The 5 deferred
+#     to r11 (tpch_q14_promo_revenue, tpch_q15_top_supplier,
+#     tpch_q16_supplier_part_counts, tpch_q19_discounted_revenue,
+#     tpch_q22_dormant_high_balance) are the plan-pinned TPC-H suite
+#     members, hash-green in this round's committed full-registry
+#     sf0.01 + sf0.1 sweeps like everything else; they are first in
+#     line for the r11 window.
 _CHECK_FIRST = (
-    # -- r2-stale pool, drained in full (35) --
-    "text_langid_confusion",
-    "text_fingerprint",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_minhash_signatures",
-    "text_simhash_signatures",
-    "dedup_simhash_pairs",
-    "dedup_cluster_components",
-    "vec_norm_stats",
-    "vec_ann_signbucket_topk",
-    "vec_ann_multiband_topk",
-    "vec_neardup_pairs",
-    "ml_zscore_scaled",
-    "ml_minmax_scaled",  # + unrounded this round (tie-class drain)
-    "ml_tanh_scaled",
-    "ml_quantile_threshold",
-    "ml_reconstruction_error",  # rows-only by nature
-    "tpch_q10_returned_items",
-    "udf_scalar_pandas_tanh",
-    "udf_grouped_agg_threshold",
-    "udtf_tokenize_positions",
-    "subquery_scalar_above_avg",
-    "pipeline_anomaly_scores",
-    "agg_salted_distinct",
-    "stream_dedup_within_watermark",  # rows-only by nature
-    "stream_stateful_scaler",  # rows-only by nature
-    "agg_pivot_status",
-    "agg_unpivot_part_attrs",
-    "agg_grouping_sets",
-    "registry_latest_artifact",
-    "samples_label_algebra",
-    "explode_token_frequencies",
-    "multimodal_decode_features",  # rows-only by nature
-    "agg_window_vectors",
-    "agg_approx_quantiles",
-    # -- semantics/oracle changed r9 (unrounds + linearized oracles) --
-    "agg_approx_distinct",
-    "agg_hll_mergeable_daily",
-    "text_bm25_topk",
-    "text_unigram_logprob",
-    "ts_linear_interpolate",
-    "promql_mad_over_time",
-    "promql_quantile_over_time_sliding",
-    # -- semantics/oracle changed late r9 (sf1 sweep catch: exact-cents) --
-    "tpch_q9_product_profit",
-    # -- new round-9 registrations (in-window from day one) --
-    "vec_ivf_filtered_topk",
-    "sample_split_snapshot_fed",
-    "promql_time_functions",
-    "promql_quantile_agg_by",
-    "layout_zorder_files",
-    "layout_compaction_bins",
-    "profile_key_skew",
+    # -- r9 registrations, queued for their first driver row (26) --
+    "promql_sort_by_label",
+    "promql_histogram_fraction",  # + clamp semantics change (ADVICE r9)
+    "promql_idelta",
+    "promql_quantile_sliding_dense",
+    "promql_mad_sliding_dense",
+    "promql_at_modifier",
+    "promql_agg_family",
+    "promql_stddev_agg_by",
+    "vec_ann_incremental_batch",  # + tiebreak modulus 1e9 (ADVICE r9)
+    "ts_level_shift_detect",
+    "promql_histogram_avg",
+    "promql_double_exponential_smoothing",
+    "promql_native_histogram_buckets",
+    "promql_native_histogram_quantile",
+    "promql_info_enrich",
+    "promql_native_histogram_stddev",
+    "promql_timestamp_function",
+    "text_chunk_overlap",
+    "text_tfidf_topterms",
+    "promql_math_functions",
+    "promql_comparison_bool",
+    "promql_scalar_binop",
+    "promql_ts_of_over_time",
+    "scd2_state_history",
+    "funnel_signup_view_purchase",
+    "cohort_retention_weekly",
+    # -- new round-10 registrations (in-window from day one) --
+    "promql_native_histogram_rate",
+    "vec_ivf_int8_topk",
+    "text_chunk_contamination",
+    # -- r4 recency tail, oldest driver rows first (21 of 26) --
+    "dedup_cdc_chunk_pairs",  # rows-only by nature
+    "exposition_all_families",
+    "mllib_brp_lsh_neighbors",  # rows-only by nature
+    "mllib_kmeans_profiles",  # rows-only by nature
+    "mllib_minmax_scaler",  # rows-only by nature
+    "multimodal_frame_sample",  # rows-only by nature
+    "pack_sequences_contiguous",
+    "pipeline_text_cleaning",
+    "promql_absent_series",
+    "promql_bottomk_users",
+    "promql_clamp_values",
+    "promql_count_values",
+    "promql_delta_gauge",
+    "promql_sort_desc",
+    "sample_mixture_epochs",
+    "sample_split_train_val_test",
+    "sample_stratified_hash",
+    "sample_topk_hash_per_source",
+    "text_token_accounting",
+    "tpch_q18_large_volume_customers",
+    "vec_range_search",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -71,7 +71,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from numalogic_prometheus_spark.functions.timeutil import epoch_us
+from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
 from numalogic_prometheus_spark.operators.relational import asof_join
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
@@ -437,6 +437,219 @@ def promql_native_histogram_stddev(
         F.col("n").alias("n_obs"),
         stdvar.alias("stdvar_value"),
         stddev.alias("stddev_value"),
+    )
+
+
+_EPOCH_US = 5_400_000_000  # 90-min counter epochs: resets land mid-hour
+
+
+@register(
+    "promql_native_histogram_rate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, date_trunc('minute', ts) AS m,
+               {_LO} + len(list_filter([{_BOUNDS_SQL}], b -> b < value))
+                   AS idx
+        FROM events WHERE value > 0
+    ),
+    bkt AS (
+        SELECT event_type, m, idx, count(*)::BIGINT AS cnt
+        FROM ev GROUP BY 1, 2, 3
+    ),
+    dense AS (
+        SELECT s.event_type, s.m, b.idx,
+               epoch_us(s.m) // {_EPOCH_US} AS epoch,
+               coalesce(k.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT event_type, m FROM ev) s
+        JOIN (SELECT DISTINCT event_type, idx FROM ev) b USING (event_type)
+        LEFT JOIN bkt k ON k.event_type = s.event_type AND k.m = s.m
+                       AND k.idx = b.idx
+    ),
+    cumsum AS (
+        SELECT event_type, m, idx,
+               sum(cnt) OVER (PARTITION BY event_type, idx, epoch
+                              ORDER BY m) AS c
+        FROM dense
+    ),
+    cum AS (
+        SELECT event_type, m, idx, c,
+               lag(c) OVER (PARTITION BY event_type, idx ORDER BY m)
+                   AS prev_c
+        FROM cumsum
+    ),
+    flags AS (
+        SELECT event_type, m,
+               max(CASE WHEN prev_c IS NOT NULL AND c < prev_c
+                        THEN 1 ELSE 0 END) AS reset
+        FROM cum GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, date_trunc('hour', m)::TIMESTAMP AS hour,
+               count(*)::BIGINT AS n, min(m) AS first_m, max(m) AS last_m
+        FROM flags GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    per_bucket AS (
+        SELECT c.event_type, w.hour, c.idx, w.n,
+               epoch_us(w.last_m) - epoch_us(w.first_m) AS si_us,
+               (epoch_us(w.first_m) - epoch_us(w.hour))::DOUBLE AS ds0,
+               (epoch_us(w.hour) + 3600000000
+                - epoch_us(w.last_m))::DOUBLE AS de,
+               sum(CASE WHEN c.m = w.last_m THEN c.c ELSE 0 END)
+               - sum(CASE WHEN c.m = w.first_m THEN c.c ELSE 0 END)
+               + sum(CASE WHEN c.m > w.first_m AND f.reset = 1
+                          THEN c.prev_c ELSE 0 END) AS delta_n
+        FROM cum c
+        JOIN flags f ON f.event_type = c.event_type AND f.m = c.m
+        JOIN win w ON w.event_type = c.event_type
+                  AND w.hour = date_trunc('hour', c.m)
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ),
+    extrap AS (
+        SELECT *,
+               si_us::DOUBLE / (n - 1)::DOUBLE AS avg_d
+        FROM per_bucket
+    )
+    SELECT event_type, hour, idx, n AS n_scrapes, delta_n::BIGINT AS delta_n,
+           delta_n::DOUBLE
+           * ((si_us::DOUBLE
+               + CASE WHEN ds0 >= avg_d * 1.1 THEN avg_d / 2.0 ELSE ds0 END
+               + CASE WHEN de >= avg_d * 1.1 THEN avg_d / 2.0 ELSE de END)
+              / si_us::DOUBLE)
+           / 3600.0 AS rate_per_sec
+    FROM extrap WHERE delta_n <> 0
+    """,
+)
+def promql_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(native_histogram[1h])` / `increase` over the schema-0
+    sparse-bucket substrate: bucket-wise reset-corrected increase with
+    Prometheus's boundary extrapolation (VERDICT r9 #3; promql/functions.go
+    histogramRate composed with extrapolatedRate).
+
+    The synthetic histogram COUNTER: scrapes are the minutes with ≥1
+    observation per series; each scrape's histogram holds cumulative
+    per-bucket counts since the last process restart, with restarts on a
+    fixed 90-min wall grid — so counter resets land strictly inside some
+    hour windows and on the edge of others. Per hour window, per bucket:
+
+    - increase = cum(last) − cum(first) + Σ cum(before each reset) —
+      exactly histogramRate's `last.Sub(first)` then `.Add(prev)` at
+      every detected reset between consecutive IN-WINDOW samples;
+    - a reset is DetectReset's bucket-count drop: ANY bucket's
+      cumulative count decreasing scrape-over-scrape (the count/sum
+      shortcut checks are subsumed — the synthetic carries the count
+      axis, and total count cannot drop unless some bucket drops);
+    - the extrapolation factor is extrapolatedRate's: the sampled
+      interval stretched to each window edge by the actual gap when
+      < 1.1× the average scrape spacing, else half the average spacing.
+      NO zero-crossing clamp — functions.go applies that branch only to
+      float samples (`resultHistogram == nil`), never to histograms;
+    - zero-delta buckets drop, mirroring FloatHistogram.Compact.
+
+    Exactness: delta_n is an exact BIGINT; the rate is ONE identical
+    IEEE chain (delta · ((si + ds_sub + de_sub)/si) / 3600) over
+    integer-derived doubles — bit-identical cross-engine, unrounded.
+    Scale: the dense (scrape × bucket) relation is series-scrapes ×
+    ≤~25 buckets, NOT raw events; both window passes share one exchange
+    on (series, idx) (the epoch-partitioned cumsum's clustering is
+    satisfied by the subset hash — no second shuffle), then one hash
+    aggregate per grain. 100 TB cost is O(scrape-grid), the same shape
+    Prometheus's own TSDB pays."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bounds = F.array(*[F.lit(b) for b in _BOUNDS])
+    idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < F.col("value")))
+    obs = ev.select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("m"),
+        idx.alias("idx"),
+    )
+    bkt = obs.groupBy("event_type", "m", "idx").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scrapes = obs.select("event_type", "m").distinct()
+    buckets = obs.select("event_type", "idx").distinct()
+    dense = (
+        scrapes.join(buckets, "event_type")
+        .join(bkt, ["event_type", "m", "idx"], "left")
+        .select(
+            "event_type",
+            "m",
+            "idx",
+            F.expr(f"{epoch_us_sql('m')} DIV {_EPOCH_US}").alias("epoch"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    # ONE exchange on (event_type, idx) serves both window passes: the
+    # epoch-partitioned cumsum's ClusteredDistribution(e, idx, epoch) is
+    # satisfied by the coarser hash (subset rule), so Spark only inserts
+    # the in-partition re-sort; the per-scrape reset flag is a third
+    # window on (event_type, m) — NOT a groupBy + self-join, which would
+    # re-execute the whole dense subtree on the second branch.
+    w_epoch = W.partitionBy("event_type", "idx", "epoch").orderBy("m")
+    w_series = W.partitionBy("event_type", "idx").orderBy("m")
+    drop = F.when(
+        F.col("prev_c").isNotNull() & (F.col("c") < F.col("prev_c")), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = (
+        dense.repartition("event_type", "idx")
+        .select("event_type", "m", "idx", F.sum("cnt").over(w_epoch).alias("c"))
+        .withColumn("prev_c", F.lag("c").over(w_series))
+        .withColumn("reset", F.max(drop).over(W.partitionBy("event_type", "m")))
+    )
+    # Window stats come off the tiny distinct-scrape relation (series ×
+    # scrape-minutes) — broadcast back onto the dense relation.
+    win = (
+        scrapes.groupBy("event_type", F.date_trunc("hour", "m").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("m").alias("first_m"),
+            F.max("m").alias("last_m"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    contrib = cum.withColumn("hour", F.date_trunc("hour", "m")).join(
+        F.broadcast(win), ["event_type", "hour"]
+    )
+    per_bucket = contrib.groupBy(
+        "event_type",
+        "hour",
+        "idx",
+        "n",
+        (epoch_us("last_m") - epoch_us("first_m")).alias("si_us"),
+        (epoch_us("first_m") - epoch_us("hour")).cast("double").alias("ds0"),
+        (epoch_us("hour") + F.lit(3_600_000_000) - epoch_us("last_m"))
+        .cast("double")
+        .alias("de"),
+    ).agg(
+        (
+            F.sum(F.when(F.col("m") == F.col("last_m"), F.col("c")).otherwise(F.lit(0)))
+            - F.sum(
+                F.when(F.col("m") == F.col("first_m"), F.col("c")).otherwise(F.lit(0))
+            )
+            + F.sum(
+                F.when(
+                    (F.col("m") > F.col("first_m")) & (F.col("reset") == 1),
+                    F.col("prev_c"),
+                ).otherwise(F.lit(0))
+            )
+        ).alias("delta_n")
+    )
+    si = F.col("si_us").cast("double")
+    avg_d = si / (F.col("n") - 1).cast("double")
+    thr = avg_d * 1.1
+    ds_sub = F.when(F.col("ds0") >= thr, avg_d / 2.0).otherwise(F.col("ds0"))
+    de_sub = F.when(F.col("de") >= thr, avg_d / 2.0).otherwise(F.col("de"))
+    return per_bucket.filter(F.col("delta_n") != 0).select(
+        "event_type",
+        "hour",
+        "idx",
+        F.col("n").alias("n_scrapes"),
+        F.col("delta_n").cast("long").alias("delta_n"),
+        (
+            F.col("delta_n").cast("double")
+            * ((si + ds_sub + de_sub) / si)
+            / F.lit(3600.0)
+        ).alias("rate_per_sec"),
     )
 
 

@@ -194,3 +194,92 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl",
         score.alias("tfidf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — chunk-grain contamination (VERDICT r9 #6): the join that
+# text_chunk_overlap's content-addressing exists FOR. Doc-grain n-gram
+# contamination (text_contamination_eval_overlap, plans/text4.py) asks
+# "does this training doc share phrases with the benchmark set"; the
+# chunk grain asks the question RAG/pretraining dedup actually ships:
+# which exact context-window chunks of the training corpus appear
+# verbatim in the eval corpus — catching doc-level copies, partial
+# copies and boilerplate sections alike, at the same chunk identity the
+# serving index uses.
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 11  # mirrors plans/text4.py: every 11th doc is "benchmark"
+_CHUNK_FLAG = 0.5
+
+
+@register(
+    "text_chunk_contamination",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, md5(substring(text, s + 1, {_CHUNK})) AS h
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, length(text), {_STRIDE})) AS s
+            FROM documents
+        )
+    ),
+    ev AS (SELECT DISTINCT h FROM ch WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (
+        SELECT doc_id, count(*) AS n_chunks,
+               count(*) FILTER (h IN (SELECT h FROM ev)) AS n_overlap
+        FROM ch WHERE doc_id % {_EVAL_MOD} != 0 GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks::BIGINT AS n_chunks,
+           n_overlap::BIGINT AS n_overlap,
+           n_overlap / n_chunks::DOUBLE AS overlap_frac,
+           (CASE WHEN n_overlap / n_chunks::DOUBLE >= {_CHUNK_FLAG}
+                 THEN 1 ELSE 0 END)::BIGINT AS flagged
+    FROM tr
+    """,
+)
+def text_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval chunk-hash overlap: per training document, the
+    fraction of its 128/96 ladder chunks (text_chunk_overlap's exact
+    identity) whose md5 appears anywhere in the benchmark corpus
+    (doc_id % 11 == 0); ≥ 0.5 flags the doc as an eval near-copy.
+
+    Scale shape mirrors the doc-grain sibling
+    (text_contamination_eval_overlap): the eval side is a benchmark
+    suite — its DISTINCT chunk-hash set is megabytes and broadcast — so
+    the training corpus chunks map-side (posexplode in codegen) and
+    streams through the hash probe with NO shuffle; the only exchange
+    is the per-doc count aggregation. Golden with a planted cross-corpus
+    chunk: tests/test_chunk_contamination_golden.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(_STRIDE)))
+    body = F.substring(F.col("text"), F.col("chunk_start") + 1, _CHUNK)
+    ch = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    ).select("doc_id", F.md5(body.cast("binary")).alias("h"))
+    ev = (
+        ch.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = ch.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    agg = (
+        tr.join(F.broadcast(ev), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap") / F.col("n_chunks").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_overlap",
+        # unrounded exact-integer ratio (bit-identical cross-engine)
+        frac.alias("overlap_frac"),
+        F.when(frac >= _CHUNK_FLAG, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged"),
+    )

@@ -412,3 +412,211 @@ def vec_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 vec_ivf_filtered_topk.__doc__ = vec_ivf_filtered_topk.__doc__.format(
     k=_FILTERED_TOP_K, label=_FILTER_LABEL, nprobe=_IVF_NPROBE
 )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — IVF × int8 composition (IVF-PQ-lite; VERDICT r9 #5): the
+# 100 TB serving shape. The coarse quantizer prunes WHICH rows are
+# scanned (nprobe/n_cells of the corpus), the int8 codes shrink WHAT is
+# scanned per row (4× fewer bytes than float32, 8× vs float64), and the
+# full-precision vectors are touched only for the ≤ CAND_PER_QUERY
+# survivors per query — FAISS's IVFPQ layering with the simplest useful
+# code grain (one sub-quantizer = symmetric per-vector int8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vec_ivf_int8_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM b
+              WHERE {_IVF_CENTROID_FILTER}),
+    keyed AS (
+        SELECT b.vec_id, c.cent_id, {_IVF_KEY_SQL} AS key
+        FROM b CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, arg_min(cent_id, key) AS cell
+               FROM keyed GROUP BY vec_id),
+    scaled AS (
+        SELECT vec_id,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                   / 127 AS scale, v
+        FROM b
+    ),
+    codes AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE round(x / scale)::BIGINT END) AS qv
+        FROM scaled
+    ),
+    ivfpq AS (
+        SELECT a.vec_id, a.cell, c.scale, c.qv
+        FROM assign a JOIN codes c USING (vec_id)
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY key) AS rn
+        FROM keyed WHERE {_QUERY_FILTER}
+    ),
+    qcodes AS (SELECT vec_id AS query_id, scale AS qscale, qv AS qqv
+               FROM codes WHERE {_QUERY_FILTER}),
+    approx AS (
+        SELECT p.query_id, i.vec_id AS neighbor_id,
+               list_aggregate(
+                   list_transform(range(1, len(i.qv) + 1),
+                                  k -> i.qv[k] * qc.qqv[k]),
+                   'sum')::BIGINT * i.scale * qc.qscale AS ascore
+        FROM probes p
+        JOIN ivfpq i ON i.cell = p.cell
+        JOIN qcodes qc ON qc.query_id = p.query_id
+        WHERE p.rn <= {_IVF_NPROBE} AND i.vec_id != p.query_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ascore DESC, neighbor_id) AS arn
+            FROM approx
+        ) WHERE arn <= {_CAND_PER_QUERY}
+    ),
+    exact AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(qv.v, nv.v)
+                     / (sqrt(list_aggregate(list_transform(qv.v, x -> x*x),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(nv.v, x -> x*x),
+                                              'sum'))),
+                     6) AS cos_sim
+        FROM cand c
+        JOIN b qv ON qv.vec_id = c.query_id
+        JOIN b nv ON nv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id)
+                      AS rank
+        FROM exact
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def vec_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-lite top-k (VERDICT r9 #5): coarse-quantizer cell pruning
+    composed with int8 code scoring, exact re-rank of survivors only.
+
+    Stage layering (each stage strictly shrinks the next stage's input):
+
+    1. the broadcast centroid argmin assigns every corpus vector a cell
+       (min_by partial agg — the exchange carries N scalar rows);
+    2. the inverted file stores (cell, scale, int8 codes) — at 100 TB
+       this compressed relation is what sits on disk, cell-partitioned,
+       and a probe scans only nprobe/n_cells of it at ¼ the bytes;
+    3. per query, the nprobe=2 nearest cells' CODES are scored with
+       the exact-integer code dot (|Σ| ≤ 64·127² — int64-exact) times
+       the two scales — one float product, no accumulation hazard;
+    4. only the top 9 survivors per query touch full-precision vectors
+       for the cosine re-rank (top 3).
+
+    Recall vs the exact baseline is pinned in
+    tests/test_ann_recall.py::test_ivf_int8_recall_floor; the
+    no-full-corpus-exact-scan shape in
+    tests/test_plan_shape.py::test_ivf_int8_exact_stage_is_candidate_bounded.
+    """
+    e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    b = e.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", l2_norm(F.col("v")))
+    cents = b.filter(F.expr(_IVF_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    keyed = b.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cell_argmin_key(
+            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"),
+            F.col("cent_id"),
+        ).alias("key"),
+    )
+    assign = keyed.groupBy("vec_id").agg(
+        F.min_by("cent_id", "key").alias("cell")
+    )
+    scale = (
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: F.abs(x)),
+            F.lit(float("-inf")),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / 127
+    )
+    withs = b.withColumn("scale", scale)
+    _s = F.col("scale")
+    codes = withs.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(_s == 0, F.lit(0).cast("long")).otherwise(
+                F.round(x / _s, 0).cast("long")
+            ),
+        ).alias("qv"),
+    )
+    ivfpq = assign.join(codes, "vec_id")
+    wq = W.partitionBy("query_id").orderBy("key")
+    probes = (
+        keyed.filter(F.expr(_QUERY_FILTER))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"), "key")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    qcodes = codes.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("qv").alias("qqv"),
+    )
+    # probes × query codes is |Q|·nprobe rows — broadcast, so the
+    # compressed index never reshuffles for search.
+    probes_c = probes.join(qcodes, "query_id")
+    idot = F.aggregate(
+        F.zip_with("qv", "qqv", lambda a, c: a * c),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        F.broadcast(probes_c)
+        .join(ivfpq, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (idot * F.col("scale") * F.col("qscale")).alias("ascore"),
+        )
+    )
+    aw = W.partitionBy("query_id").orderBy(F.col("ascore").desc(), "neighbor_id")
+    cand = (
+        approx.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= _CAND_PER_QUERY)
+        .select("query_id", "neighbor_id")
+    )
+    qv = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"))
+    nv = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_n"))
+    exact = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("v_q"), F.col("v_n")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+

