@@ -81,6 +81,10 @@ HEADLINE = [
     "promql_native_histogram_buckets",      # codegen array-filter buckets (r9)
     "promql_native_histogram_stddev",       # exact-integer moment stats (r9)
     "text_chunk_overlap",                   # map-side chunk explode (r9)
+    "promql_native_histogram_rate",         # bucket-wise reset-corrected rate (r10)
+    "promql_native_histogram_rate_quantile",  # quantile-of-rate composition (r10)
+    "vec_ivf_int8_topk",                    # IVF-PQ-lite composed retrieval (r10)
+    "text_chunk_contamination",             # chunk-hash eval-leak join (r10)
 ]
 
 
@@ -243,6 +247,21 @@ def main() -> None:
             del errors[name]
 
     _sentinel_tick()  # closing tick
+    # PARALLEL sentinel (round 10): the serial sentinel is a light scan
+    # that never saturates the 32 cores, so it is blind to sustained
+    # background load / host-epoch drift that only taxes core-saturating
+    # stages (observed r10: serial sentinel flat at 0.96x of r8 while
+    # three unchanged CPU-bound queries measured 1.2-1.9x). This fixed,
+    # data-independent full-width aggregation measures multi-core
+    # throughput directly; compare it across rounds to attribute heavy-
+    # query drift to the host before suspecting a plan.
+    par_series = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).write.mode("overwrite").format("noop").save()
+        par_series.append(round(time.perf_counter() - t0, 4))
     spread = (
         round(max(sentinel_series) / min(sentinel_series), 2)
         if sentinel_series and min(sentinel_series) > 0
@@ -265,6 +284,10 @@ def main() -> None:
         "contended": bool(spread and spread > 2.0),
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # fixed full-width compute; min-of-3 is the host's multi-core
+        # throughput epoch for this window (see comment above)
+        "parallel_sentinel_series": par_series,
+        "parallel_sentinel_sec": min(par_series),
     }
     print(json.dumps(out))
 

@@ -87,17 +87,26 @@ _MODULES = (
 #     series — ADVICE r9) and vec_ann_incremental_batch's tiebreak
 #     modulus widened to 1e9 (ADVICE r9), both re-verified at all four
 #     scales before rotation;
-#   * the 3 entries REGISTERED this round (r6 rule: in-window from day
+#   * the 4 entries REGISTERED this round (r6 rule: in-window from day
 #     one): promql_native_histogram_rate (VERDICT r9 #3),
-#     vec_ivf_int8_topk (#5), text_chunk_contamination (#6);
-#   * 21 of the 26 entries whose last driver row is round 4 — the
-#     oldest recency tail after r9 drained the r2 pool. The 5 deferred
+#     vec_ivf_int8_topk (#5), text_chunk_contamination (#6), and the
+#     promql_native_histogram_rate_quantile composition
+#     (histogram_quantile ∘ rate on the shared delta substrate);
+#   * 20 of the 26 entries whose last driver row is round 4 — the
+#     oldest recency tail after r9 drained the r2 pool. The 6 deferred
 #     to r11 (tpch_q14_promo_revenue, tpch_q15_top_supplier,
-#     tpch_q16_supplier_part_counts, tpch_q19_discounted_revenue,
-#     tpch_q22_dormant_high_balance) are the plan-pinned TPC-H suite
-#     members, hash-green in this round's committed full-registry
-#     sf0.01 + sf0.1 sweeps like everything else; they are first in
-#     line for the r11 window.
+#     tpch_q16_supplier_part_counts, tpch_q18_large_volume_customers,
+#     tpch_q19_discounted_revenue, tpch_q22_dormant_high_balance) are
+#     exactly the round-4-stale TPC-H suite: plan-pinned, hash-green in
+#     this round's committed full-registry sf0.01 + sf0.1 sweeps like
+#     everything else (q18 is additionally timed by bench.py every
+#     round); they are first in line for the r11 window.
+# QUEUED FOR R11 (r9 queue protocol — registered late r10 with full
+# sf0.001/0.01/0.1/sf1.0 evidence, SWEEP_sf1_rest.log appended run):
+# promql_native_histogram_fraction (plans/promql7.py, the last
+# native-histogram family member; exact-integer partials × plan-time
+# log2 literals). It joins the 6 deferred TPC-H entries at the front
+# of the r11 window.
 _CHECK_FIRST = (
     # -- r9 registrations, queued for their first driver row (26) --
     "promql_sort_by_label",
@@ -130,7 +139,8 @@ _CHECK_FIRST = (
     "promql_native_histogram_rate",
     "vec_ivf_int8_topk",
     "text_chunk_contamination",
-    # -- r4 recency tail, oldest driver rows first (21 of 26) --
+    "promql_native_histogram_rate_quantile",
+    # -- r4 recency tail, oldest driver rows first (20 of 26) --
     "dedup_cdc_chunk_pairs",  # rows-only by nature
     "exposition_all_families",
     "mllib_brp_lsh_neighbors",  # rows-only by nature
@@ -150,7 +160,6 @@ _CHECK_FIRST = (
     "sample_stratified_hash",
     "sample_topk_hash_per_source",
     "text_token_accounting",
-    "tpch_q18_large_volume_customers",
     "vec_range_search",
 )
 

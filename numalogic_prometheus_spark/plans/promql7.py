@@ -443,9 +443,7 @@ def promql_native_histogram_stddev(
 _EPOCH_US = 5_400_000_000  # 90-min counter epochs: resets land mid-hour
 
 
-@register(
-    "promql_native_histogram_rate",
-    oracle=f"""
+_NH_RATE_CTE = f"""
     WITH ev AS (
         SELECT event_type, date_trunc('minute', ts) AS m,
                {_LO} + len(list_filter([{_BOUNDS_SQL}], b -> b < value))
@@ -510,51 +508,16 @@ _EPOCH_US = 5_400_000_000  # 90-min counter epochs: resets land mid-hour
                si_us::DOUBLE / (n - 1)::DOUBLE AS avg_d
         FROM per_bucket
     )
-    SELECT event_type, hour, idx, n AS n_scrapes, delta_n::BIGINT AS delta_n,
-           delta_n::DOUBLE
-           * ((si_us::DOUBLE
-               + CASE WHEN ds0 >= avg_d * 1.1 THEN avg_d / 2.0 ELSE ds0 END
-               + CASE WHEN de >= avg_d * 1.1 THEN avg_d / 2.0 ELSE de END)
-              / si_us::DOUBLE)
-           / 3600.0 AS rate_per_sec
-    FROM extrap WHERE delta_n <> 0
-    """,
-)
-def promql_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`rate(native_histogram[1h])` / `increase` over the schema-0
-    sparse-bucket substrate: bucket-wise reset-corrected increase with
-    Prometheus's boundary extrapolation (VERDICT r9 #3; promql/functions.go
-    histogramRate composed with extrapolatedRate).
+"""
 
-    The synthetic histogram COUNTER: scrapes are the minutes with ≥1
-    observation per series; each scrape's histogram holds cumulative
-    per-bucket counts since the last process restart, with restarts on a
-    fixed 90-min wall grid — so counter resets land strictly inside some
-    hour windows and on the edge of others. Per hour window, per bucket:
 
-    - increase = cum(last) − cum(first) + Σ cum(before each reset) —
-      exactly histogramRate's `last.Sub(first)` then `.Add(prev)` at
-      every detected reset between consecutive IN-WINDOW samples;
-    - a reset is DetectReset's bucket-count drop: ANY bucket's
-      cumulative count decreasing scrape-over-scrape (the count/sum
-      shortcut checks are subsumed — the synthetic carries the count
-      axis, and total count cannot drop unless some bucket drops);
-    - the extrapolation factor is extrapolatedRate's: the sampled
-      interval stretched to each window edge by the actual gap when
-      < 1.1× the average scrape spacing, else half the average spacing.
-      NO zero-crossing clamp — functions.go applies that branch only to
-      float samples (`resultHistogram == nil`), never to histograms;
-    - zero-delta buckets drop, mirroring FloatHistogram.Compact.
-
-    Exactness: delta_n is an exact BIGINT; the rate is ONE identical
-    IEEE chain (delta · ((si + ds_sub + de_sub)/si) / 3600) over
-    integer-derived doubles — bit-identical cross-engine, unrounded.
-    Scale: the dense (scrape × bucket) relation is series-scrapes ×
-    ≤~25 buckets, NOT raw events; both window passes share one exchange
-    on (series, idx) (the epoch-partitioned cumsum's clustering is
-    satisfied by the subset hash — no second shuffle), then one hash
-    aggregate per grain. 100 TB cost is O(scrape-grid), the same shape
-    Prometheus's own TSDB pays."""
+def _nh_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared substrate for the native-histogram range functions: per
+    (series, hour window, bucket idx) the reset-corrected exact-integer
+    increase plus the window's extrapolation inputs
+    (n, si_us, ds0, de). See promql_native_histogram_rate's docstring
+    for the full semantics and scale analysis; the SQL twin is
+    _NH_RATE_CTE's `per_bucket` relation."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     bounds = F.array(*[F.lit(b) for b in _BOUNDS])
     idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < F.col("value")))
@@ -610,7 +573,7 @@ def promql_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = cum.withColumn("hour", F.date_trunc("hour", "m")).join(
         F.broadcast(win), ["event_type", "hour"]
     )
-    per_bucket = contrib.groupBy(
+    return contrib.groupBy(
         "event_type",
         "hour",
         "idx",
@@ -634,6 +597,58 @@ def promql_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("delta_n")
     )
+
+
+@register(
+    "promql_native_histogram_rate",
+    oracle=_NH_RATE_CTE
+    + """
+    SELECT event_type, hour, idx, n AS n_scrapes, delta_n::BIGINT AS delta_n,
+           delta_n::DOUBLE
+           * ((si_us::DOUBLE
+               + CASE WHEN ds0 >= avg_d * 1.1 THEN avg_d / 2.0 ELSE ds0 END
+               + CASE WHEN de >= avg_d * 1.1 THEN avg_d / 2.0 ELSE de END)
+              / si_us::DOUBLE)
+           / 3600.0 AS rate_per_sec
+    FROM extrap WHERE delta_n <> 0
+    """,
+)
+def promql_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rate(native_histogram[1h])` / `increase` over the schema-0
+    sparse-bucket substrate: bucket-wise reset-corrected increase with
+    Prometheus's boundary extrapolation (VERDICT r9 #3; promql/functions.go
+    histogramRate composed with extrapolatedRate).
+
+    The synthetic histogram COUNTER: scrapes are the minutes with ≥1
+    observation per series; each scrape's histogram holds cumulative
+    per-bucket counts since the last process restart, with restarts on a
+    fixed 90-min wall grid — so counter resets land strictly inside some
+    hour windows and on the edge of others. Per hour window, per bucket:
+
+    - increase = cum(last) − cum(first) + Σ cum(before each reset) —
+      exactly histogramRate's `last.Sub(first)` then `.Add(prev)` at
+      every detected reset between consecutive IN-WINDOW samples;
+    - a reset is DetectReset's bucket-count drop: ANY bucket's
+      cumulative count decreasing scrape-over-scrape (the count/sum
+      shortcut checks are subsumed — the synthetic carries the count
+      axis, and total count cannot drop unless some bucket drops);
+    - the extrapolation factor is extrapolatedRate's: the sampled
+      interval stretched to each window edge by the actual gap when
+      < 1.1× the average scrape spacing, else half the average spacing.
+      NO zero-crossing clamp — functions.go applies that branch only to
+      float samples (`resultHistogram == nil`), never to histograms;
+    - zero-delta buckets drop, mirroring FloatHistogram.Compact.
+
+    Exactness: delta_n is an exact BIGINT; the rate is ONE identical
+    IEEE chain (delta · ((si + ds_sub + de_sub)/si) / 3600) over
+    integer-derived doubles — bit-identical cross-engine, unrounded.
+    Scale: the dense (scrape × bucket) relation is series-scrapes ×
+    ≤~25 buckets, NOT raw events; both window passes share one exchange
+    on (series, idx) (the epoch-partitioned cumsum's clustering is
+    satisfied by the subset hash — no second shuffle), then one hash
+    aggregate per grain. 100 TB cost is O(scrape-grid), the same shape
+    Prometheus's own TSDB pays."""
+    per_bucket = _nh_window_deltas(spark, sf_dir)
     si = F.col("si_us").cast("double")
     avg_d = si / (F.col("n") - 1).cast("double")
     thr = avg_d * 1.1
@@ -679,4 +694,183 @@ def promql_timestamp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", "user_id").agg(
         micros.alias("ts_micros"),
         (micros / F.lit(1000000.0)).alias("ts_value"),
+    )
+
+
+@register(
+    "promql_native_histogram_rate_quantile",
+    oracle=_NH_RATE_CTE
+    + f"""
+    , q AS (
+        SELECT event_type, hour, idx, delta_n,
+               sum(delta_n) OVER (PARTITION BY event_type, hour
+                                  ORDER BY idx) AS cum,
+               sum(delta_n) OVER (PARTITION BY event_type, hour) AS total
+        FROM per_bucket WHERE delta_n > 0
+    ),
+    hit AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, hour
+                                     ORDER BY idx) AS rn
+        FROM q WHERE cum >= total * 0.9
+    )
+    SELECT event_type, hour, total::BIGINT AS n_inc,
+           CASE WHEN idx > {_HI} THEN pow(2.0, {_HI})
+                ELSE pow(2.0, idx - 1)
+                     * pow(2.0, (total * 0.9 - (cum - delta_n)) / delta_n)
+                END AS p90_rate
+    FROM hit WHERE rn = 1
+    """,
+)
+def promql_native_histogram_rate_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`histogram_quantile(0.9, rate(native_histogram[1h]))` — the
+    canonical latency-SLO query, composed from the two native-histogram
+    substrates. Because extrapolatedRate scales EVERY bucket of a
+    window by the same positive factor, the quantile of the rate
+    histogram equals the quantile of the reset-corrected integer bucket
+    increases — so the composition drops the factor entirely and the
+    cumulative locate runs on exact BIGINTs (`_nh_window_deltas`),
+    with the v2.50+ exponential within-bucket interpolation
+    lower·2^frac as the only transcendental (absorbed by the engine
+    1e-6 canonicalization, same as promql_native_histogram_quantile).
+    Zero-increase buckets drop before the CDF (they cannot contain the
+    quantile); windows whose every bucket is flat vanish (no rate ⇒ no
+    quantile), matching Prometheus returning no sample. Overflow-bucket
+    hits clamp to the largest finite boundary. One extra window pass
+    over the ≤~25-buckets-per-window delta relation — the expensive
+    part (dense scrape×bucket cums) is shared with the rate entry."""
+    per_bucket = _nh_window_deltas(spark, sf_dir)
+    w_cum = W.partitionBy("event_type", "hour").orderBy("idx")
+    w_all = W.partitionBy("event_type", "hour")
+    q = per_bucket.filter(F.col("delta_n") > 0).select(
+        "event_type",
+        "hour",
+        "idx",
+        "delta_n",
+        F.sum("delta_n").over(w_cum).alias("cum"),
+        F.sum("delta_n").over(w_all).alias("total"),
+    )
+    hit = (
+        q.filter(F.col("cum") >= F.col("total") * 0.9)
+        .withColumn("rn", F.row_number().over(w_cum))
+        .filter(F.col("rn") == 1)
+    )
+    frac = (F.col("total") * 0.9 - (F.col("cum") - F.col("delta_n"))) / F.col(
+        "delta_n"
+    )
+    qv = F.when(F.col("idx") > _HI, F.pow(F.lit(2.0), F.lit(_HI))).otherwise(
+        F.pow(F.lit(2.0), F.col("idx") - 1) * F.pow(F.lit(2.0), frac)
+    )
+    return hit.select(
+        "event_type",
+        "hour",
+        F.col("total").cast("long").alias("n_inc"),
+        qv.alias("p90_rate"),
+    )
+
+
+# histogram_fraction over NATIVE buckets: the fraction bounds sit
+# strictly inside schema-0 buckets, and at schema 0 the exponential
+# within-bucket interpolation collapses to EXACT arithmetic —
+# CDF(x) inside bucket i = cum_before + n_i·(log2(x) − (i−1)) — where
+# log2(x) is a PLAN-TIME literal (repr'd below so both engines parse
+# the identical double). No runtime transcendental at all.
+import math as _math
+
+_FRAC_LO, _FRAC_HI_B = 0.7, 48.0  # inside buckets (0.5,1] i=0, (32,64] i=6
+_LOG2_LO = repr(_math.log2(_FRAC_LO))
+_LOG2_HI = repr(_math.log2(_FRAC_HI_B))
+_IX_LO, _IX_HI_B = 0, 6
+
+
+@register(
+    "promql_native_histogram_fraction",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type,
+               {_LO} + len(list_filter([{_BOUNDS_SQL}], b -> b < value))
+                   AS idx
+        FROM events WHERE value > 0
+    ),
+    sparse AS (
+        SELECT event_type, idx, count(*)::BIGINT AS n
+        FROM tagged GROUP BY 1, 2
+    )
+    , agg AS (
+        SELECT event_type,
+               sum(n)::BIGINT AS n_obs,
+               coalesce(sum(CASE WHEN idx < {_IX_HI_B} THEN n END), 0)::BIGINT
+                   AS cb_hi,
+               coalesce(sum(CASE WHEN idx = {_IX_HI_B} THEN n END), 0)::BIGINT
+                   AS na_hi,
+               coalesce(sum(CASE WHEN idx < {_IX_LO} THEN n END), 0)::BIGINT
+                   AS cb_lo,
+               coalesce(sum(CASE WHEN idx = {_IX_LO} THEN n END), 0)::BIGINT
+                   AS na_lo
+        FROM sparse GROUP BY event_type
+    )
+    SELECT event_type, n_obs,
+           ((cb_hi + na_hi * ({_LOG2_HI} - {_IX_HI_B - 1}))
+            - (cb_lo + na_lo * ({_LOG2_LO} - {_IX_LO - 1})))
+           / n_obs::DOUBLE AS fraction
+    FROM agg
+    """,
+)
+def promql_native_histogram_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`histogram_fraction(0.7, 48, native_histogram)` — the last member
+    of the native-histogram function family (buckets / quantile /
+    stddev-stdvar / rate / quantile∘rate already registered): estimated
+    fraction of observations in (0.7, 48], with the v2.50+ EXPONENTIAL
+    within-bucket interpolation.
+
+    Exactness: at schema 0 the exponential rule inside bucket
+    (2^(i−1), 2^i] is CDF(x) = cum_before + n_i·(log2(x) − (i−1)), and
+    both endpoints are literals — so log2(x) is a PLAN-TIME double
+    (repr-pinned, identical in both engines) and the whole query is
+    exact-integer counts times two literal doubles through one shared
+    IEEE chain: bit-identical unrounded, with NO runtime transcendental
+    (compare the classic-bucket sibling promql_histogram_fraction,
+    whose linear interpolation divides by data-dependent widths).
+    Endpoints sit strictly inside populated-ladder buckets; a series
+    simply missing that bucket contributes n_i = 0 and the CDF falls
+    back to cum_before — the sparse-representation analog of the
+    classic entry's clamp. One conditional aggregation over the
+    map-side bucket tags, ONE exchange on the series key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bounds = F.array(*[F.lit(b) for b in _BOUNDS])
+    idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < F.col("value")))
+    sparse = (
+        ev.select("event_type", idx.alias("idx"))
+        .groupBy("event_type", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def _exact(cond) -> F.Column:
+        # exact BIGINT partial sum (accumulation-order-free)
+        return F.coalesce(F.sum(F.when(cond, F.col("n"))), F.lit(0)).cast(
+            "long"
+        )
+
+    agg = sparse.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        _exact(F.col("idx") < _IX_HI_B).alias("cb_hi"),
+        _exact(F.col("idx") == _IX_HI_B).alias("na_hi"),
+        _exact(F.col("idx") < _IX_LO).alias("cb_lo"),
+        _exact(F.col("idx") == _IX_LO).alias("na_lo"),
+    )
+    # the ONLY float work: two literal log2 coefficients applied to
+    # exact integers in one shared operand order
+    cdf_hi = F.col("cb_hi") + F.col("na_hi") * (
+        F.lit(float(_LOG2_HI)) - F.lit(_IX_HI_B - 1)
+    )
+    cdf_lo = F.col("cb_lo") + F.col("na_lo") * (
+        F.lit(float(_LOG2_LO)) - F.lit(_IX_LO - 1)
+    )
+    return agg.select(
+        "event_type",
+        "n_obs",
+        ((cdf_hi - cdf_lo) / F.col("n_obs").cast("double")).alias("fraction"),
     )

@@ -88,3 +88,57 @@ def test_reset_and_extrapolation_edges(spark, tmp_path, nh_counter_fixture):
 
     # nothing else: zero-delta buckets drop, n<2 windows drop
     assert set(got) == {(1, 1), (1, 2), (5, 1)}
+
+
+def test_rate_quantile_composition(spark, tmp_path, nh_counter_fixture):
+    """histogram_quantile(0.9, rate(...)) on the same fixture: the
+    extrapolation factor cancels, so the quantile runs on the exact
+    integer deltas — hour 01 has deltas {idx1: 3, idx2: 2} (total 5,
+    rank 4.5 → idx2, frac (4.5−3)/2) and hour 05 a single bucket
+    (total 3, rank 2.7, frac 0.9)."""
+    from numalogic_prometheus_spark.plans.promql7 import (
+        promql_native_histogram_rate_quantile,
+    )
+
+    got = {
+        r["hour"].replace(tzinfo=timezone.utc).hour: (r["n_inc"], r["p90_rate"])
+        for r in promql_native_histogram_rate_quantile(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 5}
+    # JVM Math.pow is allowed 1 ulp off Python's pow — approx matches
+    # the engine-level 1e-6 canonicalization that absorbs it
+    approx = pytest.approx
+    assert got[1][0] == 5
+    assert got[1][1] == approx(2.0 ** (2 - 1) * 2.0 ** ((4.5 - 3.0) / 2.0), abs=1e-9)
+    assert got[5][0] == 3
+    assert got[5][1] == approx(2.0 ** (1 - 1) * 2.0 ** (2.7 / 3.0), abs=1e-9)
+
+
+def test_native_fraction_exponential_interpolation(spark, tmp_path):
+    """promql_native_histogram_fraction golden: hand-computed v2.50+
+    exponential interpolation at schema 0. Counts {(0.5,1]: 4,
+    (32,64]: 2, (256,512]: 2}; CDF(48) = 4 + 2·(log2 48 − 5),
+    CDF(0.7) = 0 + 4·(log2 0.7 + 1); fraction = (Δ)/8 — exact-integer
+    partials times two plan-time literals."""
+    import math
+
+    from numalogic_prometheus_spark.plans.promql7 import (
+        promql_native_histogram_fraction,
+    )
+
+    rows = (
+        [("svc", _ts("2024-01-01T00:00:00"), i, 0.8) for i in range(4)]
+        + [("svc", _ts("2024-01-01T00:01:00"), 10 + i, 40.0) for i in range(2)]
+        + [("svc", _ts("2024-01-01T00:02:00"), 20 + i, 300.0) for i in range(2)]
+    )
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = promql_native_histogram_fraction(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_obs"] == 8
+    cdf_hi = 4 + 2 * (math.log2(48.0) - 5)
+    cdf_lo = 0 + 4 * (math.log2(0.7) - -1)
+    assert out[0]["fraction"] == (cdf_hi - cdf_lo) / 8.0
