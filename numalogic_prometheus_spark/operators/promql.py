@@ -138,9 +138,21 @@ def histogram_fraction(
         hit = enriched.filter(
             (F.col("__prev_le") < F.lit(x)) & (F.lit(x) <= F.col("__le"))
         )
-        interp = F.col("__prev_n") + (F.col("__n") - F.col("__prev_n")) * (
-            F.lit(x) - F.col("__prev_le")
-        ) / (F.col("__le") - F.col("__prev_le"))
+        # a finite x landing in a materialized le = +Inf bucket gets the
+        # same CDF as the no-+Inf-row above-ladder clamp (__total):
+        # interpolating against an infinite width would freeze the CDF at
+        # the last finite cumulative count, so the same endpoint would
+        # answer differently depending on whether the +Inf row happened
+        # to be materialized (ADVICE r10)
+        interp = F.when(
+            F.col("__le") == F.lit(float("inf")),
+            F.col("__total").cast("double"),
+        ).otherwise(
+            F.col("__prev_n")
+            + (F.col("__n") - F.col("__prev_n"))
+            * (F.lit(x) - F.col("__prev_le"))
+            / (F.col("__le") - F.col("__prev_le"))
+        )
         # x > 0 with no in-ladder hit means x is above the last bound
         # (the ladder is contiguous from 0): clamp to the full count.
         return base.join(

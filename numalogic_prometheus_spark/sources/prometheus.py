@@ -262,7 +262,11 @@ class PrometheusStreamReader(SimpleDataSourceStreamReader):
                 self.query,
                 anchor + (k0 + 1) * step_s,
                 anchor + k1 * step_s,
-                self.step,
+                # resolution derives from the offset grid, not the
+                # constructor: a restart with a different `step` option
+                # must keep fetching at the persisted grid's resolution
+                # or tick slices would contain misaligned samples
+                f"{step_s:g}s",
                 self.headers,
             )
         )
@@ -284,7 +288,7 @@ class PrometheusStreamReader(SimpleDataSourceStreamReader):
                 self.query,
                 anchor + (k0 + 1) * step_s,
                 anchor + k1 * step_s,
-                self.step,
+                f"{step_s:g}s",  # grid resolution, same as read()
                 self.headers,
             )
         )

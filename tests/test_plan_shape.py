@@ -426,9 +426,54 @@ def test_ivf_int8_exact_stage_is_candidate_bounded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vec_ivf_int8_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the candidate cutoff (arn <= 9) appears before (above in scan
-    # order = below in the tree) the exact-stage joins read vectors:
-    arn_pos = plan.find("arn")
-    assert arn_pos != -1
-    # both exact-stage join inputs reference v_q/v_n AFTER the window
-    assert "v_q" in plan and "v_n" in plan
+    # ADVICE r10: assert the tree ordering, not substring presence. From
+    # the details section, recover (a) the id of the Filter applying the
+    # arn <= 9 candidate cutoff and (b) the ids of the two joins whose
+    # broadcast input carries a full-precision vector (the
+    # BroadcastExchange whose Input lists v_q/v_n feeds the join printed
+    # immediately after it in post-order). Then walk the tree section:
+    # the cutoff must be a DESCENDANT of both joins — every full-vector
+    # join consumes the candidate-bounded relation, so the exact cosine
+    # never sees the raw corpus.
+    import re
+
+    blocks = plan.split("\n\n")
+    arn_ids = [
+        int(m.group(1))
+        for b in blocks
+        if (m := re.match(r"\((\d+)\) Filter", b))
+        and re.search(r"Condition : .*arn#\d+ <= 9", b)
+    ]
+    bcast_ids = [
+        int(m.group(1))
+        for b in blocks
+        if (m := re.match(r"\((\d+)\) BroadcastExchange", b))
+        and re.search(r"\bv_[qn]#\d+", b)
+    ]
+    vec_join_ids = [
+        i + 1
+        for i in bcast_ids
+        if any(re.match(rf"\({i + 1}\) BroadcastHashJoin", b) for b in blocks)
+    ]
+    assert arn_ids, "candidate-cutoff Filter (arn <= 9) missing from plan"
+    assert len(vec_join_ids) == 2, (
+        f"expected two full-vector joins, got {vec_join_ids}"
+    )
+
+    # tree section: node B descends from node A iff B's line is after
+    # A's and every line strictly between keeps indentation > A's
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def node_line(nid):
+        (idx,) = [i for i, ln in enumerate(tree) if f"({nid})" in ln]
+        return idx
+
+    def indent(ln):
+        return len(ln) - len(ln.lstrip(" :+-*"))
+
+    cutoff = node_line(min(arn_ids))
+    for jid in vec_join_ids:
+        j = node_line(jid)
+        assert j < cutoff and all(
+            indent(tree[k]) > indent(tree[j]) for k in range(j + 1, cutoff)
+        ), f"arn cutoff (node {min(arn_ids)}) is not below join {jid}"

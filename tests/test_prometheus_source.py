@@ -321,6 +321,28 @@ def test_stream_restart_keeps_offset_grid(fake_prom):
     assert t_legacy == [float(anchor + k * STEP) for k in range(4, 8)]
     assert off_legacy["anchor"] == float(anchor)
 
+    # a restart with a DIFFERENT `step` option must fetch at the
+    # PERSISTED grid's resolution: the query_range `step` parameter is
+    # derived from the offset (60s), not the new constructor option —
+    # otherwise tick slices would contain 15s-resolution samples and
+    # replay/tiling exactness would break
+    from tests.test_prometheus_source import _FakeProm  # request log
+
+    other_step = PrometheusStreamReader({**opts, "step": "15s"})
+    n_before = len(_FakeProm.requests)
+    rows3, off3 = other_step.read(off1)
+    t3 = sorted({r[2].timestamp() for r in list(rows3)})
+    assert t3 == [float(anchor + k * STEP) for k in range(4, 8)]
+    fetches = _FakeProm.requests[n_before:]
+    assert fetches and all(q["step"] == "60s" for q in fetches)
+    assert off3["step_s"] == float(STEP)
+    replay3 = list(other_step.readBetweenOffsets(off1, off3))
+    n_mid = len(_FakeProm.requests)
+    assert all(
+        q["step"] == "60s" for q in _FakeProm.requests[n_before:n_mid]
+    )
+    assert sorted(replay3, key=key) == sorted(list(rows3), key=key)
+
 
 def test_stream_end_to_end_memory_sink(spark, fake_prom):
     """readStream → memory sink with availableNow: the full Structured

@@ -695,6 +695,35 @@ def test_histogram_fraction_clamps_out_of_range_endpoints(spark):
     assert out == {"a": 10 / 40, "b": 4 / 8}
 
 
+def test_histogram_fraction_inf_row_matches_clamp(spark):
+    """ADVICE r10: a finite endpoint above the last FINITE bound must
+    give the same CDF whether or not the relation materializes a
+    le = +Inf row. Without the +Inf short-circuit, x = 100 matched the
+    +Inf bucket and interpolated to the last finite cumulative count
+    (prev_n + 0/inf), while the no-+Inf shape clamped to total — two
+    CDFs for one endpoint. Also pins +Inf mass handling: the +Inf row's
+    count IS the total, so above-ladder mass lands in the fraction."""
+    from numalogic_prometheus_spark.operators.promql import histogram_fraction
+
+    finite = [("a", 1.0, 10), ("a", 2.0, 30), ("a", 4.0, 40)]
+    with_inf = finite + [("a", float("inf"), 40)]  # no +Inf mass
+    with_mass = finite + [("a", float("inf"), 50)]  # 10 obs above 4.0
+    schema = "key string, le double, cum_count long"
+
+    def frac(rows, lo, hi):
+        b = spark.createDataFrame(rows, schema)
+        return histogram_fraction(b, ["key"], lo, hi).collect()[0]["fraction"]
+
+    # finite upper above the ladder: identical with and without +Inf row
+    assert frac(finite, 2.0, 100.0) == frac(with_inf, 2.0, 100.0) == 10 / 40
+    # same for the lower endpoint landing in the +Inf bucket: (100, 200]
+    # is empty mass either way
+    assert frac(finite, 100.0, 200.0) == frac(with_inf, 100.0, 200.0) == 0.0
+    # with real +Inf mass, an above-ladder upper captures it (CDF total
+    # = 50), so (2, 100] = (50 - 30)/50
+    assert frac(with_mass, 2.0, 100.0) == 20 / 50
+
+
 _shift_value = st.floats(
     min_value=0.0, max_value=100.0, allow_nan=False, allow_infinity=False
 )
