@@ -85,7 +85,77 @@ HEADLINE = [
     "promql_native_histogram_rate_quantile",  # quantile-of-rate composition (r10)
     "vec_ivf_int8_topk",                    # IVF-PQ-lite composed retrieval (r10)
     "text_chunk_contamination",             # chunk-hash eval-leak join (r10)
+    # r11 (VERDICT r10 #7): every entry whose SPARK-side steady-state
+    # exceeds ~2 s at sf0.1 is benched; sweep-log outliers below 2 s
+    # spark-side are documented in HEADLINE_EXCLUDED instead.
+    "dedup_cluster_components",   # BSP pointer-doubling fixpoint (most expensive entry)
+    "join_interval_overlap",      # raw interval-overlap theta join
+    "promql_quantile_sliding_dense",  # dense sliding order statistics
+    "dedup_semantic_survivors",   # embedding components + survivor join
+    "pipeline_curation_verdicts", # composed curation funnel
+    "dedup_simhash_pairs",        # simhash hamming-ball pairing
+    "dedup_minhash_lsh_pairs",    # banded minhash pair generation
+    "agg_approx_distinct",        # KMV-oracle approx distinct
+    "text_semantic_contamination",  # IVF-probed train-vs-eval paraphrase flag (r11)
 ]
+
+# VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the
+# 2 s threshold but which are deliberately NOT in HEADLINE, with the
+# measured reason. tests/test_bench_contract.py asserts this list plus
+# HEADLINE exhaustively covers every >2 s sweep entry, so a new
+# expensive registration cannot silently skip the bench.
+_SWEEP_DOMINATED = (
+    "spark-side steady-state <2 s at sf0.1 (measured r11); the sweep "
+    "line also times the DuckDB oracle + full-result hash compare"
+)
+_STREAM_HARNESS = (
+    "streaming entry: sweep/bench wall time is micro-batch trigger and "
+    "driver overhead, not plan cost; the micro-batch plans reuse batch "
+    "operators that ARE benched, and streaming correctness has native "
+    "tests"
+)
+HEADLINE_EXCLUDED = {
+    "stream_counter_rate": _STREAM_HARNESS,
+    "stream_stream_join": _STREAM_HARNESS,
+    "stream_static_join": _STREAM_HARNESS,
+    "stream_sliding_counts": _STREAM_HARNESS,
+    "stream_session_windows": _STREAM_HARNESS,
+    "stream_tumbling_counts": _STREAM_HARNESS,
+    "stream_topk_event_types": _STREAM_HARNESS,
+    "stream_native_histogram_rate": _STREAM_HARNESS,
+    "scalar_datetime_funcs": _SWEEP_DOMINATED,
+    "join_interval_bucketed": _SWEEP_DOMINATED,
+    "filter_predicates": _SWEEP_DOMINATED,
+    "ts_sessionize_gap": _SWEEP_DOMINATED,
+    "ml_static_threshold": _SWEEP_DOMINATED,
+    "promql_stdvar_over_time": _SWEEP_DOMINATED,
+    "ml_quantile_threshold": _SWEEP_DOMINATED,
+    "promql_last_over_time": _SWEEP_DOMINATED,
+    "scd2_state_history": _SWEEP_DOMINATED,
+    "join_full_outer_keys": _SWEEP_DOMINATED,
+    "ml_minmax_scaled": _SWEEP_DOMINATED,
+    "promql_max_over_time": _SWEEP_DOMINATED,
+    "scd2_event_type_intervals": _SWEEP_DOMINATED,
+    "ml_tanh_scaled": _SWEEP_DOMINATED,
+    "ml_zscore_scaled": _SWEEP_DOMINATED,
+    "promql_stddev_over_time": _SWEEP_DOMINATED,
+    "win_lag_rate_reset": _SWEEP_DOMINATED,
+    "promql_min_over_time": _SWEEP_DOMINATED,
+    "win_sliding_range_1h": _SWEEP_DOMINATED,
+    "promql_count_over_time": _SWEEP_DOMINATED,
+    "ml_seasonal_zscore": _SWEEP_DOMINATED,
+    "promql_sum_over_time": _SWEEP_DOMINATED,
+    "scalar_nan_inf_clean": _SWEEP_DOMINATED,
+    "udf_scalar_pandas_tanh": _SWEEP_DOMINATED,
+    "dedup_minhash_signatures": _SWEEP_DOMINATED,
+    "join_band_value_tiers": _SWEEP_DOMINATED,
+    "promql_subquery_max_rate": _SWEEP_DOMINATED,
+    "text_tfidf_topterms": _SWEEP_DOMINATED,
+    "project_computed": _SWEEP_DOMINATED,
+    "promql_math_functions": _SWEEP_DOMINATED,
+    "join_salted_skew": _SWEEP_DOMINATED,
+    "promql_info_enrich": _SWEEP_DOMINATED,
+}
 
 
 def _timed_save(spark, df_fn, limit_s: float) -> tuple[str, str]:

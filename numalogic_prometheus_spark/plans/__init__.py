@@ -74,93 +74,87 @@ _MODULES = (
     "funnel",
 )
 
-# ROUND-10 ROTATION (VERDICT r9 next-round #1; per-round narratives
-# now live in COVERAGE.md's dated sections — this comment holds ONLY
-# the current window). The driver verifies the first 50 entries of
-# queries(). 26 + 3 + 21 = 50, enumerated by reason:
-#   * the 26 entries REGISTERED in r9 that did not fit that round's
-#     window (the 35-entry stale-pool drain owned the space) — all were
-#     verified at sf0.001/0.01/0.1/sf1.0 on registration
-#     (SWEEP_sf1_rest.log) and were promised first-in-line for r10;
-#     promql_histogram_fraction additionally changed semantics THIS
-#     round (out-of-ladder endpoints clamp instead of dropping the
-#     series — ADVICE r9) and vec_ann_incremental_batch's tiebreak
-#     modulus widened to 1e9 (ADVICE r9), both re-verified at all four
-#     scales before rotation;
-#   * the 4 entries REGISTERED this round (r6 rule: in-window from day
-#     one): promql_native_histogram_rate (VERDICT r9 #3),
-#     vec_ivf_int8_topk (#5), text_chunk_contamination (#6), and the
-#     promql_native_histogram_rate_quantile composition
-#     (histogram_quantile ∘ rate on the shared delta substrate);
-#   * 20 of the 26 entries whose last driver row is round 4 — the
-#     oldest recency tail after r9 drained the r2 pool. The 6 deferred
-#     to r11 (tpch_q14_promo_revenue, tpch_q15_top_supplier,
-#     tpch_q16_supplier_part_counts, tpch_q18_large_volume_customers,
-#     tpch_q19_discounted_revenue, tpch_q22_dormant_high_balance) are
-#     exactly the round-4-stale TPC-H suite: plan-pinned, hash-green in
-#     this round's committed full-registry sf0.01 + sf0.1 sweeps like
-#     everything else (q18 is additionally timed by bench.py every
-#     round); they are first in line for the r11 window.
-# QUEUED FOR R11 (r9 queue protocol — registered late r10 with full
-# sf0.001/0.01/0.1/sf1.0 evidence, SWEEP_sf1_rest.log appended run):
-# promql_native_histogram_fraction (plans/promql7.py, the last
-# native-histogram family member; exact-integer partials × plan-time
-# log2 literals). It joins the 6 deferred TPC-H entries at the front
-# of the r11 window.
+# ROUND-11 ROTATION (VERDICT r10 next-round #1; per-round narratives
+# live in COVERAGE.md's dated sections — this comment holds ONLY the
+# current window). The driver verifies the first 50 entries of
+# queries(). 6 + 1 + 2 + 20 + 21 = 50, enumerated by reason:
+#   * the 6 round-4-stale TPC-H members deferred from the r10 window
+#     (q14/q15/q16/q18/q19/q22), promised first in line;
+#   * promql_native_histogram_fraction — registered late r10 with full
+#     sf0.001/0.01/0.1/sf1.0 evidence, the only entry with no driver
+#     row yet;
+#   * the 2 entries REGISTERED this round (r6 rule: in-window from day
+#     one): text_semantic_contamination (VERDICT r10 #5) and
+#     stream_native_histogram_rate (VERDICT r10 #4, rows-only by
+#     nature — exact batch-parity + kill/restart tests instead);
+#   * the 20 entries whose last driver row is round 5 — the oldest
+#     recency tail;
+#   * 21 of the 28 entries whose last driver row is round 6. The 7
+#     deferred to r12, by name and reason: agg_pricing_summary,
+#     counter_hourly (also the entry() flagship the driver smoke-runs
+#     every round), gauge_latest_per_user, join_asof_last_error,
+#     ts_step_resample — all five timed by bench.py every round — plus
+#     stream_sliding_counts and stream_session_windows, whose
+#     semantics are additionally covered by native Structured
+#     Streaming tests; all seven are hash-green in this round's
+#     committed full-registry sweeps like everything else and are
+#     first in line for the r12 window.
 _CHECK_FIRST = (
-    # -- r9 registrations, queued for their first driver row (26) --
-    "promql_sort_by_label",
-    "promql_histogram_fraction",  # + clamp semantics change (ADVICE r9)
-    "promql_idelta",
-    "promql_quantile_sliding_dense",
-    "promql_mad_sliding_dense",
-    "promql_at_modifier",
-    "promql_agg_family",
-    "promql_stddev_agg_by",
-    "vec_ann_incremental_batch",  # + tiebreak modulus 1e9 (ADVICE r9)
-    "ts_level_shift_detect",
-    "promql_histogram_avg",
-    "promql_double_exponential_smoothing",
-    "promql_native_histogram_buckets",
-    "promql_native_histogram_quantile",
-    "promql_info_enrich",
-    "promql_native_histogram_stddev",
-    "promql_timestamp_function",
-    "text_chunk_overlap",
-    "text_tfidf_topterms",
-    "promql_math_functions",
-    "promql_comparison_bool",
-    "promql_scalar_binop",
-    "promql_ts_of_over_time",
-    "scd2_state_history",
-    "funnel_signup_view_purchase",
-    "cohort_retention_weekly",
-    # -- new round-10 registrations (in-window from day one) --
-    "promql_native_histogram_rate",
-    "vec_ivf_int8_topk",
-    "text_chunk_contamination",
-    "promql_native_histogram_rate_quantile",
-    # -- r4 recency tail, oldest driver rows first (20 of 26) --
-    "dedup_cdc_chunk_pairs",  # rows-only by nature
-    "exposition_all_families",
-    "mllib_brp_lsh_neighbors",  # rows-only by nature
-    "mllib_kmeans_profiles",  # rows-only by nature
-    "mllib_minmax_scaler",  # rows-only by nature
-    "multimodal_frame_sample",  # rows-only by nature
-    "pack_sequences_contiguous",
-    "pipeline_text_cleaning",
-    "promql_absent_series",
-    "promql_bottomk_users",
-    "promql_clamp_values",
-    "promql_count_values",
-    "promql_delta_gauge",
-    "promql_sort_desc",
-    "sample_mixture_epochs",
-    "sample_split_train_val_test",
-    "sample_stratified_hash",
-    "sample_topk_hash_per_source",
-    "text_token_accounting",
-    "vec_range_search",
+    # -- r10-deferred round-4-stale TPC-H suite (6) --
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_high_balance",
+    # -- queued r10 registration, first driver row (1) --
+    "promql_native_histogram_fraction",
+    # -- new round-11 registrations (in-window from day one) (2) --
+    "text_semantic_contamination",
+    "stream_native_histogram_rate",  # rows-only by nature
+    # -- r5 recency tail, all 20 --
+    "dedup_semantic_survivors",
+    "dedup_substring_spans",
+    "promql_and_intersection",
+    "promql_changes_per_series",
+    "promql_or_union",
+    "promql_resets_per_series",
+    "promql_unless_difference",
+    "quality_gopher_verdict",
+    "quality_pii_redaction",
+    "rollup_monthly_from_hourly",
+    "sample_quality_weighted",
+    "tpch_q11_important_inventory",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "vec_int8_quantized_topk",
+    "vec_ivf_topk",
+    # -- r6 recency tail, 21 of 28 --
+    "funnel_view_click_purchase",
+    "join_interval_overlap",
+    "join_salted_skew",
+    "ml_seasonal_zscore",
+    "promql_deriv_per_series",
+    "promql_increase_total",
+    "promql_offset_day_over_day",
+    "promql_predict_linear",
+    "promql_quantile_over_time",
+    "promql_resets_changes",
+    "scalar_datetime_funcs",
+    "scd2_event_type_intervals",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk_event_types",
+    "stream_tumbling_counts",
+    "tpch_q4_order_priority",
+    "ts_ohlc_hourly",
+    "ts_sessionize_gap",
+    "win_lag_rate_reset",
+    "win_sliding_range_1h",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -559,6 +559,22 @@ def _nh_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev_c", F.lag("c").over(w_series))
         .withColumn("reset", F.max(drop).over(W.partitionBy("event_type", "m")))
     )
+    return _nh_deltas_from_cum(cum, scrapes)
+
+
+def _nh_deltas_from_cum(
+    cum: DataFrame, scrapes: DataFrame | None = None
+) -> DataFrame:
+    """Hourly per-bucket deltas from a dense cumulative relation
+    ``(event_type, m, idx, c, prev_c, reset)`` — the second half of
+    :func:`_nh_window_deltas`, split out so the STREAMING twin
+    (plans/streaming2.stream_native_histogram_rate) can feed it the
+    stateful operator's appended rows instead of the batch windowing.
+    ``scrapes`` (distinct ``(event_type, m)``) may be passed to reuse an
+    existing subtree; by default it derives from ``cum`` (every scrape
+    emits every known bucket, so the distinct is identical)."""
+    if scrapes is None:
+        scrapes = cum.select("event_type", "m").distinct()
     # Window stats come off the tiny distinct-scrape relation (series ×
     # scrape-minutes) — broadcast back onto the dense relation.
     win = (
@@ -648,7 +664,13 @@ def promql_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfied by the subset hash — no second shuffle), then one hash
     aggregate per grain. 100 TB cost is O(scrape-grid), the same shape
     Prometheus's own TSDB pays."""
-    per_bucket = _nh_window_deltas(spark, sf_dir)
+    return _nh_rate_finalize(_nh_window_deltas(spark, sf_dir))
+
+
+def _nh_rate_finalize(per_bucket: DataFrame) -> DataFrame:
+    """extrapolatedRate's boundary arithmetic over the per-bucket delta
+    relation — shared verbatim by the batch entry above and its
+    streaming twin so the two stay one IEEE operand sequence."""
     si = F.col("si_us").cast("double")
     avg_d = si / (F.col("n") - 1).cast("double")
     thr = avg_d * 1.1

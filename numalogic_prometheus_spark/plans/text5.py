@@ -283,3 +283,195 @@ def text_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — semantic contamination (VERDICT r10 #5): the paraphrase
+# grain. text_contamination_eval_overlap catches verbatim n-grams,
+# text_chunk_contamination catches verbatim chunks; neither sees an
+# eval item REWRITTEN into the training corpus. At embedding grain a
+# paraphrase is a near-neighbor, so the check is: eval embeddings probe
+# the shared IVF index (the vec_ivf_filtered_topk coarse quantizer —
+# centroids are a full-corpus artifact), candidates are the training
+# vectors in the probed cells only, and a cosine above the threshold
+# flags the training item as a semantic copy of a benchmark item.
+# ---------------------------------------------------------------------------
+
+from numalogic_prometheus_spark.plans.vectors3 import (  # noqa: E402
+    _IVF_CENTROID_FILTER,
+    _IVF_COS_SQL,
+    _IVF_KEY_SQL,
+    _IVF_NPROBE,
+)
+
+_SEM_EVAL_MOD = 11  # mirrors the text contamination family's split
+_SEM_THRESHOLD = 0.30  # same fixture geometry as dedup_semantic_survivors:
+#   synthetic embeddings are near-orthogonal, so 0.30 plays the role
+#   0.9+ plays for real text embeddings; the closest candidate cosine to
+#   the boundary across sf0.001/0.01/0.1 is 2.8e-6 away — far above
+#   cross-engine noise (the raw values are bit-identical anyway: both
+#   engines fold dot/norm left-to-right over the same doubles)
+
+
+@register(
+    "text_semantic_contamination",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM b
+              WHERE {_IVF_CENTROID_FILTER}),
+    assign AS (
+        SELECT vec_id, arg_min(cent_id, {_IVF_KEY_SQL}) AS cell
+        FROM b CROSS JOIN cents c
+        WHERE b.vec_id % {_SEM_EVAL_MOD} != 0
+        GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS eval_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {_IVF_KEY_SQL}) AS rn
+        FROM b CROSS JOIN cents c
+        WHERE b.vec_id % {_SEM_EVAL_MOD} = 0
+    ),
+    cand AS (
+        SELECT p.eval_id, a.vec_id AS train_id
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE p.rn <= {_IVF_NPROBE}
+    ),
+    sc AS (
+        SELECT c.train_id,
+               {_IVF_COS_SQL.format(a='qv.v', b='nv.v')} AS cos
+        FROM cand c
+        JOIN b qv ON qv.vec_id = c.eval_id
+        JOIN b nv ON nv.vec_id = c.train_id
+    ),
+    hits AS (
+        SELECT train_id AS vec_id,
+               count(*)::BIGINT AS n_eval_candidates,
+               sum(CASE WHEN cos >= {_SEM_THRESHOLD}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_eval_hits,
+               round(max(cos), 6) AS max_cos
+        FROM sc GROUP BY train_id
+    )
+    SELECT t.vec_id,
+           coalesce(h.n_eval_candidates, 0)::BIGINT AS n_eval_candidates,
+           coalesce(h.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+           h.max_cos,
+           (CASE WHEN coalesce(h.n_eval_hits, 0) > 0
+                 THEN 1 ELSE 0 END)::BIGINT AS flagged
+    FROM (SELECT vec_id FROM embeddings
+          WHERE vec_id % {_SEM_EVAL_MOD} != 0) t
+    LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def text_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval contamination at EMBEDDING grain: for every
+    training vector (vec_id % 11 != 0), the number of benchmark items
+    (vec_id % 11 == 0) whose IVF-probed cosine reaches the paraphrase
+    threshold, the max such cosine, and a contaminated flag — the
+    SemDeDup-style complement of the verbatim n-gram / chunk-hash
+    passes (text4.py / above).
+
+    Scale shape (the vec_ivf_filtered_topk posture, plans/vectors3.py):
+    the eval suite is a benchmark — thousands of items against a 100 TB
+    corpus — so the probe relation (eval × nprobe cells) BROADCASTS;
+    the training corpus is cell-assigned in one N×C broadcast expansion
+    (the index is the shared full-corpus artifact, trained once), and
+    the exact cosine runs only on candidates inside probed cells, a
+    nprobe/n_cells fraction of the corpus. No corpus self-join, no
+    cartesian (pinned: tests/test_plan_shape.py); the only exchanges
+    are the assignment aggregation and the per-train-doc rollup.
+    Deterministic (composite argmin key, threshold compare on
+    bit-identical folds) hence DuckDB-expressible; golden with a
+    planted paraphrase pair: tests/test_semantic_contamination_golden.py.
+    """
+    from numalogic_prometheus_spark.functions.vectors import (
+        cell_argmin_key,
+        dot_product,
+        l2_norm,
+        to_double_array,
+    )
+    from numalogic_prometheus_spark.plans.vectors3 import (
+        _IVF_CENTROID_FILTER,
+        _IVF_NPROBE,
+    )
+    from numalogic_prometheus_spark.sources.tables import load_table_spread
+    from pyspark.sql import Window as W
+
+    e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    b = e.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", l2_norm(F.col("v")))
+    cents = b.filter(F.expr(_IVF_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    train = b.filter(F.col("vec_id") % _SEM_EVAL_MOD != 0)
+    keyed = train.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cell_argmin_key(
+            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"),
+            F.col("cent_id"),
+        ).alias("key"),
+    )
+    assign = keyed.groupBy("vec_id").agg(
+        F.min_by("cent_id", "key").alias("cell")
+    )
+    assign_v = assign.join(train.select("vec_id", "v", "nv"), "vec_id")
+    wq = W.partitionBy("eval_id").orderBy("key")
+    probes = (
+        b.filter(F.col("vec_id") % _SEM_EVAL_MOD == 0)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nqv"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "eval_id",
+            "qv",
+            "nqv",
+            F.col("cent_id").alias("cell"),
+            cell_argmin_key(
+                F.col("qv"), F.col("nqv"), F.col("cv"), F.col("nc"),
+                F.col("cent_id"),
+            ).alias("key"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .drop("rn", "key")
+    )
+    cos = dot_product(F.col("qv"), F.col("v")) / (
+        F.col("nqv") * F.col("nv")
+    )
+    hits = (
+        F.broadcast(probes)
+        .join(assign_v, "cell")
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_candidates"),
+            F.sum(
+                F.when(F.col("cos") >= _SEM_THRESHOLD, 1).otherwise(0)
+            ).alias("n_eval_hits"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+    )
+    return (
+        e.select("vec_id")
+        .filter(F.col("vec_id") % _SEM_EVAL_MOD != 0)
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_eval_candidates", F.lit(0)).alias(
+                "n_eval_candidates"
+            ),
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            "max_cos",
+            F.when(F.coalesce("n_eval_hits", F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("flagged"),
+        )
+    )

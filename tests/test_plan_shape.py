@@ -477,3 +477,18 @@ def test_ivf_int8_exact_stage_is_candidate_bounded(spark, sf_dir):
         assert j < cutoff and all(
             indent(tree[k]) > indent(tree[j]) for k in range(j + 1, cutoff)
         ), f"arn cutoff (node {min(arn_ids)}) is not below join {jid}"
+
+
+def test_semantic_contamination_probe_broadcasts_no_cartesian(spark, sf_dir):
+    """text_semantic_contamination: the eval-probe relation broadcasts
+    into the candidate join (BuildLeft on the probes side), the N×C
+    centroid expansions ride broadcast nested-loop joins (centroids are
+    the tiny index artifact), and nothing compiles to a raw
+    CartesianProduct — the exact cosine only ever sees cell-pruned
+    candidates, never a corpus self-join."""
+    plan = _plan(spark, sf_dir, "text_semantic_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the probes→assignment candidate join builds on the broadcast
+    # probe side
+    assert "BroadcastHashJoin Inner BuildLeft" in plan
