@@ -155,6 +155,8 @@ HEADLINE_EXCLUDED = {
     "promql_math_functions": _SWEEP_DOMINATED,
     "join_salted_skew": _SWEEP_DOMINATED,
     "promql_info_enrich": _SWEEP_DOMINATED,
+    "agg_hll_mergeable_daily": _SWEEP_DOMINATED,
+    "scalar_string_funcs": _SWEEP_DOMINATED,
 }
 
 
