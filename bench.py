@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",    # banded minhash pair generation
     "agg_approx_distinct",        # KMV-oracle approx distinct
     "text_semantic_contamination",  # IVF-probed train-vs-eval paraphrase flag (r11)
+    "promql_native_histogram_fraction_rate",  # SLO burn fraction-of-rate (r11, queued r12)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the

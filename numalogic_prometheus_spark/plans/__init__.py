@@ -99,6 +99,15 @@ _MODULES = (
 #     Streaming tests; all seven are hash-green in this round's
 #     committed full-registry sweeps like everything else and are
 #     first in line for the r12 window.
+# QUEUED FOR R12 (r9 queue protocol — registered late r11 with full
+# sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines appended to all
+# three sweep logs + SWEEP_sf1_rest.log appended run, golden in
+# tests/test_native_histogram_rate_golden.py, benched in HEADLINE):
+# promql_native_histogram_fraction_rate (plans/promql7.py — the SLO
+# burn composition histogram_fraction ∘ rate on the shared
+# _nh_window_deltas substrate; exact-integer deltas × plan-time log2
+# literals). It joins the 7 deferred r6-stale entries at the front of
+# the r12 window.
 _CHECK_FIRST = (
     # -- r10-deferred round-4-stale TPC-H suite (6) --
     "tpch_q14_promo_revenue",

@@ -896,3 +896,85 @@ def promql_native_histogram_fraction(
         "n_obs",
         ((cdf_hi - cdf_lo) / F.col("n_obs").cast("double")).alias("fraction"),
     )
+
+
+@register(
+    "promql_native_histogram_fraction_rate",
+    oracle=_NH_RATE_CTE
+    + f"""
+    , frac_agg AS (
+        SELECT event_type, hour,
+               sum(delta_n)::BIGINT AS n_inc,
+               coalesce(sum(CASE WHEN idx < {_IX_HI_B} THEN delta_n END),
+                        0)::BIGINT AS cb_hi,
+               coalesce(sum(CASE WHEN idx = {_IX_HI_B} THEN delta_n END),
+                        0)::BIGINT AS na_hi,
+               coalesce(sum(CASE WHEN idx < {_IX_LO} THEN delta_n END),
+                        0)::BIGINT AS cb_lo,
+               coalesce(sum(CASE WHEN idx = {_IX_LO} THEN delta_n END),
+                        0)::BIGINT AS na_lo
+        FROM per_bucket GROUP BY 1, 2
+        HAVING sum(delta_n) > 0
+    )
+    SELECT event_type, hour, n_inc,
+           ((cb_hi + na_hi * ({_LOG2_HI} - {_IX_HI_B - 1}))
+            - (cb_lo + na_lo * ({_LOG2_LO} - {_IX_LO - 1})))
+           / n_inc::DOUBLE AS fraction
+    FROM frac_agg
+    """,
+)
+def promql_native_histogram_fraction_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`histogram_fraction(0.7, 48, rate(native_histogram[1h]))` — the
+    SLO BURN query (what share of the last hour's requests landed in
+    the good-latency band), completing the rate-composition matrix:
+    rate × {{quantile (registered r10), fraction (this entry)}}.
+
+    Exactness composes both parents' arguments: extrapolatedRate scales
+    every bucket of a window by the same positive factor, so the factor
+    cancels in the fraction and the CDF arithmetic runs on the
+    reset-corrected exact-BIGINT bucket increases (`_nh_window_deltas`);
+    the v2.50+ exponential within-bucket interpolation collapses at
+    schema 0 to two PLAN-TIME log2 literals (repr-pinned, identical in
+    both engines) — exact integers through one shared IEEE chain,
+    bit-identical unrounded, no runtime transcendental. All-flat
+    windows vanish (no rate ⇒ no fraction), matching Prometheus
+    returning no sample; a window simply missing an endpoint bucket
+    contributes n_i = 0 and the CDF falls back to the partial sum
+    below it (the sparse-representation clamp, as in the instant
+    fraction entry above). Cost: one hash aggregate over the shared
+    ≤~25-buckets-per-window delta relation — the dense scrape×bucket
+    substrate (the expensive part) is shared with the rate and
+    quantile∘rate entries, ONE exchange on (series, idx)."""
+    per_bucket = _nh_window_deltas(spark, sf_dir)
+
+    def _exact(cond) -> F.Column:
+        # exact BIGINT partial sums (accumulation-order-free)
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("delta_n"))), F.lit(0)
+        ).cast("long")
+
+    agg = (
+        per_bucket.groupBy("event_type", "hour")
+        .agg(
+            F.sum("delta_n").cast("long").alias("n_inc"),
+            _exact(F.col("idx") < _IX_HI_B).alias("cb_hi"),
+            _exact(F.col("idx") == _IX_HI_B).alias("na_hi"),
+            _exact(F.col("idx") < _IX_LO).alias("cb_lo"),
+            _exact(F.col("idx") == _IX_LO).alias("na_lo"),
+        )
+        .filter(F.col("n_inc") > 0)
+    )
+    cdf_hi = F.col("cb_hi") + F.col("na_hi") * (
+        F.lit(float(_LOG2_HI)) - F.lit(_IX_HI_B - 1)
+    )
+    cdf_lo = F.col("cb_lo") + F.col("na_lo") * (
+        F.lit(float(_LOG2_LO)) - F.lit(_IX_LO - 1)
+    )
+    return agg.select(
+        "event_type",
+        "hour",
+        "n_inc",
+        ((cdf_hi - cdf_lo) / F.col("n_inc").cast("double")).alias("fraction"),
+    )

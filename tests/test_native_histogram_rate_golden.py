@@ -142,3 +142,52 @@ def test_native_fraction_exponential_interpolation(spark, tmp_path):
     cdf_hi = 4 + 2 * (math.log2(48.0) - 5)
     cdf_lo = 0 + 4 * (math.log2(0.7) - -1)
     assert out[0]["fraction"] == (cdf_hi - cdf_lo) / 8.0
+
+
+def test_rate_fraction_composition(spark, tmp_path):
+    """histogram_fraction(0.7, 48, rate(...)) golden: the extrapolation
+    factor cancels, so the CDF arithmetic runs on the exact integer
+    window deltas with both endpoints exponentially interpolated inside
+    their buckets. One no-reset window (scrapes 05:05/05:15/05:25,
+    strictly inside the [04:30, 06:00) counter epoch) with deltas
+    {b0 (0.5,1]: 3, b2 (2,4]: 1, b6 (32,64]: 4, b8 (128,512]…: 5} —
+    n_inc 13, CDF(48) = (3+1) + 4·(log2 48 − 5),
+    CDF(0.7) = 0 + 3·(log2 0.7 + 1)."""
+    import math
+
+    from numalogic_prometheus_spark.plans.promql7 import (
+        promql_native_histogram_fraction_rate,
+    )
+
+    rows = []
+    eid = 0
+
+    def add(ts: str, value: float, k: int = 1) -> None:
+        nonlocal eid
+        for _ in range(k):
+            eid += 1
+            rows.append(("svc", _ts(ts), eid, value))
+
+    add("2024-01-01T05:05:00", 0.8, 1)    # b0
+    add("2024-01-01T05:05:00", 3.0, 1)    # b2
+    add("2024-01-01T05:15:00", 0.8, 1)
+    add("2024-01-01T05:15:00", 40.0, 2)   # b6
+    add("2024-01-01T05:25:00", 0.8, 2)
+    add("2024-01-01T05:25:00", 3.0, 1)
+    add("2024-01-01T05:25:00", 40.0, 2)
+    add("2024-01-01T05:25:00", 300.0, 5)  # b8 (beyond the hi endpoint)
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = promql_native_histogram_fraction_rate(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    (row,) = out
+    # deltas: b0 cums 1,2,4 → 3; b2 cums 1,1,2 → 1; b6 cums 0,2,4 → 4;
+    # b8 cums 0,0,5 → 5 (dense zero back-fill gives first_m cum 0)
+    assert row["n_inc"] == 13
+    cdf_hi = (3 + 1) + 4 * (math.log2(48.0) - 5)
+    cdf_lo = 0 + 3 * (math.log2(0.7) - -1)
+    assert row["fraction"] == (cdf_hi - cdf_lo) / 13.0
