@@ -98,6 +98,9 @@ HEADLINE = [
     "agg_approx_distinct",        # KMV-oracle approx distinct
     "text_semantic_contamination",  # IVF-probed train-vs-eval paraphrase flag (r11)
     "promql_native_histogram_fraction_rate",  # SLO burn fraction-of-rate (r11, queued r12)
+    "promql_burn_rate_multiwindow",  # SRE multiwindow burn-rate alert (r11, queued r12)
+    "vec_pq_subvector_topk",         # PQ m=4 candidates + exact re-rank (r11, queued r12)
+    "vec_matryoshka_prefix_topk",    # MRL prefix-scan candidates (r11, queued r12)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the

@@ -72,6 +72,8 @@ _MODULES = (
     "promql8",
     "scd",
     "funnel",
+    "promql9",
+    "vectors5",
 )
 
 # ROUND-11 ROTATION (VERDICT r10 next-round #1; per-round narratives
@@ -106,8 +108,12 @@ _MODULES = (
 # promql_native_histogram_fraction_rate (plans/promql7.py — the SLO
 # burn composition histogram_fraction ∘ rate on the shared
 # _nh_window_deltas substrate; exact-integer deltas × plan-time log2
-# literals). It joins the 7 deferred r6-stale entries at the front of
-# the r12 window.
+# literals), promql_burn_rate_multiwindow (plans/promql9.py — the
+# SRE multiwindow burn-rate alert on the counter substrate),
+# vec_pq_subvector_topk and vec_matryoshka_prefix_topk
+# (plans/vectors5.py — PQ m=4 and MRL prefix candidate generation).
+# They join the 7 deferred r6-stale entries at the front of the r12
+# window.
 _CHECK_FIRST = (
     # -- r10-deferred round-4-stale TPC-H suite (6) --
     "tpch_q14_promo_revenue",
