@@ -111,9 +111,11 @@ _MODULES = (
 # literals), promql_burn_rate_multiwindow (plans/promql9.py — the
 # SRE multiwindow burn-rate alert on the counter substrate),
 # vec_pq_subvector_topk and vec_matryoshka_prefix_topk
-# (plans/vectors5.py — PQ m=4 and MRL prefix candidate generation).
-# They join the 7 deferred r6-stale entries at the front of the r12
-# window.
+# (plans/vectors5.py — PQ m=4 and MRL prefix candidate generation),
+# promql_native_histogram_rate_quantile_agg (plans/promql7.py — the
+# fleet SLO shape: bucket-wise cross-series sum of window deltas, then
+# the quantile). They join the 7 deferred r6-stale entries at the
+# front of the r12 window.
 _CHECK_FIRST = (
     # -- r10-deferred round-4-stale TPC-H suite (6) --
     "tpch_q14_promo_revenue",

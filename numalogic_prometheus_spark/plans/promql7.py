@@ -978,3 +978,101 @@ def promql_native_histogram_fraction_rate(
         "n_inc",
         ((cdf_hi - cdf_lo) / F.col("n_inc").cast("double")).alias("fraction"),
     )
+
+
+@register(
+    "promql_native_histogram_rate_quantile_agg",
+    oracle=_NH_RATE_CTE
+    + f"""
+    , fleet AS (
+        SELECT hour, idx, sum(delta_n)::BIGINT AS delta_n
+        FROM per_bucket GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT hour, idx, delta_n,
+               sum(delta_n) OVER (PARTITION BY hour ORDER BY idx) AS cum,
+               sum(delta_n) OVER (PARTITION BY hour) AS total
+        FROM fleet WHERE delta_n > 0
+    ),
+    hit AS (
+        SELECT *, row_number() OVER (PARTITION BY hour
+                                     ORDER BY idx) AS rn
+        FROM q WHERE cum >= total * 0.9
+    )
+    SELECT hour, total::BIGINT AS n_inc,
+           (SELECT count(DISTINCT event_type)
+            FROM per_bucket)::BIGINT AS n_series,
+           CASE WHEN idx > {_HI} THEN pow(2.0, {_HI})
+                ELSE pow(2.0, idx - 1)
+                     * pow(2.0, (total * 0.9 - (cum - delta_n)) / delta_n)
+                END AS p90_rate
+    FROM hit WHERE rn = 1
+    """,
+)
+def promql_native_histogram_rate_quantile_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`histogram_quantile(0.9, sum(rate(native_histogram[1h])))` — the
+    FLEET SLO query: per-series histogram rates are SUMMED ACROSS
+    SERIES first (PromQL's native-histogram `sum()` aggregation is
+    bucket-wise addition of compatible schema-0 histograms), then the
+    quantile runs over the merged histogram — the production shape
+    where per-instance histograms roll up to one service-level latency
+    quantile.
+
+    Exactness composes the family's arguments once more: the
+    extrapolation factor is per-(series, window) — it does NOT cancel
+    under a cross-series sum in general, but Prometheus evaluates
+    `sum(rate(...))` bucket-wise on the rate values, and the quantile
+    of the merged histogram depends only on bucket-mass RATIOS. The
+    fixture's synthetic scrape grids are identical across series
+    (every series scrapes every minute), so the factor is constant
+    across series within a window and drops out exactly as in the
+    single-series composition — leaving the cumulative locate on
+    exact-BIGINT summed deltas; the final lower·2^frac is the one
+    transcendental (absorbed by the 1e-6 canonicalization). Where
+    grids differ per series, the factor-free integer form is the
+    DOCUMENTED approximation (it weights each series by its true
+    in-window increase rather than its extrapolated rate — at 100 TB
+    the difference is one boundary sample per series per window).
+
+    Scale: the merge is ONE more hash aggregate collapsing the
+    (series, hour, idx) delta relation to (hour, idx) — fleet-sized
+    input, grid-sized output; the quantile's two window passes then
+    run over ≤~25 rows per hour. The expensive dense substrate is
+    shared with the whole rate family."""
+    per_bucket = _nh_window_deltas(spark, sf_dir)
+    # fleet size as a 1-row broadcast, NOT a driver-side .count() —
+    # the whole query stays one lazy Catalyst plan
+    n_series = per_bucket.agg(
+        F.countDistinct("event_type").cast("long").alias("n_series")
+    )
+    fleet = per_bucket.groupBy("hour", "idx").agg(
+        F.sum("delta_n").cast("long").alias("delta_n")
+    )
+    w_cum = W.partitionBy("hour").orderBy("idx")
+    w_all = W.partitionBy("hour")
+    q = fleet.filter(F.col("delta_n") > 0).select(
+        "hour",
+        "idx",
+        "delta_n",
+        F.sum("delta_n").over(w_cum).alias("cum"),
+        F.sum("delta_n").over(w_all).alias("total"),
+    )
+    hit = (
+        q.filter(F.col("cum") >= F.col("total") * 0.9)
+        .withColumn("rn", F.row_number().over(w_cum))
+        .filter(F.col("rn") == 1)
+    )
+    frac = (F.col("total") * 0.9 - (F.col("cum") - F.col("delta_n"))) / F.col(
+        "delta_n"
+    )
+    qv = F.when(F.col("idx") > _HI, F.pow(F.lit(2.0), F.lit(_HI))).otherwise(
+        F.pow(F.lit(2.0), F.col("idx") - 1) * F.pow(F.lit(2.0), frac)
+    )
+    return hit.crossJoin(F.broadcast(n_series)).select(
+        "hour",
+        F.col("total").cast("long").alias("n_inc"),
+        "n_series",
+        qv.alias("p90_rate"),
+    )

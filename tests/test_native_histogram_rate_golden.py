@@ -191,3 +191,43 @@ def test_rate_fraction_composition(spark, tmp_path):
     cdf_hi = (3 + 1) + 4 * (math.log2(48.0) - 5)
     cdf_lo = 0 + 3 * (math.log2(0.7) - -1)
     assert row["fraction"] == (cdf_hi - cdf_lo) / 13.0
+
+
+def test_rate_quantile_fleet_aggregation(spark, tmp_path):
+    """histogram_quantile(0.9, sum(rate(...))) golden: two series'
+    bucket deltas merge BEFORE the quantile. svc-a contributes
+    {idx1: 3}, svc-b {idx1: 1, idx2: 2} → fleet {idx1: 4, idx2: 2},
+    total 6, rank 5.4 lands in idx2 with frac (5.4−4)/2 = 0.7."""
+    import pytest
+
+    from numalogic_prometheus_spark.plans.promql7 import (
+        promql_native_histogram_rate_quantile_agg,
+    )
+
+    rows = []
+    eid = 0
+
+    def add(svc: str, ts: str, value: float, k: int = 1) -> None:
+        nonlocal eid
+        for _ in range(k):
+            eid += 1
+            rows.append((svc, _ts(ts), eid, value))
+
+    add("svc-a", "2024-01-01T05:05:00", 1.5, 1)
+    add("svc-a", "2024-01-01T05:25:00", 1.5, 3)   # idx1 cums 1,4 → delta 3
+    add("svc-b", "2024-01-01T05:05:00", 3.0, 1)
+    add("svc-b", "2024-01-01T05:25:00", 3.0, 2)   # idx2 cums 1,3 → delta 2
+    add("svc-b", "2024-01-01T05:25:00", 1.5, 1)   # idx1 cums 0,1 → delta 1
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = promql_native_histogram_rate_quantile_agg(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    (row,) = out
+    assert row["n_inc"] == 6 and row["n_series"] == 2
+    assert row["p90_rate"] == pytest.approx(
+        2.0 ** (2 - 1) * 2.0 ** ((5.4 - 4.0) / 2.0), abs=1e-9
+    )
