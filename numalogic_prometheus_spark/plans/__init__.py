@@ -114,8 +114,10 @@ _MODULES = (
 # (plans/vectors5.py — PQ m=4 and MRL prefix candidate generation),
 # promql_native_histogram_rate_quantile_agg (plans/promql7.py — the
 # fleet SLO shape: bucket-wise cross-series sum of window deltas, then
-# the quantile). They join the 7 deferred r6-stale entries at the
-# front of the r12 window.
+# the quantile), and stream_burn_rate_alert (plans/streaming2.py —
+# the multiwindow alert on the stream, exact against the batch SQL).
+# They join the 7 deferred r6-stale entries at the front of the r12
+# window.
 _CHECK_FIRST = (
     # -- r10-deferred round-4-stale TPC-H suite (6) --
     "tpch_q14_promo_revenue",

@@ -205,3 +205,84 @@ def stream_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_rows = stateful_nh_bucket_cums(obs.groupBy("event_type"))
     sink = run_stream_to_memory(cum_rows, output_mode="append")
     return _nh_rate_finalize(_nh_deltas_from_cum(sink))
+
+
+from numalogic_prometheus_spark.plans.promql9 import (  # noqa: E402
+    _BURN_BUDGET,
+    _BURN_FACTOR,
+    _SHORT_FROM_MIN,
+)
+
+
+@register(
+    "stream_burn_rate_alert",
+    oracle=_COUNTER_CTE
+    + f"""
+    , agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               sum(increase)::BIGINT AS inc_long,
+               coalesce(sum(CASE WHEN date_part('minute', ts)
+                                      >= {_SHORT_FROM_MIN}
+                                 THEN increase END), 0)::BIGINT AS inc_short
+        FROM increase GROUP BY 1, 2
+    )
+    SELECT event_type, hour,
+           inc_long / 3600.0 / {_BURN_BUDGET} AS burn_long,
+           inc_short / 600.0 / {_BURN_BUDGET} AS burn_short,
+           (CASE WHEN inc_long / 3600.0 / {_BURN_BUDGET} >= {_BURN_FACTOR}
+                  AND inc_short / 600.0 / {_BURN_BUDGET} >= {_BURN_FACTOR}
+                 THEN 1 ELSE 0 END)::BIGINT AS firing
+    FROM agg
+    """,
+)
+def stream_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiwindow burn-rate alert EVALUATED ON THE STREAM: the
+    stateful counter operator chains reset-corrected per-sample
+    increases across micro-batches (streaming/stateful.py, the
+    stream_counter_rate seam), and the alert's two-window conditional
+    aggregation runs on the appended increments — checked EXACTLY
+    against the batch alert's SQL (the unified-model guarantee,
+    promql_burn_rate_multiwindow's plan over the same substrate).
+    100 TB: state stays O(#series); the alert evaluation is one
+    conditional partial+final aggregate per trigger on the sink
+    relation — the shape a paging pipeline runs per evaluation
+    interval."""
+    ev = stream_events(spark, sf_dir)
+    cents = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    inc = stateful_counter_increase(cents.groupBy("event_type"))
+    sink = run_stream_to_memory(inc, output_mode="append")
+    agg = sink.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum("increase").cast("long").alias("inc_long"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.minute("ts") >= _SHORT_FROM_MIN, F.col("increase")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("inc_short"),
+    )
+    burn_long = F.col("inc_long") / F.lit(3600.0) / F.lit(_BURN_BUDGET)
+    burn_short = F.col("inc_short") / F.lit(600.0) / F.lit(_BURN_BUDGET)
+    return agg.select(
+        "event_type",
+        "hour",
+        burn_long.alias("burn_long"),
+        burn_short.alias("burn_short"),
+        F.when(
+            (burn_long >= _BURN_FACTOR) & (burn_short >= _BURN_FACTOR),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("firing"),
+    )
