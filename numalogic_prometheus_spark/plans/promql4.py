@@ -203,15 +203,23 @@ _BOUNDS_SQL = ",".join(str(b) for b in M.DEFAULT_BUCKETS)
         WINDOW w AS (PARTITION BY event_type ORDER BY le)
     ),
     lo AS (
+        -- le = +Inf rows short-circuit to CDF total, mirroring the
+        -- operator's clamp (ADVICE r10 / operators/promql.py): today's
+        -- endpoints sit inside finite buckets, but the twin must stay
+        -- faithful for ANY endpoint choice
         SELECT event_type,
-               prev_n + (cum_count - prev_n) * ({_FRAC_LO} - prev_le)
-                   / (le - prev_le) AS cdf_lo
+               CASE WHEN le = 'inf'::DOUBLE THEN total::DOUBLE
+                    ELSE prev_n + (cum_count - prev_n)
+                         * ({_FRAC_LO} - prev_le) / (le - prev_le)
+               END AS cdf_lo
         FROM enriched WHERE prev_le < {_FRAC_LO} AND {_FRAC_LO} <= le
     ),
     hi AS (
         SELECT event_type,
-               prev_n + (cum_count - prev_n) * ({_FRAC_HI} - prev_le)
-                   / (le - prev_le) AS cdf_hi,
+               CASE WHEN le = 'inf'::DOUBLE THEN total::DOUBLE
+                    ELSE prev_n + (cum_count - prev_n)
+                         * ({_FRAC_HI} - prev_le) / (le - prev_le)
+               END AS cdf_hi,
                total
         FROM enriched WHERE prev_le < {_FRAC_HI} AND {_FRAC_HI} <= le
     )

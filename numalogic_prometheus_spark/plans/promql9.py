@@ -46,11 +46,11 @@ _BURN_BUDGET = 0.1   # SLO error budget, events/sec
 _BURN_FACTOR = 2.0   # burn-rate multiple that pages
 _SHORT_FROM_MIN = 50  # short window = the hour's last 10 minutes
 
-
-@register(
-    "promql_burn_rate_multiwindow",
-    oracle=_COUNTER_CTE
-    + f"""
+# The alert evaluation over a per-sample increase relation, shared
+# VERBATIM (one operand sequence, one SQL text) by the batch entry
+# below and its streaming twin (plans/streaming2.stream_burn_rate_alert)
+# so the two cannot drift apart.
+_BURN_SQL_SUFFIX = f"""
     , agg AS (
         SELECT event_type, date_trunc('hour', ts) AS hour,
                sum(increase)::BIGINT AS inc_long,
@@ -66,19 +66,14 @@ _SHORT_FROM_MIN = 50  # short window = the hour's last 10 minutes
                   AND inc_short / 600.0 / {_BURN_BUDGET} >= {_BURN_FACTOR}
                  THEN 1 ELSE 0 END)::BIGINT AS firing
     FROM agg
-    """,
-)
-def promql_burn_rate_multiwindow(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Multiwindow burn-rate alert per (series, hour): the 1h-window
-    burn rate AND the trailing-10-minute burn rate both at/over
-    {factor}x the {budget}/s budget → firing (module docstring for the
-    SRE semantics and the exactness/scale arguments)."""
-    counter = _synthetic_counter(spark, sf_dir)
-    inc = increase_with_resets(
-        counter, ["event_type"], "c", order=["ts", "event_id"]
-    )
+    """
+
+
+def burn_rate_evaluate(inc: DataFrame) -> DataFrame:
+    """Two-window burn-rate evaluation over per-sample increases
+    ``(event_type, ts, increase)`` — one conditional hash aggregation
+    per (series, hour), then the literal-division burn expressions and
+    the AND-of-windows firing flag."""
     agg = inc.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
@@ -111,6 +106,24 @@ def promql_burn_rate_multiwindow(
         .cast("long")
         .alias("firing"),
     )
+
+
+@register(
+    "promql_burn_rate_multiwindow",
+    oracle=_COUNTER_CTE + _BURN_SQL_SUFFIX,
+)
+def promql_burn_rate_multiwindow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiwindow burn-rate alert per (series, hour): the 1h-window
+    burn rate AND the trailing-10-minute burn rate both at/over
+    {factor}x the {budget}/s budget → firing (module docstring for the
+    SRE semantics and the exactness/scale arguments)."""
+    counter = _synthetic_counter(spark, sf_dir)
+    inc = increase_with_resets(
+        counter, ["event_type"], "c", order=["ts", "event_id"]
+    )
+    return burn_rate_evaluate(inc)
 
 
 promql_burn_rate_multiwindow.__doc__ = (

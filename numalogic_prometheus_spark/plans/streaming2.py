@@ -176,6 +176,7 @@ from numalogic_prometheus_spark.plans.promql7 import (  # noqa: E402
     _nh_rate_finalize,
 )
 from numalogic_prometheus_spark.streaming.nh_rate import (  # noqa: E402
+    latest_emissions,
     stateful_nh_bucket_cums,
 )
 
@@ -204,36 +205,21 @@ def stream_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum_rows = stateful_nh_bucket_cums(obs.groupBy("event_type"))
     sink = run_stream_to_memory(cum_rows, output_mode="append")
-    return _nh_rate_finalize(_nh_deltas_from_cum(sink))
+    # last-writer-wins per (series, minute, bucket): a micro-batch
+    # boundary inside a scrape minute re-emits the completed minute
+    # with a higher seq (streaming/nh_rate.py straddle handling)
+    return _nh_rate_finalize(_nh_deltas_from_cum(latest_emissions(sink)))
 
 
 from numalogic_prometheus_spark.plans.promql9 import (  # noqa: E402
-    _BURN_BUDGET,
-    _BURN_FACTOR,
-    _SHORT_FROM_MIN,
+    _BURN_SQL_SUFFIX,
+    burn_rate_evaluate,
 )
 
 
 @register(
     "stream_burn_rate_alert",
-    oracle=_COUNTER_CTE
-    + f"""
-    , agg AS (
-        SELECT event_type, date_trunc('hour', ts) AS hour,
-               sum(increase)::BIGINT AS inc_long,
-               coalesce(sum(CASE WHEN date_part('minute', ts)
-                                      >= {_SHORT_FROM_MIN}
-                                 THEN increase END), 0)::BIGINT AS inc_short
-        FROM increase GROUP BY 1, 2
-    )
-    SELECT event_type, hour,
-           inc_long / 3600.0 / {_BURN_BUDGET} AS burn_long,
-           inc_short / 600.0 / {_BURN_BUDGET} AS burn_short,
-           (CASE WHEN inc_long / 3600.0 / {_BURN_BUDGET} >= {_BURN_FACTOR}
-                  AND inc_short / 600.0 / {_BURN_BUDGET} >= {_BURN_FACTOR}
-                 THEN 1 ELSE 0 END)::BIGINT AS firing
-    FROM agg
-    """,
+    oracle=_COUNTER_CTE + _BURN_SQL_SUFFIX,
 )
 def stream_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multiwindow burn-rate alert EVALUATED ON THE STREAM: the
@@ -256,33 +242,6 @@ def stream_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inc = stateful_counter_increase(cents.groupBy("event_type"))
     sink = run_stream_to_memory(inc, output_mode="append")
-    agg = sink.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(
-        F.sum("increase").cast("long").alias("inc_long"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.minute("ts") >= _SHORT_FROM_MIN, F.col("increase")
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("inc_short"),
-    )
-    burn_long = F.col("inc_long") / F.lit(3600.0) / F.lit(_BURN_BUDGET)
-    burn_short = F.col("inc_short") / F.lit(600.0) / F.lit(_BURN_BUDGET)
-    return agg.select(
-        "event_type",
-        "hour",
-        burn_long.alias("burn_long"),
-        burn_short.alias("burn_short"),
-        F.when(
-            (burn_long >= _BURN_FACTOR) & (burn_short >= _BURN_FACTOR),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("firing"),
-    )
+    # the SHARED evaluation (plans/promql9.burn_rate_evaluate): one
+    # operand sequence for batch and stream, one oracle SQL text
+    return burn_rate_evaluate(sink)

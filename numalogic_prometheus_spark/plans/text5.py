@@ -390,10 +390,6 @@ def text_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
         to_double_array,
     )
-    from numalogic_prometheus_spark.plans.vectors3 import (
-        _IVF_CENTROID_FILTER,
-        _IVF_NPROBE,
-    )
     from numalogic_prometheus_spark.sources.tables import load_table_spread
     from pyspark.sql import Window as W
 

@@ -87,6 +87,36 @@ _COS_SQL = (
 )
 
 
+def _exact_rerank(cand: DataFrame, b: DataFrame) -> DataFrame:
+    """Shared exact stage: candidates (query_id, neighbor_id) join the
+    full-precision vectors, rounded cosine, rank <= top-k with the
+    family's neighbor_id tiebreak - one definition so every candidate
+    generator's re-rank semantics stay in lockstep with the oracles."""
+    qv = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"))
+    nv = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_n")
+    )
+    exact = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("v_q"), F.col("v_n")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 @register(
     "vec_pq_subvector_topk",
     oracle=f"""
@@ -185,29 +215,7 @@ def vec_pq_subvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= _CAND_PER_QUERY)
         .select("query_id", "neighbor_id")
     )
-    qv = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"))
-    nv = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_n")
-    )
-    exact = (
-        cand.join(qv, "query_id")
-        .join(nv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("v_q"), F.col("v_n")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _exact_rerank(cand, b)
 
 
 @register(
@@ -275,29 +283,7 @@ def vec_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= _CAND_PER_QUERY)
         .select("query_id", "neighbor_id")
     )
-    qv = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"))
-    nv = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_n")
-    )
-    exact = (
-        cand.join(qv, "query_id")
-        .join(nv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("v_q"), F.col("v_n")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _exact_rerank(cand, b)
 
 
 vec_matryoshka_prefix_topk.__doc__ = vec_matryoshka_prefix_topk.__doc__.format(

@@ -265,8 +265,12 @@ class PrometheusStreamReader(SimpleDataSourceStreamReader):
                 # resolution derives from the offset grid, not the
                 # constructor: a restart with a different `step` option
                 # must keep fetching at the persisted grid's resolution
-                # or tick slices would contain misaligned samples
-                f"{step_s:g}s",
+                # or tick slices would contain misaligned samples.
+                # BARE float seconds — the other form Prometheus's
+                # parseDuration accepts; a "{x}s" suffix string is only
+                # valid for integer x (review r11: "0.5s"/"1.2096e+06s"
+                # are 400s)
+                str(step_s),
                 self.headers,
             )
         )
@@ -288,7 +292,7 @@ class PrometheusStreamReader(SimpleDataSourceStreamReader):
                 self.query,
                 anchor + (k0 + 1) * step_s,
                 anchor + k1 * step_s,
-                f"{step_s:g}s",  # grid resolution, same as read()
+                str(step_s),  # grid resolution (bare seconds), as read()
                 self.headers,
             )
         )

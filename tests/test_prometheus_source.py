@@ -333,13 +333,17 @@ def test_stream_restart_keeps_offset_grid(fake_prom):
     rows3, off3 = other_step.read(off1)
     t3 = sorted({r[2].timestamp() for r in list(rows3)})
     assert t3 == [float(anchor + k * STEP) for k in range(4, 8)]
+    # the fetch resolution is the GRID's 60 s, sent as bare float
+    # seconds (valid for any step; "{x}s" would be invalid for
+    # sub-second or >=1e6-second grids)
     fetches = _FakeProm.requests[n_before:]
-    assert fetches and all(q["step"] == "60s" for q in fetches)
+    assert fetches and all(float(q["step"]) == 60.0 for q in fetches)
     assert off3["step_s"] == float(STEP)
     replay3 = list(other_step.readBetweenOffsets(off1, off3))
     n_mid = len(_FakeProm.requests)
     assert all(
-        q["step"] == "60s" for q in _FakeProm.requests[n_before:n_mid]
+        float(q["step"]) == 60.0
+        for q in _FakeProm.requests[n_before:n_mid]
     )
     assert sorted(replay3, key=key) == sorted(list(rows3), key=key)
 
