@@ -165,3 +165,97 @@ def frame_sample(assets: DataFrame, frame_size: int = 32, every: int = 4) -> Dat
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — REAL audio decode. The image/video decode paths above are
+# deterministic stand-ins because their codecs (PIL/ffmpeg) are absent
+# from the environment — but WAV/PCM needs only the stdlib `wave`
+# module, so the audio path is a real container round-trip: synthesize
+# an actual RIFF/WAVE file per asset, then DECODE it back (the read
+# path of the codec, not the writer's buffers) and feature-extract
+# from the decoded PCM.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 16000
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, n_bytes long, duration_us long,"
+    " sum_abs long, sum_sq long, peak long, zero_crossings long"
+)
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 160 + (doc_id % 97) * 16
+
+
+def _wav_samples(doc_id: int, n: int):
+    """Deterministic PCM16 signal: closed-form per-sample values, so a
+    differential oracle can recompute them WITHOUT trusting the codec
+    (encode ∘ decode must be the identity for the features to match)."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.int64)
+    return (doc_id * 7919 + k * 104729) % 65536 - 32768
+
+
+def synthesize_wav(doc_id: int) -> bytes:
+    """A real RIFF/WAVE container: PCM16 mono @ 16 kHz."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = _wav_samples(doc_id, _wav_n_samples(doc_id))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_features(docs: DataFrame) -> DataFrame:
+    """mapInPandas: per doc_id, synthesize the WAV asset, decode it back
+    through the stdlib codec's READ path, and feature-extract exact
+    integers from the decoded PCM (time-domain audio statistics: mean
+    absolute amplitude / energy partials, peak, zero-crossing count —
+    the classic VAD/loudness feature set)."""
+    from collections.abc import Iterator
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = synthesize_wav(int(doc_id))
+                with wave.open(io.BytesIO(payload)) as w:
+                    assert w.getnchannels() == 1
+                    assert w.getsampwidth() == 2
+                    assert w.getframerate() == WAV_SAMPLE_RATE
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(s)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": n,
+                        "n_bytes": len(payload),
+                        "duration_us": n * 1_000_000 // WAV_SAMPLE_RATE,
+                        "sum_abs": int(np.abs(s).sum()),
+                        "sum_sq": int((s * s).sum()),
+                        "peak": int(np.abs(s).max()) if n else 0,
+                        "zero_crossings": int(
+                            ((s[1:] * s[:-1]) < 0).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _extract, schema=WAV_FEATURE_SCHEMA
+    )

@@ -381,3 +381,70 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — the first ORACLE-BACKED multimodal entry: real audio.
+# WAV/PCM needs only the stdlib `wave` codec, so unlike the image/video
+# stand-ins this is an actual container round-trip — and the DuckDB
+# twin recomputes the features from the CLOSED-FORM signal definition
+# without ever touching the codec, so a decode bug (byte order,
+# header-offset, signedness, truncation) breaks the hash match.
+# ---------------------------------------------------------------------------
+
+from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
+    WAV_SAMPLE_RATE,
+    wav_features,
+)
+
+
+@register(
+    "multimodal_audio_wav_features",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, 160 + (doc_id % 97) * 16 AS n FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, n, k,
+               (doc_id * 7919 + k * 104729) % 65536 - 32768 AS s
+        FROM params, unnest(range(0, n)) AS u(k)
+    )
+    SELECT doc_id,
+           n::BIGINT AS n_samples,
+           (44 + 2 * n)::BIGINT AS n_bytes,
+           (n * 1000000 // {WAV_SAMPLE_RATE})::BIGINT AS duration_us,
+           sum(abs(s))::BIGINT AS sum_abs,
+           sum(s * s)::BIGINT AS sum_sq,
+           max(abs(s))::BIGINT AS peak,
+           sum(CASE WHEN k > 0 AND s * ((doc_id * 7919 + (k - 1) * 104729)
+                                        % 65536 - 32768) < 0
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM samples GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_wav_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio decode + time-domain feature extraction over real WAV
+    containers (PCM16 mono @ 16 kHz, stdlib codec): per document-keyed
+    asset, the decoded sample count, container size, duration, mean-
+    absolute/energy partials (exact BIGINT), peak amplitude and
+    zero-crossing count — the classic VAD/loudness feature set.
+
+    The differential check is CODEC-ADVERSARIAL: the Spark side writes
+    a real RIFF/WAVE file and re-reads it through the codec's read
+    path (operators/multimodal.wav_features); the DuckDB oracle
+    recomputes the identical features from the closed-form PCM signal
+    and the standard 44-byte header arithmetic, trusting no codec —
+    any byte-order, offset, signedness or truncation bug in the decode
+    breaks the hash. All features are exact integers (|s| < 2^15,
+    n < 2^11 → every partial < 2^41, exact in int64).
+
+    Scale (100 TB design): the decode is the multimodal seam done
+    right — Arrow-batched mapInPandas over a narrow (doc_id) input,
+    fixed-schema integer output, no shuffle at all until a downstream
+    aggregation; per-task memory is one batch of decoded frames. In
+    production the synthesize step is `spark.read.format('binaryFile')`
+    against the object store and the same mapInPandas decodes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_features(docs)
