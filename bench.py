@@ -102,6 +102,8 @@ HEADLINE = [
     "vec_pq_subvector_topk",         # PQ m=4 candidates + exact re-rank (r11, queued r12)
     "vec_matryoshka_prefix_topk",    # MRL prefix-scan candidates (r11, queued r12)
     "promql_native_histogram_rate_quantile_agg",  # fleet sum-then-quantile (r11, queued r12)
+    "multimodal_audio_wav_features",  # real WAV codec round-trip (r11, queued r12)
+    "multimodal_audio_frame_energy",  # frame-grain decode expansion (r11, queued r12)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the

@@ -259,3 +259,56 @@ def wav_features(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _extract, schema=WAV_FEATURE_SCHEMA
     )
+
+
+WAV_FRAME = 160  # 10 ms at 16 kHz — the standard VAD frame
+WAV_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, n long, sum_sq long, peak long,"
+    " active long"
+)
+# a frame is "active" when its mean square reaches (2^14)^2 — an
+# exact-integer stand-in for a dB(FS) energy gate
+WAV_ACTIVE_MEAN_SQ = 268_435_456
+
+
+def wav_frame_energy(docs: DataFrame) -> DataFrame:
+    """Frame-grain audio features through the real codec: decode the
+    WAV container, split the PCM into 10 ms frames (full frames only)
+    and emit per-frame energy/peak plus the integer VAD gate — the 1→N
+    decode expansion of the multimodal seam, real this time."""
+    from collections.abc import Iterator
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = synthesize_wav(int(doc_id))
+                with wave.open(io.BytesIO(payload)) as w:
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n_frames = len(s) // WAV_FRAME
+                fr = s[: n_frames * WAV_FRAME].reshape(n_frames, WAV_FRAME)
+                sum_sq = (fr * fr).sum(axis=1)
+                peak = np.abs(fr).max(axis=1)
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": i,
+                            "n": WAV_FRAME,
+                            "sum_sq": int(sum_sq[i]),
+                            "peak": int(peak[i]),
+                            "active": int(
+                                sum_sq[i]
+                                >= WAV_FRAME * WAV_ACTIVE_MEAN_SQ
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(_frames, schema=WAV_FRAME_SCHEMA)

@@ -116,8 +116,9 @@ _MODULES = (
 # fleet SLO shape: bucket-wise cross-series sum of window deltas, then
 # the quantile), and stream_burn_rate_alert (plans/streaming2.py —
 # the multiwindow alert on the stream, exact against the batch SQL),
-# and multimodal_audio_wav_features (plans/extras2.py — real WAV codec
-# round-trip with a codec-adversarial closed-form oracle).
+# multimodal_audio_wav_features and multimodal_audio_frame_energy
+# (plans/extras2.py — real WAV codec round-trip + its frame-grain 1→N
+# expansion, both with codec-adversarial closed-form oracles).
 # They join the 7 deferred r6-stale entries at the front of the r12
 # window.
 _CHECK_FIRST = (

@@ -448,3 +448,52 @@ def multimodal_audio_wav_features(
     against the object store and the same mapInPandas decodes."""
     docs = load_table(spark, sf_dir, "documents")
     return wav_features(docs)
+
+
+from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
+    WAV_ACTIVE_MEAN_SQ,
+    WAV_FRAME,
+    wav_frame_energy,
+)
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, 160 + (doc_id % 97) * 16 AS n FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, n, k,
+               (doc_id * 7919 + k * 104729) % 65536 - 32768 AS s
+        FROM params, unnest(range(0, n)) AS u(k)
+    ),
+    frames AS (
+        SELECT doc_id, k // {WAV_FRAME} AS frame_idx, s
+        FROM samples WHERE k < (n // {WAV_FRAME}) * {WAV_FRAME}
+    )
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           count(*)::BIGINT AS n,
+           sum(s * s)::BIGINT AS sum_sq,
+           max(abs(s))::BIGINT AS peak,
+           (CASE WHEN sum(s * s) >= {WAV_FRAME * WAV_ACTIVE_MEAN_SQ}
+                 THEN 1 ELSE 0 END)::BIGINT AS active
+    FROM frames GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_frame_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frame-grain audio features: each decoded WAV splits into 10 ms
+    PCM frames (full frames only — the tail remainder drops, as a
+    framing codec would), each emitting exact-integer energy, peak and
+    an integer VAD gate (mean square ≥ 2^28). The 1→N decode expansion
+    sibling of multimodal_audio_wav_features, same codec-adversarial
+    oracle posture: DuckDB recomputes every frame from the closed-form
+    signal, so frame-boundary or remainder-handling bugs in the decode
+    path break the hash. Scale: the expansion is inside mapInPandas
+    (Arrow batch in, ~n/160 rows per asset out), no shuffle; the
+    downstream per-frame relation is the input to windowed VAD/CTC-prep
+    aggregations which are ordinary partial+final aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_frame_energy(docs)
