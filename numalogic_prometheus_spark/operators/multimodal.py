@@ -215,6 +215,25 @@ def synthesize_wav(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _decode_pcm(doc_id: int) -> tuple[bytes, "object"]:
+    """Synthesize the asset and decode it through the stdlib codec's
+    READ path — the single-sourced codec round-trip both feature
+    operators use (two copies could silently drift apart, r11
+    second-review finding). Returns (container bytes, int64 samples)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    payload = synthesize_wav(int(doc_id))
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == WAV_SAMPLE_RATE
+        raw = w.readframes(w.getnframes())
+    return payload, np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
 def wav_features(docs: DataFrame) -> DataFrame:
     """mapInPandas: per doc_id, synthesize the WAV asset, decode it back
     through the stdlib codec's READ path, and feature-extract exact
@@ -224,21 +243,12 @@ def wav_features(docs: DataFrame) -> DataFrame:
     from collections.abc import Iterator
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         import numpy as np
 
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
-                payload = synthesize_wav(int(doc_id))
-                with wave.open(io.BytesIO(payload)) as w:
-                    assert w.getnchannels() == 1
-                    assert w.getsampwidth() == 2
-                    assert w.getframerate() == WAV_SAMPLE_RATE
-                    raw = w.readframes(w.getnframes())
-                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                payload, s = _decode_pcm(int(doc_id))
                 n = len(s)
                 out.append(
                     {
@@ -266,9 +276,14 @@ WAV_FRAME_SCHEMA = (
     "doc_id long, frame_idx long, n long, sum_sq long, peak long,"
     " active long"
 )
-# a frame is "active" when its mean square reaches (2^14)^2 — an
-# exact-integer stand-in for a dB(FS) energy gate
-WAV_ACTIVE_MEAN_SQ = 268_435_456
+# Integer energy gate for the "active" flag, placed INSIDE the
+# fixture's frame-energy distribution (min 5.643e10, median 5.731e10,
+# max 5.815e10 over the sf0.1 corpus) so both classes are populated
+# (~51% active) — a gate outside the distribution would be constant
+# and the differential check could not catch a flipped comparison or a
+# wrong constant (r11 second-review finding). Exact BIGINT compare on
+# both engines; no parity risk.
+WAV_ACTIVE_SUM_SQ = 57_300_000_000
 
 
 def wav_frame_energy(docs: DataFrame) -> DataFrame:
@@ -279,36 +294,36 @@ def wav_frame_energy(docs: DataFrame) -> DataFrame:
     from collections.abc import Iterator
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         import numpy as np
 
         for pdf in batches:
-            out = []
+            # fully vectorized (no per-frame Python loop in the hot
+            # path, r11 second-review finding): one column-array block
+            # per document, concatenated per Arrow batch
+            cols = {k: [] for k in
+                    ("doc_id", "frame_idx", "sum_sq", "peak")}
             for doc_id in pdf["doc_id"]:
-                payload = synthesize_wav(int(doc_id))
-                with wave.open(io.BytesIO(payload)) as w:
-                    raw = w.readframes(w.getnframes())
-                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                _, s = _decode_pcm(int(doc_id))
                 n_frames = len(s) // WAV_FRAME
                 fr = s[: n_frames * WAV_FRAME].reshape(n_frames, WAV_FRAME)
-                sum_sq = (fr * fr).sum(axis=1)
-                peak = np.abs(fr).max(axis=1)
-                for i in range(n_frames):
-                    out.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "frame_idx": i,
-                            "n": WAV_FRAME,
-                            "sum_sq": int(sum_sq[i]),
-                            "peak": int(peak[i]),
-                            "active": int(
-                                sum_sq[i]
-                                >= WAV_FRAME * WAV_ACTIVE_MEAN_SQ
-                            ),
-                        }
-                    )
-            yield pd.DataFrame(out)
+                cols["doc_id"].append(
+                    np.full(n_frames, int(doc_id), dtype=np.int64)
+                )
+                cols["frame_idx"].append(np.arange(n_frames, dtype=np.int64))
+                cols["sum_sq"].append((fr * fr).sum(axis=1))
+                cols["peak"].append(np.abs(fr).max(axis=1))
+            sum_sq = np.concatenate(cols["sum_sq"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(cols["doc_id"]),
+                    "frame_idx": np.concatenate(cols["frame_idx"]),
+                    "n": np.int64(WAV_FRAME),
+                    "sum_sq": sum_sq,
+                    "peak": np.concatenate(cols["peak"]),
+                    "active": (sum_sq >= WAV_ACTIVE_SUM_SQ).astype(
+                        np.int64
+                    ),
+                }
+            )
 
     return docs.select("doc_id").mapInPandas(_frames, schema=WAV_FRAME_SCHEMA)

@@ -451,7 +451,7 @@ def multimodal_audio_wav_features(
 
 
 from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
-    WAV_ACTIVE_MEAN_SQ,
+    WAV_ACTIVE_SUM_SQ,
     WAV_FRAME,
     wav_frame_energy,
 )
@@ -476,7 +476,7 @@ from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
            count(*)::BIGINT AS n,
            sum(s * s)::BIGINT AS sum_sq,
            max(abs(s))::BIGINT AS peak,
-           (CASE WHEN sum(s * s) >= {WAV_FRAME * WAV_ACTIVE_MEAN_SQ}
+           (CASE WHEN sum(s * s) >= {WAV_ACTIVE_SUM_SQ}
                  THEN 1 ELSE 0 END)::BIGINT AS active
     FROM frames GROUP BY 1, 2
     """,
@@ -487,7 +487,7 @@ def multimodal_audio_frame_energy(
     """Frame-grain audio features: each decoded WAV splits into 10 ms
     PCM frames (full frames only — the tail remainder drops, as a
     framing codec would), each emitting exact-integer energy, peak and
-    an integer VAD gate (mean square ≥ 2^28). The 1→N decode expansion
+    an integer VAD gate placed inside the corpus's frame-energy distribution (~51% active). The 1→N decode expansion
     sibling of multimodal_audio_wav_features, same codec-adversarial
     oracle posture: DuckDB recomputes every frame from the closed-form
     signal, so frame-boundary or remainder-handling bugs in the decode

@@ -185,13 +185,18 @@ from numalogic_prometheus_spark.streaming.nh_rate import (  # noqa: E402
 def stream_native_histogram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming `rate(native_histogram[1h])`: observations stream in,
     applyInPandasWithState chains per-series sparse-bucket cumulative
-    counters across micro-batches (state = three long arrays + an epoch
-    ordinal per series, O(#buckets) — streaming/nh_rate.py), emitting
-    dense per-scrape bucket rows with reset flags; the appended rows
-    roll up through the SAME delta/extrapolation plan as the batch
-    entry (_nh_deltas_from_cum + _nh_rate_finalize), so the result is
-    bit-identical to promql_native_histogram_rate on replayed data —
-    the unified-model guarantee at histogram grain. 100 TB: state is
+    counters across micro-batches (state = three long arrays — bucket
+    idx, cumulative at the last emitted minute, cumulative at the
+    minute before it — plus the last minute, the emission ordinal and
+    the epoch; O(#buckets) per series — streaming/nh_rate.py), emitting
+    dense per-scrape bucket rows with reset flags and a seq ordinal; a
+    micro-batch boundary inside a scrape minute re-emits the completed
+    minute, `latest_emissions` keeps the max-seq row per (series,
+    minute, bucket), and the deduped rows roll up through the SAME
+    delta/extrapolation plan as the batch entry (_nh_deltas_from_cum +
+    _nh_rate_finalize), so the result is bit-identical to
+    promql_native_histogram_rate on replayed data — the unified-model
+    guarantee at histogram grain. 100 TB: state is
     O(#series × #buckets) not O(#samples); the per-batch kernel is one
     vectorized pivot+cumsum per series; the rollup is the batch plan's
     single-exchange aggregation over scrape-grid-sized data."""
