@@ -433,3 +433,37 @@ def test_partition_slices_reproduce_global_tick_grid():
         assert sorted(got) == pytest.approx(global_ticks)
 
     check()
+
+
+def test_stream_subsecond_and_huge_steps_send_valid_wire_format(fake_prom):
+    """r11 review class: the grid-derived fetch step must be a VALID
+    Prometheus step value for ANY grid. Duration-suffix strings are
+    integer-per-unit, so '0.5s' (500ms grid) and '1.2096e+06s' (14-day
+    grid, %g scientific form) are both 400s on a real server — the
+    reader must send bare float seconds instead."""
+    import time as _time
+
+    from numalogic_prometheus_spark.sources.prometheus import (
+        PrometheusStreamReader,
+    )
+
+    for step_opt, step_s in (("500ms", 0.5), ("14d", 1_209_600.0)):
+        reader = PrometheusStreamReader(
+            {
+                "url": fake_prom,
+                "query": "up",
+                "step": step_opt,
+                "start": str(_time.time() - 10 * step_s),
+                "max_ticks_per_batch": "2",
+            }
+        )
+        n_before = len(_FakeProm.requests)
+        rows, off = reader.read(reader.initialOffset())
+        list(rows)
+        sent = [q["step"] for q in _FakeProm.requests[n_before:]]
+        assert sent, f"no fetch issued for step {step_opt}"
+        for s in sent:
+            # bare float seconds: parseable, no unit suffix, no
+            # scientific notation surprises on the server side
+            assert float(s) == step_s, (step_opt, s)
+            assert s.replace(".", "").replace("-", "").isdigit(), s
