@@ -492,3 +492,46 @@ def test_semantic_contamination_probe_broadcasts_no_cartesian(spark, sf_dir):
     # the probes→assignment candidate join builds on the broadcast
     # probe side
     assert "BroadcastHashJoin Inner BuildLeft" in plan
+
+
+def test_audio_decode_is_shuffle_free_map(spark, sf_dir):
+    """The WAV feature entries must stay PURE MAP plans: one narrow
+    (doc_id) scan feeding Arrow-batched mapInPandas, zero exchanges —
+    the embarrassingly-parallel decode posture their SCALE.md audit
+    claims. Any shuffle here means the decode stopped being a scan
+    pass."""
+    for name in (
+        "multimodal_audio_wav_features",
+        "multimodal_audio_frame_energy",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"
+        assert plan.count("Location: InMemoryFileIndex") == 1
+        read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "text" not in read_schema, (
+            f"{name}: decode input must prune to doc_id"
+        )
+
+
+def test_burn_rate_single_pass(spark, sf_dir):
+    """promql_burn_rate_multiwindow: the short window is a filtered
+    partial sum inside the SAME aggregation — one scan, one exchange
+    (the counter substrate's series exchange), partial+final phases.
+    A second scan or exchange means the two windows stopped sharing
+    the pass."""
+    plan = _plan(spark, sf_dir, "promql_burn_rate_multiwindow")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("Exchange (") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_compressed_candidate_stages_broadcast_queries(spark, sf_dir):
+    """PQ m=4 and Matryoshka prefix retrieval: the query side broadcasts
+    into the candidate stage (the corpus representation streams, never
+    reshuffles for search) and nothing compiles to a raw
+    CartesianProduct."""
+    for name in ("vec_pq_subvector_topk", "vec_matryoshka_prefix_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # broadcast query codes
+        assert "BroadcastHashJoin" in plan  # exact-stage vector joins
