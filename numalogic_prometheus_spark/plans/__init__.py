@@ -74,6 +74,7 @@ _MODULES = (
     "funnel",
     "promql9",
     "vectors5",
+    "images",
 )
 
 # ROUND-11 ROTATION (VERDICT r10 next-round #1; per-round narratives

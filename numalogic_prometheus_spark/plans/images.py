@@ -1,0 +1,125 @@
+"""Round 12 — ORACLE-BACKED image entries: a real PNG codec
+(VERDICT r11 #3, the image sibling of the r11 WAV entries).
+
+Both entries run the full container round-trip inside an Arrow-batched
+mapInPandas: synthesize a real PNG (CRC-protected chunks, DEFLATE
+scanlines, per-row filter type cycling through all five PNG filters),
+decode it back through the codec's READ path (signature check,
+per-chunk CRC verify, big-endian IHDR parse, inflate, per-filter
+scanline reconstruction — operators/multimodal.py:decode_png), and
+feature-extract exact integers from the RECONSTRUCTED pixels only. The
+DuckDB twins recompute every feature from the closed-form pixel signal
+without touching the codec, so any decode bug — a wrong Paeth
+predictor, a skipped CRC, a byte-order slip in the header, a
+mis-framed scanline — breaks the hash match (codec-adversarial by
+construction; the bug classes are exercised directly in
+tests/test_png_codec.py).
+
+Reference anchor: the multimodal north-star (image/audio/video as
+opaque binary + typed metadata); the reference itself has no media
+path (/root/reference/numaprom is a 288-line metrics wrapper), so this
+is extension surface, built to the same oracle discipline as §2C.
+
+Scale (100 TB design): decode is the canonical CPU-heavy map-only
+stage — a narrow (doc_id) scan feeding mapInPandas, zero exchanges
+until a downstream aggregation (pinned:
+tests/test_plan_shape.py::test_image_decode_is_shuffle_free_map); in
+production the synthesize step is spark.read.format('binaryFile')
+over the object store and the same kernel decodes. Arrow batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch) bounds per-task decoded
+bytes when payloads are MBs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from numalogic_prometheus_spark.operators.multimodal import (
+    png_features,
+    png_row_stats,
+)
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table
+
+# Shared closed-form signal CTEs: dimensions are (8 + (doc_id%13)*2) ×
+# (8 + (doc_id%7)*2) RGB, pixel p(y,x,c) = (doc_id*4099 + y*131 + x*17
+# + c*59) % 256 — mirrors operators/multimodal.py:_png_pixels. All
+# features are exact integers (p < 2^8, ≤ 1920 values/asset, weighted
+# sums < 2^40), so the compare is BIGINT-exact on both engines.
+_PNG_PIXEL_CTE = """
+    params AS (
+        SELECT doc_id,
+               8 + (doc_id % 13) * 2 AS w,
+               8 + (doc_id % 7) * 2 AS h
+        FROM documents
+    ),
+    pix AS (
+        SELECT doc_id, w, h, y, x, c,
+               (doc_id * 4099 + y * 131 + x * 17 + c * 59) % 256 AS p
+        FROM params,
+             unnest(range(0, h)) AS u(y),
+             unnest(range(0, w)) AS v(x),
+             unnest(range(0, 3)) AS t(c)
+    )
+"""
+
+
+@register(
+    "multimodal_image_png_features",
+    oracle=f"""
+    WITH {_PNG_PIXEL_CTE}
+    SELECT doc_id,
+           w::BIGINT AS width,
+           h::BIGINT AS height,
+           (w * h * 3)::BIGINT AS n_values,
+           sum(CASE WHEN c = 0 THEN p ELSE 0 END)::BIGINT AS sum_r,
+           sum(CASE WHEN c = 1 THEN p ELSE 0 END)::BIGINT AS sum_g,
+           sum(CASE WHEN c = 2 THEN p ELSE 0 END)::BIGINT AS sum_b,
+           sum(p * p)::BIGINT AS sum_sq,
+           max(p)::BIGINT AS peak,
+           sum((y * w + x + 1) * p)::BIGINT AS pos_checksum
+    FROM pix GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_png_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image decode + feature extraction over real PNG containers: per
+    document-keyed asset, the IHDR dimensions, per-channel sums, energy,
+    peak, and a position-weighted checksum sum((y*w + x + 1) * p) that a
+    transposed/mis-framed decode cannot reproduce. The Spark side trusts
+    ONLY the pixels that survived encode ∘ decode; the oracle recomputes
+    them from the closed-form signal — the WAV codec-adversarial posture
+    (plans/extras2.py:multimodal_audio_wav_features), image grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return png_features(docs)
+
+
+@register(
+    "multimodal_image_row_stats",
+    oracle=f"""
+    WITH {_PNG_PIXEL_CTE}
+    SELECT doc_id, y::BIGINT AS y,
+           ((doc_id + y) % 5)::BIGINT AS png_filter,
+           sum(CASE WHEN c = 0 THEN p ELSE 0 END)::BIGINT AS sum_r,
+           sum(CASE WHEN c = 1 THEN p ELSE 0 END)::BIGINT AS sum_g,
+           sum(CASE WHEN c = 2 THEN p ELSE 0 END)::BIGINT AS sum_b,
+           max(p)::BIGINT AS row_peak,
+           sum((x + 1) * p)::BIGINT AS x_checksum
+    FROM pix GROUP BY doc_id, y
+    """,
+)
+def multimodal_image_row_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scanline-grain image features: the 1→H decode expansion
+    (multimodal_audio_frame_energy's image sibling). Each decoded row
+    emits its filter byte AS READ from the inflated stream — the oracle
+    recomputes it as (doc_id + y) % 5, so a filter-assignment or
+    scanline-framing bug is caught before it even reaches pixel values —
+    plus per-channel sums, row peak, and an x-weighted checksum that
+    pins within-row byte order. Map-only 1→N inside mapInPandas; the
+    per-row relation is the input to ordinary windowed aggregations
+    downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return png_row_stats(docs)

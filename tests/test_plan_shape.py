@@ -535,3 +535,22 @@ def test_compressed_candidate_stages_broadcast_queries(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # broadcast query codes
         assert "BroadcastHashJoin" in plan  # exact-stage vector joins
+
+
+def test_image_decode_is_shuffle_free_map(spark, sf_dir):
+    """The PNG feature entries (round 12) must stay PURE MAP plans like
+    their WAV siblings: one narrow (doc_id) scan feeding Arrow-batched
+    mapInPandas, zero exchanges — the embarrassingly-parallel decode
+    posture. Any shuffle here means the decode stopped being a scan
+    pass."""
+    for name in (
+        "multimodal_image_png_features",
+        "multimodal_image_row_stats",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"
+        assert plan.count("Location: InMemoryFileIndex") == 1
+        read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "text" not in read_schema, (
+            f"{name}: decode input must prune to doc_id"
+        )

@@ -1,0 +1,184 @@
+"""Round-12 PNG codec tests (VERDICT r11 #3): the image entries'
+codec-adversarial claim made concrete, mirroring the WAV suite
+(test_harness_sensitivity.py::test_codec_decode_bug_classes_caught).
+
+Three layers:
+  1. encode ∘ decode is the identity on the closed-form pixels for
+     assets spanning every (filter-type, dimension) class;
+  2. each classic PNG-decode bug class (filters ignored, Paeth
+     mis-predicted, Average mis-rounded, header byte-order) produces
+     features that DIVERGE from the closed form — the oracle really can
+     catch a broken codec, the check is not vacuously symmetric;
+  3. structurally corrupt containers (flipped IDAT byte, bad CRC,
+     truncation, bad signature) are REJECTED, never silently decoded
+     into features (the crafted-corrupt-payload golden).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from numalogic_prometheus_spark.operators.multimodal import (
+    PNG_MAGIC,
+    _png_dims,
+    _png_pixels,
+    decode_png,
+    synthesize_png,
+)
+
+# spans every filter-cycle phase and several dimension classes
+DOC_IDS = [0, 1, 2, 3, 4, 7, 42, 96, 499]
+
+
+def _features(pix: np.ndarray, w: int, h: int) -> tuple:
+    posw = (
+        np.arange(h, dtype=np.int64)[:, None] * w
+        + np.arange(w, dtype=np.int64)[None, :]
+        + 1
+    )
+    return (
+        int(pix.sum()),
+        int((pix * pix).sum()),
+        int((posw[:, :, None] * pix).sum()),
+    )
+
+
+def _reference(doc_id: int) -> tuple:
+    w, h = _png_dims(doc_id)
+    return _features(_png_pixels(doc_id, w, h), w, h)
+
+
+def test_png_roundtrip_exact():
+    for d in DOC_IDS:
+        w, h, filters, pix = decode_png(synthesize_png(d))
+        assert (w, h) == _png_dims(d)
+        assert np.array_equal(filters, (d + np.arange(h)) % 5)
+        assert _features(pix, w, h) == _reference(d)
+        assert np.array_equal(pix, _png_pixels(d, w, h))
+
+
+def _inflate(payload: bytes):
+    """Raw scanline stream + dims, bypassing decode_png's filter
+    reconstruction so the buggy variants below can re-reconstruct."""
+    ihdr = payload[16 : 16 + 13]
+    w, h = struct.unpack(">II", ihdr[:8])
+    idat = bytearray()
+    pos = 8
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.extend(payload[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+    return w, h, zlib.decompress(bytes(idat))
+
+
+def _reconstruct(w: int, h: int, stream: bytes, bug: str) -> np.ndarray:
+    """A deliberately-buggy de-filter: one classic mistake per class."""
+    stride = w * 3
+    prev = np.zeros(stride, dtype=np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        row = stream[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ftype = row[0]
+        filt = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        if bug == "ignore_filters":
+            recon = filt  # treats every row as filter 0
+        else:
+            recon = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = recon[i - 3] if i >= 3 else 0
+                up = prev[i]
+                upleft = prev[i - 3] if i >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    if bug == "average_no_floor":
+                        pred = (left + up + 1) // 2  # rounds, spec floors
+                    else:
+                        pred = (left + up) // 2
+                else:
+                    if bug == "paeth_as_up":
+                        pred = up  # skips the predictor entirely
+                    else:
+                        p = left + up - upleft
+                        pa, pb, pc = (
+                            abs(p - left), abs(p - up), abs(p - upleft)
+                        )
+                        if pa <= pb and pa <= pc:
+                            pred = left
+                        elif pb <= pc:
+                            pred = up
+                        else:
+                            pred = upleft
+                recon[i] = (filt[i] + pred) & 255
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w, 3)
+
+
+def test_png_decode_bug_classes_caught():
+    for bug in ("ignore_filters", "paeth_as_up", "average_no_floor"):
+        diverged = False
+        for d in DOC_IDS:
+            payload = synthesize_png(d)
+            w, h, stream = _inflate(payload)
+            if _features(_reconstruct(w, h, stream, bug), w, h) != _reference(d):
+                diverged = True
+                break
+        assert diverged, f"decode bug class {bug!r} not detectable"
+    # header byte-order bug: little-endian read of the big-endian IHDR
+    # yields garbage dimensions — detectable as a structural error for
+    # every asset (stream length no longer matches w,h)
+    for d in DOC_IDS:
+        payload = synthesize_png(d)
+        w_le, h_le = struct.unpack("<II", payload[16:24])
+        assert (w_le, h_le) != _png_dims(d)
+
+
+def test_png_corrupt_payloads_rejected():
+    payload = synthesize_png(42)
+
+    # bad signature
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x00" + payload[1:])
+
+    # flipped byte inside IDAT data → CRC mismatch, never a decode
+    idat_off = payload.index(b"IDAT") + 4
+    corrupt = bytearray(payload)
+    corrupt[idat_off + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+    # flipped byte with the CRC recomputed to match (a "valid" container
+    # carrying a garbled stream) → inflate/framing error, not features
+    start = payload.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", payload[start : start + 4])
+    data = bytearray(payload[start + 8 : start + 8 + length])
+    data[2] ^= 0xFF
+    rebuilt = (
+        payload[:start]
+        + struct.pack(">I", length)
+        + b"IDAT"
+        + bytes(data)
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bytes(data)) & 0xFFFFFFFF)
+        + payload[start + 12 + length :]
+    )
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(rebuilt)
+
+    # truncation at any chunk boundary
+    with pytest.raises(ValueError):
+        decode_png(payload[: len(payload) // 2])
+
+    # IEND missing entirely
+    with pytest.raises(ValueError, match="IHDR or IEND"):
+        decode_png(payload[: payload.index(b"IEND") - 4])
