@@ -169,7 +169,90 @@ def text_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cdc_chunk_pairs")  # Python rolling-hash chunker → rows-only
+@register(
+    "dedup_cdc_chunk_pairs",
+    # Round-12 oracle (VERDICT r11 #6 — the last dedup-family member
+    # without a DuckDB twin). The chunker's boundary rule collapses to
+    # pure SQL via two exact identities, fuzz-verified against
+    # operators/cdc.chunk_bytes over 300 random byte-strings
+    # (tests/test_properties.py::test_cdc_sql_formulation_matches_chunker):
+    #   1. the rolling-hash cut test h % 64 == 63 reduces to a windowed
+    #      BYTE SUM: the base 257 ≡ 1 (mod 64) and 64 divides the 2^31
+    #      modulus, so h ≡ sum(trailing 16 bytes) (mod 64) — a
+    #      15-PRECEDING window sum, no polynomial arithmetic;
+    #   2. max-length force cuts need no recursion: content boundaries
+    #      are absolute (the hash never resets at a cut), so within each
+    #      consecutive content-cut gap (a, b] the force cuts sit at
+    #      a+160, a+320, … < b — a stepped range() expansion per gap.
+    # Character positions equal byte positions because the fixture text
+    # is pure ASCII at every scale; the guard CTE makes that assumption
+    # fail LOUDLY (error()) instead of silently diverging, and the
+    # Python property tests keep covering the non-ASCII byte path.
+    oracle="""
+    WITH doc_n AS (
+        SELECT doc_id, text,
+               CASE WHEN octet_length(encode(text)) <> length(text)
+                    THEN error('cdc oracle requires ascii text')
+                    ELSE length(text) END AS n
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    bytes AS (
+        SELECT doc_id, i, ord(substr(text, i::INT, 1)) AS b
+        FROM doc_n, unnest(range(1, n + 1)) AS u(i)
+    ),
+    wsum AS (
+        SELECT doc_id, i,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS w
+        FROM bytes
+    ),
+    anchors AS (
+        SELECT doc_id, i AS p FROM wsum WHERE i >= 16 AND w % 64 = 63
+        UNION SELECT doc_id, 0 FROM doc_n
+        UNION SELECT doc_id, n FROM doc_n
+    ),
+    gaps AS (
+        SELECT doc_id, p AS a,
+               lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS b
+        FROM anchors
+    ),
+    ends AS (
+        SELECT doc_id, e FROM gaps, unnest(range(a + 160, b, 160)) AS u(e)
+        WHERE b IS NOT NULL
+        UNION ALL SELECT doc_id, b FROM gaps WHERE b IS NOT NULL
+    ),
+    chunk_spans AS (
+        SELECT doc_id, e,
+               lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s
+        FROM ends
+    ),
+    chunks AS (
+        SELECT DISTINCT c.doc_id,
+               substr(md5(substr(d.text, (c.s + 1)::INT, (c.e - c.s)::INT)),
+                      1, 16) AS chunk_hash
+        FROM chunk_spans c JOIN doc_n d USING (doc_id)
+    ),
+    n_chunks AS (
+        SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+    ),
+    canon AS (
+        SELECT chunk_hash, min(doc_id) AS id_a FROM chunks GROUP BY chunk_hash
+    ),
+    shared AS (
+        SELECT c.id_a, ch.doc_id AS id_b, count(*) AS shared_chunks
+        FROM chunks ch JOIN canon c USING (chunk_hash)
+        WHERE ch.doc_id > c.id_a
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           s.shared_chunks::BIGINT AS shared_chunks,
+           n.n_chunks::BIGINT AS chunks_a,
+           round(s.shared_chunks / n.n_chunks::DOUBLE, 6) AS containment
+    FROM shared s JOIN n_chunks n ON n.doc_id = s.id_a
+    WHERE round(s.shared_chunks / n.n_chunks::DOUBLE, 6) >= 0.5
+    """,
+)
 def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup: each doc splits at rolling-hash
     boundaries (operators/cdc.py) via mapInPandas (map-only 1→N); docs
@@ -177,7 +260,9 @@ def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical min-doc pairing (linear in cluster size, the same shape as
     LSH banding); containment = shared_chunks / doc_a_chunks ≥ 0.5.
     Catches partial overlap — shared passages, boilerplate — that
-    whole-document signatures blur out."""
+    whole-document signatures blur out. Oracle-backed since round 12:
+    the boundary recurrence is expressed exactly in SQL (see the oracle
+    comment above for the two identities that make it non-recursive)."""
     import pandas as pd
 
     from numalogic_prometheus_spark.operators.cdc import chunk_text

@@ -945,3 +945,56 @@ def test_ts_of_over_time_matches_go_scan(spark, samples, tmp_path_factory):
     assert row["ts_of_last"] == us(ordered[-1][0])
     assert row["max_v"] == max_c / 100.0
     assert row["min_v"] == min_c / 100.0
+
+
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=600), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_sql_formulation_matches_chunker(blobs):
+    """The round-12 CDC oracle's two identities, pinned as a property
+    over arbitrary byte-strings (the SQL itself only ever sees the
+    ASCII fixture; this covers the full byte domain):
+
+      1. h % 64 == 63 (rolling Rabin-Karp, base 257, modulus 2^31)
+         equals sum(trailing 16 bytes) % 64 == 63, because 257 ≡ 1
+         (mod 64) and 64 | 2^31;
+      2. content boundaries are absolute, so max-length force cuts are
+         the stepped expansion a+160, a+320, … within each consecutive
+         content-cut gap — no recurrence.
+
+    The gap-expansion reconstruction below is the exact algorithm the
+    DuckDB oracle runs; it must reproduce chunk_bytes verbatim
+    (offsets, lengths, hashes)."""
+    import hashlib
+
+    from numalogic_prometheus_spark.operators.cdc import (
+        _DIV,
+        _MAX,
+        _WIN,
+        chunk_bytes,
+    )
+
+    for data in blobs:
+        n = len(data)
+        ccuts = [
+            i + 1
+            for i in range(n)
+            if i >= _WIN - 1
+            and sum(data[i - _WIN + 1 : i + 1]) % _DIV == _DIV - 1
+        ]
+        anchors = sorted({0, n, *ccuts})
+        ends = []
+        for a, b in zip(anchors, anchors[1:]):
+            e = a + _MAX
+            while e < b:
+                ends.append(e)
+                e += _MAX
+            ends.append(b)
+        out, s = [], 0
+        for e in ends:
+            out.append((s, e - s, hashlib.md5(data[s:e]).hexdigest()[:16]))
+            s = e
+        assert chunk_bytes(data) == out
