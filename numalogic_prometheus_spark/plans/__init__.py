@@ -77,107 +77,94 @@ _MODULES = (
     "images",
 )
 
-# ROUND-11 ROTATION (VERDICT r10 next-round #1; per-round narratives
+# ROUND-12 ROTATION (VERDICT r11 next-round #1; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 6 + 1 + 2 + 20 + 21 = 50, enumerated by reason:
-#   * the 6 round-4-stale TPC-H members deferred from the r10 window
-#     (q14/q15/q16/q18/q19/q22), promised first in line;
-#   * promql_native_histogram_fraction — registered late r10 with full
-#     sf0.001/0.01/0.1/sf1.0 evidence, the only entry with no driver
-#     row yet;
-#   * the 2 entries REGISTERED this round (r6 rule: in-window from day
-#     one): text_semantic_contamination (VERDICT r10 #5) and
-#     stream_native_histogram_rate (VERDICT r10 #4, rows-only by
+# queries(). 8 + 7 + 4 + 31 = 50, enumerated by reason:
+#   * the 8 late-r11 registrations that have never had a driver row
+#     (queued per the r9 protocol with full 4-scale sweep evidence),
+#     first in line as promised;
+#   * the 7 round-6-stale entries deferred from the r11 window by
+#     name (agg_pricing_summary, counter_hourly, gauge_latest_per_user,
+#     join_asof_last_error, ts_step_resample, stream_sliding_counts,
+#     stream_session_windows), promised first alongside them;
+#   * the 4 entries REGISTERED OR ORACLE-UPGRADED this round (r6 rule:
+#     in-window from day one): multimodal_image_png_features and
+#     multimodal_image_row_stats (VERDICT r11 #3 — real PNG codec),
+#     dedup_cdc_chunk_pairs (VERDICT r11 #6 — rows-only until r12, its
+#     new DuckDB oracle needs a driver hash row), and
+#     stream_semantic_contamination (VERDICT r11 #4, rows-only by
 #     nature — exact batch-parity + kill/restart tests instead);
-#   * the 20 entries whose last driver row is round 5 — the oldest
-#     recency tail;
-#   * 21 of the 28 entries whose last driver row is round 6. The 7
-#     deferred to r12, by name and reason: agg_pricing_summary,
-#     counter_hourly (also the entry() flagship the driver smoke-runs
-#     every round), gauge_latest_per_user, join_asof_last_error,
-#     ts_step_resample — all five timed by bench.py every round — plus
-#     stream_sliding_counts and stream_session_windows, whose
-#     semantics are additionally covered by native Structured
-#     Streaming tests; all seven are hash-green in this round's
-#     committed full-registry sweeps like everything else and are
-#     first in line for the r12 window.
-# QUEUED FOR R12 (r9 queue protocol — registered late r11 with full
-# sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines appended to all
-# three sweep logs + SWEEP_sf1_rest.log appended run, golden in
-# tests/test_native_histogram_rate_golden.py, benched in HEADLINE):
-# promql_native_histogram_fraction_rate (plans/promql7.py — the SLO
-# burn composition histogram_fraction ∘ rate on the shared
-# _nh_window_deltas substrate; exact-integer deltas × plan-time log2
-# literals), promql_burn_rate_multiwindow (plans/promql9.py — the
-# SRE multiwindow burn-rate alert on the counter substrate),
-# vec_pq_subvector_topk and vec_matryoshka_prefix_topk
-# (plans/vectors5.py — PQ m=4 and MRL prefix candidate generation),
-# promql_native_histogram_rate_quantile_agg (plans/promql7.py — the
-# fleet SLO shape: bucket-wise cross-series sum of window deltas, then
-# the quantile), and stream_burn_rate_alert (plans/streaming2.py —
-# the multiwindow alert on the stream, exact against the batch SQL),
-# multimodal_audio_wav_features and multimodal_audio_frame_energy
-# (plans/extras2.py — real WAV codec round-trip + its frame-grain 1→N
-# expansion, both with codec-adversarial closed-form oracles).
-# They join the 7 deferred r6-stale entries at the front of the r12
-# window.
+#   * 31 of the 40 entries whose last driver row is round 7 — the
+#     whole remaining recency tail except 9 deferred BY NAME to r13
+#     (first in line there), chosen as the members with the strongest
+#     independent per-round signal — benched every round in HEADLINE
+#     and/or carrying dedicated unit suites / native streaming twins:
+#     summary_by_type, histogram_cumulative, info_latest_per_user
+#     (metrics-family suites + bench), ml_ensemble_unified,
+#     join_fact_fact_revenue, join_broadcast_enrich, win_topk_per_group,
+#     dedup_minhash_lsh_pairs (benched every round),
+#     dedup_incremental_batch (benched + native streaming-twin tests).
+#     All 9 are hash-green in this round's committed full-registry
+#     sweeps like everything else.
+# After r12 the staleness ledger is: nothing older than r7, exactly
+# the 9 enumerated r7 deferrals at r7, everything else r8+, and no
+# entry without a driver row.
 _CHECK_FIRST = (
-    # -- r10-deferred round-4-stale TPC-H suite (6) --
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_high_balance",
-    # -- queued r10 registration, first driver row (1) --
-    "promql_native_histogram_fraction",
-    # -- new round-11 registrations (in-window from day one) (2) --
-    "text_semantic_contamination",
-    "stream_native_histogram_rate",  # rows-only by nature
-    # -- r5 recency tail, all 20 --
-    "dedup_semantic_survivors",
-    "dedup_substring_spans",
-    "promql_and_intersection",
-    "promql_changes_per_series",
-    "promql_or_union",
-    "promql_resets_per_series",
-    "promql_unless_difference",
-    "quality_gopher_verdict",
-    "quality_pii_redaction",
-    "rollup_monthly_from_hourly",
-    "sample_quality_weighted",
-    "tpch_q11_important_inventory",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_heavy_shippers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "vec_int8_quantized_topk",
-    "vec_ivf_topk",
-    # -- r6 recency tail, 21 of 28 --
-    "funnel_view_click_purchase",
-    "join_interval_overlap",
-    "join_salted_skew",
-    "ml_seasonal_zscore",
-    "promql_deriv_per_series",
-    "promql_increase_total",
-    "promql_offset_day_over_day",
-    "promql_predict_linear",
-    "promql_quantile_over_time",
-    "promql_resets_changes",
-    "scalar_datetime_funcs",
-    "scd2_event_type_intervals",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_topk_event_types",
-    "stream_tumbling_counts",
-    "tpch_q4_order_priority",
-    "ts_ohlc_hourly",
-    "ts_sessionize_gap",
-    "win_lag_rate_reset",
-    "win_sliding_range_1h",
+    # -- late-r11 registrations, first driver row (8) --
+    "promql_native_histogram_fraction_rate",
+    "promql_burn_rate_multiwindow",
+    "vec_pq_subvector_topk",
+    "vec_matryoshka_prefix_topk",
+    "promql_native_histogram_rate_quantile_agg",
+    "stream_burn_rate_alert",
+    "multimodal_audio_wav_features",
+    "multimodal_audio_frame_energy",
+    # -- r11-deferred round-6-stale entries (7) --
+    "agg_pricing_summary",
+    "counter_hourly",
+    "gauge_latest_per_user",
+    "join_asof_last_error",
+    "ts_step_resample",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    # -- new round-12 registrations / oracle upgrades (4) --
+    "multimodal_image_png_features",
+    "multimodal_image_row_stats",
+    "dedup_cdc_chunk_pairs",
+    "stream_semantic_contamination",  # rows-only by nature
+    # -- r7 recency tail, 31 of 40 --
+    "agg_conditional_buckets",
+    "agg_distinct_counts",
+    "agg_rollup_region_nation",
+    "agg_stats_moments",
+    "dedup_shingle_minhash_pairs",
+    "exposition_counter",
+    "filter_predicates",
+    "join_anti_inactive_customers",
+    "join_band_value_tiers",
+    "join_full_outer_keys",
+    "join_semi_active_customers",
+    "label_merge_right_biased",
+    "profile_column_stats",
+    "promql_absent_over_time",
+    "promql_alert_firing",
+    "promql_label_ops",
+    "promql_present_over_time",
+    "promql_rate_extrapolated",
+    "promql_topk_users_hourly",
+    "sample_split_by_cluster",
+    "scalar_array_funcs",
+    "scalar_json_extract",
+    "scalar_nan_inf_clean",
+    "set_union_intersect_except",
+    "subquery_correlated_max_per_cust",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "tpch_q7_nation_volume",
+    "vec_cosine_topk",
+    "win_running_cumulative",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
