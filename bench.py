@@ -104,6 +104,10 @@ HEADLINE = [
     "promql_native_histogram_rate_quantile_agg",  # fleet sum-then-quantile (r11, queued r12)
     "multimodal_audio_wav_features",  # real WAV codec round-trip (r11, queued r12)
     "multimodal_audio_frame_energy",  # frame-grain decode expansion (r11, queued r12)
+    "multimodal_image_png_features",  # real PNG codec round-trip (r12)
+    "multimodal_image_row_stats",     # scanline-grain decode expansion (r12)
+    "multimodal_video_apng_frames",   # real APNG frame demux (r12)
+    "dedup_cdc_chunk_pairs",          # CDC chunk pairing (oracle-backed r12)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the

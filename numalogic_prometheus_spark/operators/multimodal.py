@@ -2,12 +2,17 @@
 binary columns with typed metadata, decode/feature-extract as Arrow-batched
 mapInPandas).
 
-The container has no image/audio codecs, so the decode kernel is a
-deterministic fake (documented below) behind the SAME plumbing a real
-codec would use: binary in → fixed-schema feature struct out, batch-wise
-over Arrow record batches. Swapping `_fake_decode_features` for a
-PIL/torchaudio kernel changes zero Spark-side code — schema, partitioning,
-UDF signature and batch shape are the real contract being tested.
+All three modalities now have REAL stdlib codec round-trips with
+codec-adversarial closed-form oracles: audio as RIFF/WAVE (round 11),
+images as PNG with all five scanline filters (round 12), and video
+frame demux as APNG — sequenced fcTL/fdAT frames, per-frame DEFLATE
+(round 12). `_fake_decode_features` below remains only as the
+documented stand-in for codec families genuinely absent from this
+container (JPEG/ffmpeg-class): binary in → fixed-schema feature struct
+out, batch-wise over Arrow record batches, so swapping it for a
+PIL/torchaudio kernel changes zero Spark-side code — schema,
+partitioning, UDF signature and batch shape are the same contract the
+real codecs run under.
 
 Scale posture: decode is the classic CPU-heavy map-only stage — no
 shuffle, embarrassingly parallel, Arrow-batched to amortize Python
@@ -392,25 +397,20 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def synthesize_png(doc_id: int) -> bytes:
-    """A real PNG container: 8-bit RGB (color type 2), one IDAT, and a
-    per-row filter type cycling (doc_id + y) % 5 so every asset
-    exercises None/Sub/Up/Average/Paeth — an encoder that filters
-    wrongly, or a decoder that reconstructs wrongly, cannot round-trip
-    the closed-form pixels."""
-    import struct
-    import zlib
-
+def _filter_scanlines(pix, ftype_of_row) -> bytes:
+    """PNG ENCODE-side scanline filtering: apply ``ftype_of_row(y)``'s
+    filter transform to each row of an (h, w, 3) pixel array and return
+    the raw (uncompressed) scanline stream. Shared by the still-image
+    and APNG frame encoders."""
     import numpy as np
 
-    w, h = _png_dims(doc_id)
-    pix = _png_pixels(doc_id, w, h).astype(np.int64)
+    h, w, _ = pix.shape
     stride = w * 3
     lines = bytearray()
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         raw = pix[y].reshape(stride)
-        ftype = (doc_id + y) % 5
+        ftype = ftype_of_row(y)
         left = np.concatenate([np.zeros(3, dtype=np.int64), raw[:-3]])
         if ftype == 0:
             filt = raw
@@ -435,11 +435,28 @@ def synthesize_png(doc_id: int) -> bytes:
         lines.append(ftype)
         lines.extend((filt % 256).astype(np.uint8).tobytes())
         prev = raw
+    return bytes(lines)
+
+
+def synthesize_png(doc_id: int) -> bytes:
+    """A real PNG container: 8-bit RGB (color type 2), one IDAT, and a
+    per-row filter type cycling (doc_id + y) % 5 so every asset
+    exercises None/Sub/Up/Average/Paeth — an encoder that filters
+    wrongly, or a decoder that reconstructs wrongly, cannot round-trip
+    the closed-form pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _png_dims(doc_id)
+    pix = _png_pixels(doc_id, w, h).astype(np.int64)
+    lines = _filter_scanlines(pix, lambda y: (doc_id + y) % 5)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IDAT", zlib.compress(lines, 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -457,12 +474,37 @@ def decode_png(payload: bytes):
 
     import numpy as np
 
+    chunks = _walk_png_chunks(payload)
+    tags = [t for t, _ in chunks]
+    if "IHDR" not in tags or "IEND" not in tags:
+        raise ValueError("missing IHDR or IEND")
+    ihdr = chunks[tags.index("IHDR")][1]
+    idat = bytearray()
+    for t, d in chunks:
+        if t == "IDAT":
+            idat.extend(d)
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported PNG variant")
+    stream = zlib.decompress(bytes(idat))
+    filters, pixels = _defilter_scanlines(stream, w, h)
+    return w, h, filters, pixels
+
+
+def _walk_png_chunks(payload: bytes) -> list[tuple[str, bytes]]:
+    """Walk a PNG/APNG chunk stream verifying the signature and every
+    chunk CRC32; returns [(tag, data)] up to and including IEND. Raises
+    ValueError on any structural corruption. Shared by the still-image
+    and APNG READ paths."""
+    import struct
+    import zlib
+
     if payload[:8] != PNG_MAGIC:
         raise ValueError("bad PNG signature")
     pos = 8
-    ihdr = None
-    idat = bytearray()
-    ended = False
+    chunks: list[tuple[str, bytes]] = []
     while pos < len(payload):
         if pos + 8 > len(payload):
             raise ValueError("truncated chunk header")
@@ -476,22 +518,19 @@ def decode_png(payload: bytes):
         )
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r}")
-        if tag == b"IHDR":
-            ihdr = data
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            ended = True
+        chunks.append((tag.decode("latin-1"), data))
+        if tag == b"IEND":
             break
         pos += 12 + length
-    if ihdr is None or not ended:
-        raise ValueError("missing IHDR or IEND")
-    w, h, depth, color, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
-        raise ValueError("unsupported PNG variant")
-    stream = zlib.decompress(bytes(idat))
+    return chunks
+
+
+def _defilter_scanlines(stream: bytes, w: int, h: int):
+    """PNG DECODE-side scanline reconstruction (all five filter
+    types); returns (filters int64[h], pixels int64[h, w, 3]). Shared
+    by the still-image and APNG frame READ paths."""
+    import numpy as np
+
     stride = w * 3
     if len(stream) != h * (1 + stride):
         raise ValueError("scanline stream length mismatch")
@@ -533,7 +572,7 @@ def decode_png(payload: bytes):
         filters[y] = ftype
         pixels[y] = recon
         prev = recon
-    return w, h, filters, pixels.reshape(h, w, 3)
+    return filters, pixels.reshape(h, w, 3)
 
 
 def _decode_png_asset(doc_id: int):
@@ -630,3 +669,190 @@ def png_row_stats(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(_rows, schema=PNG_ROW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — REAL video-frame demux: APNG (the PNG specification's
+# animated extension, a standard container the stdlib can fully
+# express). Each asset is a genuine multi-frame animation — acTL
+# frame-count control, per-frame fcTL chunks (sequenced, with frame
+# dims and delays), frame 0 in IDAT and later frames in
+# sequence-numbered fdAT chunks, every chunk CRC32-protected, every
+# frame DEFLATE-compressed and filter-cycled like the still image.
+# The READ path validates the signature, every CRC, the acTL count,
+# the strict fcTL/fdAT sequence-number ordering, and reconstructs
+# each frame's scanlines — so the classic video-demux bug classes
+# (frame misorder, off-by-one sequence, frame/canvas dim mismatch,
+# delay misparse, garbled inter-frame compression) are all structural
+# or feature-visible failures. This retires the "video frame demux is
+# a fake" caveat the way WAV (r11) and PNG (above) retired audio and
+# image: the features come only from decoded frames, and a DuckDB
+# oracle recomputes them from the closed-form per-frame signal.
+# ---------------------------------------------------------------------------
+
+APNG_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long,"
+    " delay_num long, sum_rgb long, sum_sq long, peak long,"
+    " pos_checksum long"
+)
+
+
+def _apng_n_frames(doc_id: int) -> int:
+    return 2 + (doc_id % 4)  # 2..5 frames per asset
+
+
+def _apng_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + (doc_id % 5) * 2, 8 + (doc_id % 3) * 2  # 8..16 × 8..12
+
+
+def _apng_pixels(doc_id: int, t: int, w: int, h: int):
+    """Closed-form frame signal: p(t,y,x,c) = (doc_id*4099 + t*769 +
+    y*131 + x*17 + c*59) mod 256 — the still-image formula with a
+    frame term, so every frame differs and a frame-order bug is
+    feature-visible."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return (doc_id * 4099 + t * 769 + y * 131 + x * 17 + c * 59) % 256
+
+
+def synthesize_apng(doc_id: int) -> bytes:
+    """A real APNG container: IHDR + acTL, then per frame an fcTL
+    (sequence number, full-canvas dims, delay t+1/1000 s, dispose
+    NONE, blend SOURCE) and the frame's DEFLATE stream — frame 0 as
+    IDAT, frames 1.. as fdAT prefixed with their sequence number, as
+    the APNG spec frames it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _apng_dims(doc_id)
+    n_frames = _apng_n_frames(doc_id)
+    out = bytearray(PNG_MAGIC)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    seq = 0
+    for t in range(n_frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, t + 1, 1000, 0, 0
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        pix = _apng_pixels(doc_id, t, w, h).astype(np.int64)
+        lines = _filter_scanlines(pix, lambda y, _t=t: (doc_id + _t + y) % 5)
+        z = zlib.compress(lines, 6)
+        if t == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(payload: bytes):
+    """The APNG READ path: CRC-verified chunk walk, IHDR/acTL parse,
+    strict sequence-number validation across fcTL/fdAT, per-frame
+    inflate + scanline reconstruction. Returns (width, height,
+    frames: list of (delay_num, pixels int64[h, w, 3])). Raises
+    ValueError on structural corruption, sequence misorder, frame
+    count mismatch, or non-canvas frame dims (this decoder supports
+    the full-canvas SOURCE/NONE subset it targets — anything else is
+    an unsupported variant, never a silent guess)."""
+    import struct
+    import zlib
+
+    chunks = _walk_png_chunks(payload)
+    tags = [t for t, _ in chunks]
+    if "IHDR" not in tags or "IEND" not in tags or "acTL" not in tags:
+        raise ValueError("missing IHDR, acTL or IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[tags.index("IHDR")][1]
+    )
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported PNG variant")
+    (n_frames, _plays) = struct.unpack(">II", chunks[tags.index("acTL")][1])
+    frames_raw: list[tuple[int, bytearray]] = []  # (delay_num, zstream)
+    expect_seq = 0
+    for tag, data in chunks:
+        if tag == "fcTL":
+            (seq, fw, fh, fx, fy, dnum, _dden, dispose, blend) = (
+                struct.unpack(">IIIIIHHBB", data)
+            )
+            if seq != expect_seq:
+                raise ValueError(f"fcTL sequence {seq} != {expect_seq}")
+            expect_seq += 1
+            if (fw, fh, fx, fy) != (w, h, 0, 0) or dispose or blend:
+                raise ValueError("unsupported APNG frame geometry")
+            frames_raw.append((dnum, bytearray()))
+        elif tag == "IDAT":
+            if len(frames_raw) != 1:
+                raise ValueError("IDAT outside frame 0")
+            frames_raw[0][1].extend(data)
+        elif tag == "fdAT":
+            (seq,) = struct.unpack(">I", data[:4])
+            if seq != expect_seq:
+                raise ValueError(f"fdAT sequence {seq} != {expect_seq}")
+            expect_seq += 1
+            if not frames_raw:
+                raise ValueError("fdAT before any fcTL")
+            frames_raw[-1][1].extend(data[4:])
+    if len(frames_raw) != n_frames:
+        raise ValueError(
+            f"acTL declares {n_frames} frames, found {len(frames_raw)}"
+        )
+    frames = []
+    for dnum, z in frames_raw:
+        _filters, pixels = _defilter_scanlines(
+            zlib.decompress(bytes(z)), w, h
+        )
+        frames.append((dnum, pixels))
+    return w, h, frames
+
+
+def apng_frame_features(docs: DataFrame) -> DataFrame:
+    """mapInPandas: per doc_id, synthesize the APNG asset, demux and
+    decode it through the READ path, and emit one row PER FRAME with
+    exact-integer features from the reconstructed pixels — the video
+    1→N frame-demux seam, real this time (frame_sample above remains
+    the stand-in for codecs absent from the container). The decoded
+    delay_num is emitted so an fcTL-parse bug is oracle-visible."""
+    from collections.abc import Iterator
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = synthesize_apng(int(doc_id))
+                w, h, frames = decode_apng(payload)
+                posw = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                for t, (dnum, pix) in enumerate(frames):
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": t,
+                            "width": w,
+                            "height": h,
+                            "delay_num": dnum,
+                            "sum_rgb": int(pix.sum()),
+                            "sum_sq": int((pix * pix).sum()),
+                            "peak": int(pix.max()),
+                            "pos_checksum": int(
+                                (posw[:, :, None] * pix).sum()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _extract, schema=APNG_FRAME_SCHEMA
+    )

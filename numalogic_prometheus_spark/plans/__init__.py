@@ -80,7 +80,7 @@ _MODULES = (
 # ROUND-12 ROTATION (VERDICT r11 next-round #1; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 8 + 7 + 4 + 31 = 50, enumerated by reason:
+# queries(). 8 + 7 + 5 + 30 = 50, enumerated by reason:
 #   * the 8 late-r11 registrations that have never had a driver row
 #     (queued per the r9 protocol with full 4-scale sweep evidence),
 #     first in line as promised;
@@ -88,27 +88,31 @@ _MODULES = (
 #     name (agg_pricing_summary, counter_hourly, gauge_latest_per_user,
 #     join_asof_last_error, ts_step_resample, stream_sliding_counts,
 #     stream_session_windows), promised first alongside them;
-#   * the 4 entries REGISTERED OR ORACLE-UPGRADED this round (r6 rule:
+#   * the 5 entries REGISTERED OR ORACLE-UPGRADED this round (r6 rule:
 #     in-window from day one): multimodal_image_png_features and
 #     multimodal_image_row_stats (VERDICT r11 #3 — real PNG codec),
+#     multimodal_video_apng_frames (extension past #3 — real APNG
+#     frame demux, the last fake-media caveat retired),
 #     dedup_cdc_chunk_pairs (VERDICT r11 #6 — rows-only until r12, its
 #     new DuckDB oracle needs a driver hash row), and
 #     stream_semantic_contamination (VERDICT r11 #4, rows-only by
 #     nature — exact batch-parity + kill/restart tests instead);
-#   * 31 of the 40 entries whose last driver row is round 7 — the
-#     whole remaining recency tail except 9 deferred BY NAME to r13
+#   * 30 of the 40 entries whose last driver row is round 7 — the
+#     whole remaining recency tail except 10 deferred BY NAME to r13
 #     (first in line there), chosen as the members with the strongest
 #     independent per-round signal — benched every round in HEADLINE
 #     and/or carrying dedicated unit suites / native streaming twins:
 #     summary_by_type, histogram_cumulative, info_latest_per_user
-#     (metrics-family suites + bench), ml_ensemble_unified,
-#     join_fact_fact_revenue, join_broadcast_enrich, win_topk_per_group,
+#     (metrics-family suites + bench), exposition_counter (the
+#     exposition family's dedicated render + HTTP-seam suites),
+#     ml_ensemble_unified, join_fact_fact_revenue,
+#     join_broadcast_enrich, win_topk_per_group,
 #     dedup_minhash_lsh_pairs (benched every round),
 #     dedup_incremental_batch (benched + native streaming-twin tests).
-#     All 9 are hash-green in this round's committed full-registry
+#     All 10 are hash-green in this round's committed full-registry
 #     sweeps like everything else.
 # After r12 the staleness ledger is: nothing older than r7, exactly
-# the 9 enumerated r7 deferrals at r7, everything else r8+, and no
+# the 10 enumerated r7 deferrals at r7, everything else r8+, and no
 # entry without a driver row.
 _CHECK_FIRST = (
     # -- late-r11 registrations, first driver row (8) --
@@ -128,18 +132,18 @@ _CHECK_FIRST = (
     "ts_step_resample",
     "stream_sliding_counts",
     "stream_session_windows",
-    # -- new round-12 registrations / oracle upgrades (4) --
+    # -- new round-12 registrations / oracle upgrades (5) --
     "multimodal_image_png_features",
     "multimodal_image_row_stats",
+    "multimodal_video_apng_frames",
     "dedup_cdc_chunk_pairs",
     "stream_semantic_contamination",  # rows-only by nature
-    # -- r7 recency tail, 31 of 40 --
+    # -- r7 recency tail, 30 of 40 --
     "agg_conditional_buckets",
     "agg_distinct_counts",
     "agg_rollup_region_nation",
     "agg_stats_moments",
     "dedup_shingle_minhash_pairs",
-    "exposition_counter",
     "filter_predicates",
     "join_anti_inactive_customers",
     "join_band_value_tiers",

@@ -123,3 +123,60 @@ def multimodal_image_row_stats(
     downstream."""
     docs = load_table(spark, sf_dir, "documents")
     return png_row_stats(docs)
+
+
+from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
+    apng_frame_features,
+)
+
+
+@register(
+    "multimodal_video_apng_frames",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               8 + (doc_id % 5) * 2 AS w,
+               8 + (doc_id % 3) * 2 AS h,
+               2 + (doc_id % 4) AS n_frames
+        FROM documents
+    ),
+    pix AS (
+        SELECT doc_id, w, h, t, y, x, c,
+               (doc_id * 4099 + t * 769 + y * 131 + x * 17 + c * 59)
+                   % 256 AS p
+        FROM params,
+             unnest(range(0, n_frames)) AS s(t),
+             unnest(range(0, h)) AS u(y),
+             unnest(range(0, w)) AS v(x),
+             unnest(range(0, 3)) AS q(c)
+    )
+    SELECT doc_id, t::BIGINT AS frame_idx,
+           w::BIGINT AS width, h::BIGINT AS height,
+           (t + 1)::BIGINT AS delay_num,
+           sum(p)::BIGINT AS sum_rgb,
+           sum(p * p)::BIGINT AS sum_sq,
+           max(p)::BIGINT AS peak,
+           sum((y * w + x + 1) * p)::BIGINT AS pos_checksum
+    FROM pix GROUP BY doc_id, t, w, h
+    """,
+)
+def multimodal_video_apng_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video frame demux through a REAL animated container: per
+    document-keyed asset, a genuine APNG (acTL frame count, sequenced
+    fcTL/fdAT chunks, per-frame DEFLATE + filter cycling, CRC32 on
+    every chunk) is synthesized, demuxed and decoded through the READ
+    path (operators/multimodal.py:decode_apng — sequence numbers
+    validated strictly, frame geometry checked against the canvas),
+    emitting one row per frame with exact-integer features from the
+    reconstructed pixels plus the decoded fcTL delay. The oracle
+    recomputes everything from the closed-form per-frame signal, so
+    frame-misorder, sequence off-by-one, delay-misparse and
+    de-filter bugs all break the hash — the video sibling of the WAV
+    (r11) and PNG (above) codec-adversarial entries, retiring the
+    last fake-media caveat. Map-only 1→N inside mapInPandas (the
+    frame_sample stand-in stays for ffmpeg-class codecs); the
+    per-frame relation feeds ordinary windowed aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    return apng_frame_features(docs)

@@ -546,6 +546,7 @@ def test_image_decode_is_shuffle_free_map(spark, sf_dir):
     for name in (
         "multimodal_image_png_features",
         "multimodal_image_row_stats",
+        "multimodal_video_apng_frames",
     ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"

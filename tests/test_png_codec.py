@@ -182,3 +182,123 @@ def test_png_corrupt_payloads_rejected():
     # IEND missing entirely
     with pytest.raises(ValueError, match="IHDR or IEND"):
         decode_png(payload[: payload.index(b"IEND") - 4])
+
+
+# ---------------------------------------------------------------------------
+# APNG (round-12 video frame demux) — same three layers as the still
+# image: round-trip exactness, demux-bug-class detectability,
+# structural-corruption rejection.
+# ---------------------------------------------------------------------------
+
+from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
+    _apng_dims,
+    _apng_n_frames,
+    _apng_pixels,
+    decode_apng,
+    synthesize_apng,
+)
+
+
+def test_apng_roundtrip_exact():
+    for d in DOC_IDS:
+        w, h, frames = decode_apng(synthesize_apng(d))
+        assert (w, h) == _apng_dims(d)
+        assert len(frames) == _apng_n_frames(d)
+        for t, (dnum, pix) in enumerate(frames):
+            assert dnum == t + 1  # the fcTL delay is really parsed
+            assert np.array_equal(pix, _apng_pixels(d, t, w, h))
+
+
+def _chunks_of(payload: bytes):
+    """(offset, tag, length) for every chunk — test-side surgery map."""
+    out = []
+    pos = 8
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        out.append((pos, payload[pos + 4 : pos + 8], length))
+        pos += 12 + length
+    return out
+
+
+def _rechunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def test_apng_demux_bug_classes_caught():
+    """Classic demux failures must be structural errors, never silent
+    wrong features: swapped frame order (sequence numbers misorder),
+    an fdAT sequence off-by-one, an acTL frame-count lie, and a
+    non-canvas frame geometry."""
+    d = 7  # 5 frames, so there are at least two fdAT frames to swap
+    payload = synthesize_apng(d)
+    chunks = _chunks_of(payload)
+
+    def spans(tag):
+        return [
+            (off, off + 12 + ln) for off, t, ln in chunks if t == tag
+        ]
+
+    # swap the last two fdAT chunks wholesale → sequence misorder
+    f1, f2 = spans(b"fdAT")[-2:]
+    swapped = (
+        payload[: f1[0]]
+        + payload[f2[0] : f2[1]]
+        + payload[f1[1] : f2[0]]
+        + payload[f1[0] : f1[1]]
+        + payload[f2[1] :]
+    )
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng(swapped)
+
+    # rewrite an fdAT's sequence number (CRC fixed up) → off-by-one
+    off, end = spans(b"fdAT")[0]
+    data = bytearray(payload[off + 8 : end - 4])
+    (seq,) = struct.unpack(">I", bytes(data[:4]))
+    data[:4] = struct.pack(">I", seq + 1)
+    bumped = payload[:off] + _rechunk(b"fdAT", bytes(data)) + payload[end:]
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng(bumped)
+
+    # acTL declares one frame more than the container carries
+    off, end = spans(b"acTL")[0]
+    n, plays = struct.unpack(">II", payload[off + 8 : end - 4])
+    lied = (
+        payload[:off]
+        + _rechunk(b"acTL", struct.pack(">II", n + 1, plays))
+        + payload[end:]
+    )
+    with pytest.raises(ValueError, match="frames"):
+        decode_apng(lied)
+
+    # an fcTL claiming a sub-canvas frame region → unsupported geometry
+    off, end = spans(b"fcTL")[0]
+    fctl = bytearray(payload[off + 8 : end - 4])
+    fctl[4:8] = struct.pack(">I", 4)  # frame width 4 != canvas
+    shrunk = payload[:off] + _rechunk(b"fcTL", bytes(fctl)) + payload[end:]
+    with pytest.raises(ValueError, match="geometry"):
+        decode_apng(shrunk)
+
+
+def test_apng_corrupt_payloads_rejected():
+    payload = synthesize_apng(42)
+    # flipped byte inside an fdAT → CRC mismatch
+    off = payload.index(b"fdAT") + 8
+    corrupt = bytearray(payload)
+    corrupt[off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_apng(bytes(corrupt))
+    # missing acTL entirely (a plain PNG is not an animation)
+    from numalogic_prometheus_spark.operators.multimodal import (
+        synthesize_png,
+    )
+
+    with pytest.raises(ValueError, match="acTL"):
+        decode_apng(synthesize_png(42))
+    # truncation
+    with pytest.raises(ValueError):
+        decode_apng(payload[: len(payload) // 2])
