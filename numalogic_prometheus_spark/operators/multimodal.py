@@ -470,15 +470,14 @@ def decode_png(payload: bytes):
     structural corruption — a partial/garbled container must never
     silently produce features."""
     import struct
-    import zlib
-
-    import numpy as np
 
     chunks = _walk_png_chunks(payload)
     tags = [t for t, _ in chunks]
     if "IHDR" not in tags or "IEND" not in tags:
         raise ValueError("missing IHDR or IEND")
     ihdr = chunks[tags.index("IHDR")][1]
+    if len(ihdr) != 13:
+        raise ValueError("bad IHDR length")
     idat = bytearray()
     for t, d in chunks:
         if t == "IDAT":
@@ -488,9 +487,20 @@ def decode_png(payload: bytes):
     )
     if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError("unsupported PNG variant")
-    stream = zlib.decompress(bytes(idat))
-    filters, pixels = _defilter_scanlines(stream, w, h)
+    filters, pixels = _defilter_scanlines(_inflate_frame(idat), w, h)
     return w, h, filters, pixels
+
+
+def _inflate_frame(z: bytearray) -> bytes:
+    """Inflate a frame's DEFLATE stream, normalizing a garbled stream
+    (CRC-valid but undecodable) to the documented ValueError contract
+    (r12 self-review finding: corruption must never leak zlib.error)."""
+    import zlib
+
+    try:
+        return zlib.decompress(bytes(z))
+    except zlib.error as exc:
+        raise ValueError(f"bad DEFLATE stream: {exc}") from exc
 
 
 def _walk_png_chunks(payload: bytes) -> list[tuple[str, bytes]]:
@@ -763,22 +773,27 @@ def decode_apng(payload: bytes):
     the full-canvas SOURCE/NONE subset it targets — anything else is
     an unsupported variant, never a silent guess)."""
     import struct
-    import zlib
 
     chunks = _walk_png_chunks(payload)
     tags = [t for t, _ in chunks]
     if "IHDR" not in tags or "IEND" not in tags or "acTL" not in tags:
         raise ValueError("missing IHDR, acTL or IEND")
+    ihdr = chunks[tags.index("IHDR")][1]
+    actl = chunks[tags.index("acTL")][1]
+    if len(ihdr) != 13 or len(actl) != 8:
+        raise ValueError("bad IHDR or acTL length")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", chunks[tags.index("IHDR")][1]
+        ">IIBBBBB", ihdr
     )
     if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError("unsupported PNG variant")
-    (n_frames, _plays) = struct.unpack(">II", chunks[tags.index("acTL")][1])
+    (n_frames, _plays) = struct.unpack(">II", actl)
     frames_raw: list[tuple[int, bytearray]] = []  # (delay_num, zstream)
     expect_seq = 0
     for tag, data in chunks:
         if tag == "fcTL":
+            if len(data) != 26:
+                raise ValueError("bad fcTL length")
             (seq, fw, fh, fx, fy, dnum, _dden, dispose, blend) = (
                 struct.unpack(">IIIIIHHBB", data)
             )
@@ -793,6 +808,8 @@ def decode_apng(payload: bytes):
                 raise ValueError("IDAT outside frame 0")
             frames_raw[0][1].extend(data)
         elif tag == "fdAT":
+            if len(data) < 4:
+                raise ValueError("bad fdAT length")
             (seq,) = struct.unpack(">I", data[:4])
             if seq != expect_seq:
                 raise ValueError(f"fdAT sequence {seq} != {expect_seq}")
@@ -806,9 +823,7 @@ def decode_apng(payload: bytes):
         )
     frames = []
     for dnum, z in frames_raw:
-        _filters, pixels = _defilter_scanlines(
-            zlib.decompress(bytes(z)), w, h
-        )
+        _filters, pixels = _defilter_scanlines(_inflate_frame(z), w, h)
         frames.append((dnum, pixels))
     return w, h, frames
 

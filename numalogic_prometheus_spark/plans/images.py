@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from numalogic_prometheus_spark.operators.multimodal import (
+    apng_frame_features,
     png_features,
     png_row_stats,
 )
@@ -123,11 +124,6 @@ def multimodal_image_row_stats(
     downstream."""
     docs = load_table(spark, sf_dir, "documents")
     return png_row_stats(docs)
-
-
-from numalogic_prometheus_spark.operators.multimodal import (  # noqa: E402
-    apng_frame_features,
-)
 
 
 @register(

@@ -271,51 +271,46 @@ def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB: per-trigger work is |batch| × C broadcast probe distances
     plus exact cosines on probed cells only; the delta merge is an
     ordinary partial+final aggregate."""
+    import shutil
     import tempfile
-    import time as _time
 
-    from numalogic_prometheus_spark.plans.text5 import _SEM_EVAL_MOD
-    from numalogic_prometheus_spark.sources.tables import load_table
     from numalogic_prometheus_spark.streaming.semantic_contamination import (
         build_semantic_index,
         make_contamination_sink,
         read_contamination,
+        write_eval_stream_files,
     )
 
     base = tempfile.mkdtemp(prefix="sem_stream_")
     index_dir = f"{base}/index"
     result_dir = f"{base}/results"
     stream_dir = f"{base}/incoming"
-    import os as _os
-
-    _os.makedirs(stream_dir)
-    build_semantic_index(spark, sf_dir, index_dir)
-    ev = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .filter(F.col("vec_id") % _SEM_EVAL_MOD == 0)
-    )
-    # three deterministic arrival files → three micro-batches (the
-    # result is micro-batch-split invariant by construction; the split
-    # just keeps multi-batch behavior observable under the driver)
-    for i in range(3):
-        pdf = ev.filter(F.col("vec_id") % 3 == i).toPandas()
-        path = _os.path.join(stream_dir, f"e{i}.parquet")
-        pdf.to_parquet(path, index=False)
-        mtime = _time.time() - 300 + 60 * i
-        _os.utime(path, (mtime, mtime))
-    stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(make_contamination_sink(index_dir, result_dir))
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        build_semantic_index(spark, sf_dir, index_dir)
+        # three deterministic arrival files → three micro-batches (the
+        # result is micro-batch-split invariant by construction; the
+        # split keeps multi-batch behavior observable under the driver;
+        # the writer is SHARED with the test suite so both exercise the
+        # same arrival shape)
+        write_eval_stream_files(spark, sf_dir, stream_dir)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(make_contamination_sink(index_dir, result_dir))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = read_contamination(spark, index_dir, result_dir)
+        # snapshot off the temp files before they are removed (the
+        # scratch dir otherwise accumulates a featurized corpus copy
+        # per invocation — r12 self-review finding)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        q.stop()
-    return read_contamination(spark, index_dir, result_dir)
+        shutil.rmtree(base, ignore_errors=True)

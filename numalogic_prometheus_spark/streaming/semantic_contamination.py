@@ -132,6 +132,45 @@ def read_corpus_index(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The committed quantizer — like the corpus, a missing or
+    uncommitted (no ``_SUCCESS``) artifact is a clear FileNotFoundError,
+    never a downstream NoneType crash inside foreachBatch (r12
+    self-review finding)."""
+    df = _read_gated(spark, os.path.join(index_dir, "centroids"))
+    if df is None:
+        raise FileNotFoundError(f"no committed centroids in {index_dir}")
+    return df
+
+
+def write_eval_stream_files(
+    spark: SparkSession, sf_dir: str, stream_dir: str, n_files: int = 3
+) -> None:
+    """Deterministic eval-arrival fixture shared by the registered
+    entry AND its tests (one copy — they must exercise the same split,
+    r12 self-review finding): the eval slice lands as ``n_files``
+    parquet files keyed ``vec_id % n_files`` with staggered mtimes so
+    ``maxFilesPerTrigger=1`` yields one micro-batch per file in a
+    deterministic order."""
+    import time
+
+    mod, _thr, _cf, _np = _ivf_params()
+    from numalogic_prometheus_spark.sources.tables import load_table
+
+    os.makedirs(stream_dir, exist_ok=True)
+    ev = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % mod == 0)
+    )
+    for i in range(n_files):
+        pdf = ev.filter(F.col("vec_id") % n_files == i).toPandas()
+        path = os.path.join(stream_dir, f"e{i}.parquet")
+        pdf.to_parquet(path, index=False)
+        mtime = time.time() - 300 + 60 * i
+        os.utime(path, (mtime, mtime))
+
+
 def make_contamination_sink(index_dir: str, result_dir: str):
     """foreachBatch handler for the EVAL stream: probe each micro-batch
     item's nprobe nearest cells against the static corpus index, score
@@ -148,7 +187,7 @@ def make_contamination_sink(index_dir: str, result_dir: str):
         )
         if feat.isEmpty():
             return
-        cents = _read_gated(spark, os.path.join(index_dir, "centroids"))
+        cents = read_centroids(spark, index_dir)
         corpus = read_corpus_index(spark, index_dir)
         wq = W.partitionBy("eval_id").orderBy("key")
         probes = (

@@ -159,7 +159,8 @@ def test_png_corrupt_payloads_rejected():
         decode_png(bytes(corrupt))
 
     # flipped byte with the CRC recomputed to match (a "valid" container
-    # carrying a garbled stream) → inflate/framing error, not features
+    # carrying a garbled stream) → the documented ValueError, never a
+    # leaked zlib.error (r12 self-review: error contract normalized)
     start = payload.index(b"IDAT") - 4
     (length,) = struct.unpack(">I", payload[start : start + 4])
     data = bytearray(payload[start + 8 : start + 8 + length])
@@ -172,8 +173,25 @@ def test_png_corrupt_payloads_rejected():
         + struct.pack(">I", zlib.crc32(b"IDAT" + bytes(data)) & 0xFFFFFFFF)
         + payload[start + 12 + length :]
     )
-    with pytest.raises((ValueError, zlib.error)):
+    with pytest.raises(ValueError):
         decode_png(rebuilt)
+
+    # a 12-byte IHDR with a valid CRC → ValueError, never struct.error
+    ih_start = payload.index(b"IHDR") - 4
+    (ih_len,) = struct.unpack(">I", payload[ih_start : ih_start + 4])
+    short_ihdr = payload[ih_start + 8 : ih_start + 8 + ih_len - 1]
+    rebuilt2 = (
+        payload[:ih_start]
+        + struct.pack(">I", len(short_ihdr))
+        + b"IHDR"
+        + short_ihdr
+        + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + short_ihdr) & 0xFFFFFFFF
+        )
+        + payload[ih_start + 12 + ih_len :]
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(rebuilt2)
 
     # truncation at any chunk boundary
     with pytest.raises(ValueError):

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import time
 
 from pyspark.sql import functions as F
 
@@ -20,6 +19,7 @@ from numalogic_prometheus_spark.streaming.semantic_contamination import (
     build_semantic_index,
     make_contamination_sink,
     read_contamination,
+    write_eval_stream_files,
 )
 
 QUERIES = plans.all_queries()
@@ -40,15 +40,8 @@ def _eval_items(spark, sf_dir):
     )
 
 
-def _write_eval_files(spark, sf_dir, stream_dir: str, n_files: int = 3):
-    os.makedirs(stream_dir, exist_ok=True)
-    ev = _eval_items(spark, sf_dir)
-    for i in range(n_files):
-        pdf = ev.filter(F.col("vec_id") % n_files == i).toPandas()
-        path = os.path.join(stream_dir, f"e{i}.parquet")
-        pdf.to_parquet(path, index=False)
-        mtime = time.time() - 300 + 60 * i
-        os.utime(path, (mtime, mtime))
+# arrival fixture is the SHARED writer (write_eval_stream_files), so the
+# tests exercise the exact split/ordering the registered entry streams
 
 
 def _drive(spark, stream_dir, index_dir, result_dir, ckpt, glob="*"):
@@ -87,7 +80,7 @@ def test_kill_restart_determinism(spark, sf_dir, tmp_path):
     stream_dir = str(tmp_path / "incoming")
     ckpt = str(tmp_path / "ckpt")
     build_semantic_index(spark, sf_dir, index_dir)
-    _write_eval_files(spark, sf_dir, stream_dir)
+    write_eval_stream_files(spark, sf_dir, stream_dir)
 
     _drive(spark, stream_dir, index_dir, result_dir, ckpt, glob="e0.parquet")
     n_after_kill = len(
