@@ -277,7 +277,7 @@ def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     from numalogic_prometheus_spark.streaming.semantic_contamination import (
         build_semantic_index,
         make_contamination_sink,
-        read_contamination,
+        snapshot_contamination,
         write_eval_stream_files,
     )
 
@@ -307,10 +307,9 @@ def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             q.processAllAvailable()
         finally:
             q.stop()
-        out = read_contamination(spark, index_dir, result_dir)
         # snapshot off the temp files before they are removed (the
         # scratch dir otherwise accumulates a featurized corpus copy
         # per invocation — r12 self-review finding)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_contamination(spark, index_dir, result_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)

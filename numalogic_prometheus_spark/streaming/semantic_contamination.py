@@ -234,6 +234,20 @@ def make_contamination_sink(index_dir: str, result_dir: str):
     return _sink
 
 
+def snapshot_contamination(
+    spark: SparkSession, index_dir: str, result_dir: str
+) -> DataFrame:
+    """``read_contamination`` materialized into a plain DataFrame — the
+    same bounded-result snapshot ``runner.run_stream_to_memory`` does
+    for memory-sink entries (the relation is per-train-doc, benchmark-
+    bounded), so the caller can delete the scratch dirs immediately.
+    This is the ONLY driver-side materialization in the serving path
+    and it sits here, not in plans/, by the same convention as the
+    memory-sink materializer."""
+    out = read_contamination(spark, index_dir, result_dir)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def read_contamination(
     spark: SparkSession, index_dir: str, result_dir: str
 ) -> DataFrame:
