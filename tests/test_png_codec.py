@@ -320,3 +320,73 @@ def test_apng_corrupt_payloads_rejected():
     # truncation
     with pytest.raises(ValueError):
         decode_apng(payload[: len(payload) // 2])
+
+
+def test_registered_oracles_match_real_decoders_directly():
+    """The r12 second-review pass, made permanent: execute the ACTUAL
+    registered DuckDB oracle SQL over a crafted documents table that
+    spans every (dimension, filter-phase) class — 91 ids for PNG
+    (lcm 13·7), 60 for APNG (lcm 5·3·4) — and compare against features
+    computed from the REAL decode path, not the closed form. This
+    closes the loop the per-scale sweeps sample: oracle ≡ codec on
+    full class coverage, independent of the fixture's doc_id range."""
+    import duckdb
+
+    from numalogic_prometheus_spark import plans
+    from numalogic_prometheus_spark.operators.multimodal import (
+        _decode_png_asset,
+        decode_apng,
+        synthesize_apng,
+    )
+
+    plans._load_all()
+    ids = list(range(182))  # two full PNG cycles, three APNG cycles
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(d,) for d in ids])
+
+    want = {}
+    for d in ids:
+        _, (w, h, _f, pix) = _decode_png_asset(d)
+        posw = (
+            np.arange(h, dtype=np.int64)[:, None] * w
+            + np.arange(w, dtype=np.int64)[None, :]
+            + 1
+        )
+        want[d] = (
+            w, h, w * h * 3,
+            int(pix[:, :, 0].sum()), int(pix[:, :, 1].sum()),
+            int(pix[:, :, 2].sum()), int((pix * pix).sum()),
+            int(pix.max()), int((posw[:, :, None] * pix).sum()),
+        )
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            plans._ORACLES["multimodal_image_png_features"]
+        ).fetchall()
+    }
+    assert got == want
+
+    want2 = set()
+    for d in ids:
+        w, h, frames = decode_apng(synthesize_apng(d))
+        posw = (
+            np.arange(h, dtype=np.int64)[:, None] * w
+            + np.arange(w, dtype=np.int64)[None, :]
+            + 1
+        )
+        for t, (dnum, pix) in enumerate(frames):
+            want2.add(
+                (
+                    d, t, w, h, dnum, int(pix.sum()),
+                    int((pix * pix).sum()), int(pix.max()),
+                    int((posw[:, :, None] * pix).sum()),
+                )
+            )
+    got2 = set(
+        tuple(r)
+        for r in con.sql(
+            plans._ORACLES["multimodal_video_apng_frames"]
+        ).fetchall()
+    )
+    assert got2 == want2
