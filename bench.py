@@ -170,6 +170,9 @@ HEADLINE_EXCLUDED = {
     "promql_info_enrich": _SWEEP_DOMINATED,
     "agg_hll_mergeable_daily": _SWEEP_DOMINATED,
     "scalar_string_funcs": _SWEEP_DOMINATED,
+    # r12 late registration: spark-side 1.75 s min-of-3 at sf0.1; the
+    # sweep line (2.5 s) is dominated by the oracle's token self-join
+    "text_bigram_lm_score": _SWEEP_DOMINATED,
 }
 
 

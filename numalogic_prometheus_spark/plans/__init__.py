@@ -75,6 +75,7 @@ _MODULES = (
     "promql9",
     "vectors5",
     "images",
+    "text6",
 )
 
 # ROUND-12 ROTATION (VERDICT r11 next-round #1; per-round narratives
@@ -114,6 +115,16 @@ _MODULES = (
 # After r12 the staleness ledger is: nothing older than r7, exactly
 # the 10 enumerated r7 deferrals at r7, everything else r8+, and no
 # entry without a driver row.
+# QUEUED FOR R13 (r9 queue protocol — registered late r12 with full
+# sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines appended to all
+# three sweep logs + SWEEP_sf1_rest.log appended run, goldens in
+# tests/test_text6_golden.py, plan pins in tests/test_plan_shape.py):
+# text_boilerplate_segments (plans/text6.py — frequent-segment
+# boilerplate strip with order-preserving cleaned-text fingerprint)
+# and text_bigram_lm_score (plans/text6.py — corpus-trained add-k
+# bigram LM mean log-probability, the perplexity-style quality
+# filter). They join the 10 deferred r7-stale entries at the front of
+# the r13 window.
 _CHECK_FIRST = (
     # -- late-r11 registrations, first driver row (8) --
     "promql_native_histogram_fraction_rate",

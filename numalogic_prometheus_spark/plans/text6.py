@@ -1,0 +1,259 @@
+"""Round-12 late additions: two classic corpus-curation operators the
+LLM-pipeline surface still lacked — frequent-segment boilerplate
+stripping (the CCNet/RefinedWeb repeated-content pass) and statistical
+language-model scoring (the perplexity-style quality filter that
+precedes model-based filtering in most published pipelines).
+
+Both are oracle-backed and registered late-round under the r9 queue
+protocol (full 4-scale evidence now, first driver row in r13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.operators.dedup import tokens_col
+from numalogic_prometheus_spark.plans import register
+from numalogic_prometheus_spark.sources.tables import load_table_spread
+
+_SEG = 12  # tokens per boilerplate segment (full blocks only)
+_SEG_DF = 2  # a segment in ≥ this many docs is boilerplate
+
+
+@register(
+    "text_boilerplate_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS sp
+        FROM documents
+    ),
+    params AS (
+        SELECT doc_id, sp, (len(sp) // {_SEG}) AS nseg FROM base
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(
+                   sp[(i * {_SEG} + 1):((i + 1) * {_SEG})], ' '
+               ) AS seg
+        FROM params, unnest(range(0, nseg)) AS u(i)
+    ),
+    seg_df AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ),
+    flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.seg,
+               (d.df >= {_SEG_DF}) AS boiler
+        FROM segs s JOIN seg_df d USING (seg)
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_segments,
+               sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT
+                   AS n_boiler_segments,
+               md5(coalesce(
+                   string_agg(CASE WHEN NOT boiler THEN seg END,
+                              ' ' ORDER BY seg_idx),
+                   ''
+               )) AS cleaned_fp
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(p.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(p.n_boiler_segments, 0)::BIGINT AS n_boiler_segments,
+           ((coalesce(p.n_segments, 0)
+             - coalesce(p.n_boiler_segments, 0)) * {_SEG})::BIGINT
+               AS kept_tokens,
+           coalesce(p.cleaned_fp, md5('')) AS cleaned_fp
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-segment boilerplate stripping (the CCNet/RefinedWeb
+    repeated-content pass, at the fixture's segment grain — the corpus
+    has no newlines, so the 'line' unit is a fixed {_SEG}-token block):
+    every full block is keyed, blocks appearing in ≥{_SEG_DF} docs are
+    boilerplate, and each doc reports its segment attrition plus an
+    md5 fingerprint of the ORDER-PRESERVED cleaned text — the
+    fingerprint forces both engines to agree on exactly which segments
+    survive and in what order, not just how many.
+
+    Scale shape: one explode (corpus × ~tokens/{_SEG}), the span-df
+    idiom's single exchange on segment (row_number marks each doc's
+    first occurrence; the partition sum counts docs), one partial+final
+    per-doc aggregation, and a left join back to the doc spine. No
+    self-join, no broadcast of anything unbounded — boilerplate
+    detection at 100 TB is exactly this shape with the segment exchange
+    as the only corpus-sized shuffle."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = tokens_col(F.col("text"))
+    nseg = F.floor(F.size(toks) / _SEG).cast("int")
+    segs = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * _SEG + 1, _SEG)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+    # segment doc-frequency via ONE exchange on seg (the
+    # dedup_substring_spans idiom): first-occurrence marks summed over
+    # the seg partition = distinct docs
+    w_doc = W.partitionBy("seg", "doc_id").orderBy("seg_idx")
+    w_seg = W.partitionBy("seg")
+    flagged = (
+        ex.withColumn(
+            "first_in_doc",
+            F.when(F.row_number().over(w_doc) == 1, 1).otherwise(0),
+        )
+        .withColumn("df", F.sum("first_in_doc").over(w_seg))
+        .withColumn("boiler", F.col("df") >= _SEG_DF)
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0)).alias(
+            "n_boiler_segments"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("boiler"),
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+            )
+        ).alias("cleaned_fp"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_boiler_segments", F.lit(0)).alias(
+                "n_boiler_segments"
+            ),
+            (
+                (
+                    F.coalesce("n_segments", F.lit(0))
+                    - F.coalesce("n_boiler_segments", F.lit(0))
+                )
+                * _SEG
+            ).alias("kept_tokens"),
+            F.coalesce("cleaned_fp", F.md5(F.lit(""))).alias("cleaned_fp"),
+        )
+    )
+
+
+_LM_K = 0.5  # add-k smoothing mass
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    toks AS (
+        SELECT doc_id, i AS pos, sp[i] AS w
+        FROM base, unnest(range(1, len(sp) + 1)) AS u(i)
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, count(*) AS k
+        FROM bigrams GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT w)::DOUBLE AS v
+        FROM (SELECT doc_id, unnest(sp) AS w FROM base)
+    )
+    SELECT d.doc_id,
+           sum(d.k)::BIGINT AS n_bigrams,
+           round(
+               sum(d.k * ln((c2.c2 + {_LM_K})
+                            / (c1.c1 + {_LM_K} * vocab.v)))
+               / sum(d.k),
+               6
+           ) AS avg_logprob
+    FROM doc_bi d
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN vocab
+    GROUP BY d.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring: a corpus-trained
+    add-k bigram LM scores every document by mean token log-probability
+    — the perplexity-style filter (CCNet's wikipedia-LM pass, Gopher's
+    quality signals) that ranks documents before expensive model-based
+    filtering. Train and apply are ONE plan: bigram/context counts are
+    global aggregates over the exploded token stream, the vocabulary
+    size is a 1-row broadcast, and each doc's score is a weighted mean
+    over its distinct bigrams.
+
+    Cross-engine exactness: ln() is libm (no bit guarantee) and the
+    per-doc mean divides double sums — both divergence sources are
+    named rounding-lint absorbers, so the 6-dp round is load-bearing
+    noise absorption, not a tie-class liability.
+
+    Scale shape: token explode → two hash aggregations (c2, c1) that
+    shuffle on bigram/context keys, re-joined to the per-doc distinct
+    bigram relation on the SAME keys (co-partitioned, no extra
+    exchange class), vocabulary as a 1-row cross join. At 100 TB the
+    count relations are the model artifact — in production they would
+    persist once (the registry_latest_artifact pattern) and the apply
+    side joins against the snapshot; the plan here is the train+apply
+    composition."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", tokens_col(F.col("text")).alias("sp")
+    ).filter(F.size("sp") >= 2)
+    toks = d.select("doc_id", F.posexplode("sp").alias("pos", "w"))
+    w_next = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(w_next))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    doc_bi = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(
+        F.countDistinct("w").cast("double").alias("v")
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(_LM_K))
+        / (F.col("c1") + F.lit(_LM_K) * F.col("v"))
+    )
+    return (
+        doc_bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * logp) / F.sum("k"), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -555,3 +555,28 @@ def test_image_decode_is_shuffle_free_map(spark, sf_dir):
         assert "text" not in read_schema, (
             f"{name}: decode input must prune to doc_id"
         )
+
+
+def test_boilerplate_single_explode_single_seg_exchange(spark, sf_dir):
+    """text_boilerplate_segments: ONE document scan feeds the segment
+    explode (the span-df window idiom shares the seg exchange; a
+    groupBy+join-back formulation would re-scan the corpus per
+    consumer), and nothing compiles to a cartesian."""
+    plan = _plan(spark, sf_dir, "text_boilerplate_segments")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the segment explode, map-side
+    # two document scans are the contract: the exploded segment side
+    # and the doc spine the attrition left-joins back onto
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_bigram_lm_vocab_broadcasts(spark, sf_dir):
+    """text_bigram_lm_score: the 1-row vocabulary joins as a broadcast
+    nested loop (never a shuffled cross) and nothing compiles to a raw
+    CartesianProduct. The c2/c1 count-relation joins carry no forced
+    hint besides the deliberate 1-row vocab broadcast — at fixture
+    scale AQE broadcasts them; at corpus scale they are free to
+    shuffle on their own keys."""
+    plan = _plan(spark, sf_dir, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
