@@ -114,7 +114,10 @@ _MODULES = (
 #     sweeps like everything else.
 # After r12 the staleness ledger is: nothing older than r7, exactly
 # the 10 enumerated r7 deferrals at r7, everything else r8+, and no
-# entry without a driver row.
+# entry without a driver row EXCEPT the 2 late-r12 registrations
+# queued below (4-scale sweep evidence committed, first driver row
+# in r13 — the same protocol the 8 late-r11 registrations followed
+# into this window).
 # QUEUED FOR R13 (r9 queue protocol — registered late r12 with full
 # sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines appended to all
 # three sweep logs + SWEEP_sf1_rest.log appended run, goldens in
