@@ -271,6 +271,7 @@ def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB: per-trigger work is |batch| × C broadcast probe distances
     plus exact cosines on probed cells only; the delta merge is an
     ordinary partial+final aggregate."""
+    import atexit
     import shutil
     import tempfile
 
@@ -282,6 +283,12 @@ def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     base = tempfile.mkdtemp(prefix="sem_stream_")
+    # The snapshot outlives the scratch dir (the returned relation is a
+    # LAZY read of it — no driver-side collect, r12 ADVICE); its
+    # lifetime is the process, reclaimed at exit like Spark's own
+    # local-dir scratch.
+    snap_dir = tempfile.mkdtemp(prefix="sem_snap_")
+    atexit.register(shutil.rmtree, snap_dir, ignore_errors=True)
     index_dir = f"{base}/index"
     result_dir = f"{base}/results"
     stream_dir = f"{base}/incoming"
@@ -310,6 +317,6 @@ def stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         # snapshot off the temp files before they are removed (the
         # scratch dir otherwise accumulates a featurized corpus copy
         # per invocation — r12 self-review finding)
-        return snapshot_contamination(spark, index_dir, result_dir)
+        return snapshot_contamination(spark, index_dir, result_dir, snap_dir)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -151,7 +151,19 @@ def write_eval_stream_files(
     r12 self-review finding): the eval slice lands as ``n_files``
     parquet files keyed ``vec_id % n_files`` with staggered mtimes so
     ``maxFilesPerTrigger=1`` yields one micro-batch per file in a
-    deterministic order."""
+    deterministic order.
+
+    Each arrival file is written BY SPARK (coalesce(1) + move), never
+    through a pandas round-trip: the non-Arrow ``toPandas`` path turns
+    float32 embeddings into Python floats, pyarrow then infers
+    ``list<double>``, and the vectorized reader refuses DOUBLE→float
+    against the declared stream schema ``array<float>`` inside
+    foreachBatch (the r12 driver failure — any session without
+    ``spark.sql.execution.arrow.pyspark.enabled`` hit it). The Spark
+    writer carries the DataFrame schema into the file's physical types
+    regardless of session confs."""
+    import glob
+    import shutil
     import time
 
     mod, _thr, _cf, _np = _ivf_params()
@@ -163,12 +175,21 @@ def write_eval_stream_files(
         .select("vec_id", "embedding")
         .filter(F.col("vec_id") % mod == 0)
     )
+    tmp = stream_dir.rstrip("/") + "_spill"
     for i in range(n_files):
-        pdf = ev.filter(F.col("vec_id") % n_files == i).toPandas()
+        ev.filter(F.col("vec_id") % n_files == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"expected one part file in {tmp}, found {len(parts)}"
+            )
         path = os.path.join(stream_dir, f"e{i}.parquet")
-        pdf.to_parquet(path, index=False)
+        shutil.move(parts[0], path)
         mtime = time.time() - 300 + 60 * i
         os.utime(path, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def make_contamination_sink(index_dir: str, result_dir: str):
@@ -235,17 +256,21 @@ def make_contamination_sink(index_dir: str, result_dir: str):
 
 
 def snapshot_contamination(
-    spark: SparkSession, index_dir: str, result_dir: str
+    spark: SparkSession, index_dir: str, result_dir: str, snapshot_dir: str
 ) -> DataFrame:
-    """``read_contamination`` materialized into a plain DataFrame — the
-    same bounded-result snapshot ``runner.run_stream_to_memory`` does
-    for memory-sink entries (the relation is per-train-doc, benchmark-
-    bounded), so the caller can delete the scratch dirs immediately.
-    This is the ONLY driver-side materialization in the serving path
-    and it sits here, not in plans/, by the same convention as the
-    memory-sink materializer."""
+    """``read_contamination`` persisted as a parquet snapshot under
+    ``snapshot_dir`` and returned as a LAZY read of that snapshot, so
+    the caller can delete the index/delta scratch immediately while the
+    returned relation stays valid and fully distributed. The relation
+    is one row per TRAIN vector — it scales with the corpus, not the
+    benchmark — so a driver-side collect here would be a driver-memory
+    ceiling at larger scale factors (r12 ADVICE); the executor-side
+    write has no such ceiling. ``snapshot_dir`` must outlive the
+    returned DataFrame (the plan entry pins it to process lifetime via
+    ``atexit``)."""
     out = read_contamination(spark, index_dir, result_dir)
-    return spark.createDataFrame(out.collect(), out.schema)
+    out.write.mode("overwrite").parquet(snapshot_dir)
+    return spark.read.parquet(snapshot_dir)
 
 
 def read_contamination(

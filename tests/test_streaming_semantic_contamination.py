@@ -63,6 +63,33 @@ def _drive(spark, stream_dir, index_dir, result_dir, ckpt, glob="*"):
         q.stop()
 
 
+def test_arrival_fixture_physical_type_is_float32(spark, sf_dir, tmp_path):
+    """The r12 driver failure: the eval-arrival files were written via a
+    pandas round-trip whose NON-Arrow path upcast float32 embeddings to
+    ``list<double>``, and the vectorized reader refused DOUBLE→float
+    against the declared stream schema ``array<float>`` — but only in a
+    session without the engine's Arrow conf (the driver's). The writer
+    now writes with Spark, so the file's physical type must be FLOAT
+    regardless of any session conf; pin it at the parquet layer where
+    no session is involved at all."""
+    import pyarrow.parquet as pq
+
+    stream_dir = str(tmp_path / "incoming")
+    write_eval_stream_files(spark, sf_dir, stream_dir)
+    files = sorted(os.listdir(stream_dir))
+    assert files == ["e0.parquet", "e1.parquet", "e2.parquet"]
+    for f in files:
+        schema = pq.read_schema(os.path.join(stream_dir, f))
+        emb = schema.field("embedding").type
+        assert str(emb.value_type) == "float", (
+            f"{f}: embedding physical type {emb} — the declared stream "
+            "schema array<float> would refuse this file"
+        )
+    # and the mtime stagger that makes maxFilesPerTrigger=1 deterministic
+    mtimes = [os.path.getmtime(os.path.join(stream_dir, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+
 def test_registered_entry_matches_batch_exactly(spark, sf_dir):
     got = _rows(QUERIES["stream_semantic_contamination"](spark, sf_dir))
     want = _rows(QUERIES["text_semantic_contamination"](spark, sf_dir))
