@@ -530,6 +530,10 @@ def _walk_png_chunks(payload: bytes) -> list[tuple[str, bytes]]:
             raise ValueError(f"CRC mismatch in {tag!r}")
         chunks.append((tag.decode("latin-1"), data))
         if tag == b"IEND":
+            # a garbled container must never silently decode (r12
+            # ADVICE): bytes after IEND are structural corruption too
+            if pos + 12 + length < len(payload):
+                raise ValueError("trailing bytes after IEND")
             break
         pos += 12 + length
     return chunks

@@ -17,9 +17,20 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.operators import dedup as D
+from numalogic_prometheus_spark.operators.cdc import _B, _DIV, _M, _MAX, _WIN
 from numalogic_prometheus_spark.operators.dedup import tokens_col
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table, load_table_spread
+
+# The CDC oracle's windowed-byte-sum identity (identity 1 in the oracle
+# comment) holds ONLY because the rolling base ≡ 1 (mod _DIV) and _DIV
+# divides the hash modulus. The oracle interpolates the chunker's own
+# constants (r12 ADVICE — a constant change must not silently diverge),
+# and this guard makes a change that breaks the identity itself fail at
+# import, not as a sweep-hash mismatch.
+assert _B % _DIV == 1 and _M % _DIV == 0, (
+    "CDC oracle identity broken: need _B ≡ 1 (mod _DIV) and _DIV | _M"
+)
 
 # Word bigrams as strings ("tok_i tok_i+1"), deduplicated — the set the
 # Jaccard/containment measures run over.
@@ -188,7 +199,7 @@ def text_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is pure ASCII at every scale; the guard CTE makes that assumption
     # fail LOUDLY (error()) instead of silently diverging, and the
     # Python property tests keep covering the non-ASCII byte path.
-    oracle="""
+    oracle=f"""
     WITH doc_n AS (
         SELECT doc_id, text,
                CASE WHEN octet_length(encode(text)) <> length(text)
@@ -204,11 +215,11 @@ def text_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum AS (
         SELECT doc_id, i,
                sum(b) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS w
+                            ROWS BETWEEN {_WIN - 1} PRECEDING AND CURRENT ROW) AS w
         FROM bytes
     ),
     anchors AS (
-        SELECT doc_id, i AS p FROM wsum WHERE i >= 16 AND w % 64 = 63
+        SELECT doc_id, i AS p FROM wsum WHERE i >= {_WIN} AND w % {_DIV} = {_DIV - 1}
         UNION SELECT doc_id, 0 FROM doc_n
         UNION SELECT doc_id, n FROM doc_n
     ),
@@ -218,7 +229,7 @@ def text_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anchors
     ),
     ends AS (
-        SELECT doc_id, e FROM gaps, unnest(range(a + 160, b, 160)) AS u(e)
+        SELECT doc_id, e FROM gaps, unnest(range(a + {_MAX}, b, {_MAX})) AS u(e)
         WHERE b IS NOT NULL
         UNION ALL SELECT doc_id, b FROM gaps WHERE b IS NOT NULL
     ),

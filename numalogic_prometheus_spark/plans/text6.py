@@ -71,14 +71,15 @@ _SEG_DF = 2  # a segment in ≥ this many docs is boilerplate
 def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-segment boilerplate stripping (the CCNet/RefinedWeb
     repeated-content pass, at the fixture's segment grain — the corpus
-    has no newlines, so the 'line' unit is a fixed {_SEG}-token block):
-    every full block is keyed, blocks appearing in ≥{_SEG_DF} docs are
-    boilerplate, and each doc reports its segment attrition plus an
+    has no newlines, so the 'line' unit is a fixed 12-token block,
+    ``_SEG``): every full block is keyed, blocks appearing in at least
+    ``_SEG_DF`` (2) docs are boilerplate, and each doc reports its
+    segment attrition plus an
     md5 fingerprint of the ORDER-PRESERVED cleaned text — the
     fingerprint forces both engines to agree on exactly which segments
     survive and in what order, not just how many.
 
-    Scale shape: one explode (corpus × ~tokens/{_SEG}), the span-df
+    Scale shape: one explode (corpus × ~tokens/``_SEG``), the span-df
     idiom's single exchange on segment (row_number marks each doc's
     first occurrence; the partition sum counts docs), one partial+final
     per-doc aggregation, and a left join back to the doc spine. No
