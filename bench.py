@@ -107,6 +107,7 @@ HEADLINE = [
     "multimodal_image_png_features",  # real PNG codec round-trip (r12)
     "multimodal_image_row_stats",     # scanline-grain decode expansion (r12)
     "multimodal_video_apng_frames",   # real APNG frame demux (r12)
+    "multimodal_image_gif_features",  # real GIF/LZW palette decode (r13)
     "dedup_cdc_chunk_pairs",          # CDC chunk pairing (oracle-backed r12)
 ]
 
@@ -276,6 +277,26 @@ def main() -> None:
         if status == "ok":
             sentinel_series.append(round(time.perf_counter() - t0, 4))
 
+    # Load gate (VERDICT r12 #4): BENCH_r12 was captured at loadavg 5.3
+    # start and its one-shots contradicted the quiet twin by up to 2× on
+    # unchanged code. If the 1-minute loadavg says another process is
+    # eating cores, WAIT (bounded) for the storm to pass before opening
+    # the measured window — the committed driver artifact should be the
+    # evidence-grade capture, not a forensic exercise.
+    ncpu = os.cpu_count() or 8
+    load_gate = {"threshold": round(ncpu / 4, 2), "waits_s": []}
+    for _ in range(2):
+        la1 = os.getloadavg()[0]
+        if la1 <= ncpu / 4:
+            break
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < 0.5 * budget_s:
+            break  # never trade the measured window for the wait
+        wait = min(45.0, 0.1 * remaining)
+        load_gate["waits_s"].append(round(wait, 1))
+        time.sleep(wait)
+    load_gate["loadavg_after_gate"] = round(os.getloadavg()[0], 2)
+
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -383,6 +404,12 @@ def main() -> None:
         "sentinel_series": sentinel_series,
         "sentinel_spread": spread,
         "contended": bool(spread and spread > 2.0),
+        # pre-window wait-and-retry on host load (VERDICT r12 #4):
+        # waits_s lists the bounded sleeps taken before measuring; a
+        # loadavg_after_gate still above threshold means the storm
+        # outlasted the bounded wait and times should be read against
+        # the sentinel series
+        "load_gate": load_gate,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         # fixed full-width compute; min-of-3 is the host's multi-core

@@ -78,111 +78,101 @@ _MODULES = (
     "text6",
 )
 
-# ROUND-12 ROTATION (VERDICT r11 next-round #1; per-round narratives
+# ROUND-13 ROTATION (VERDICT r12 next-round #3; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 8 + 7 + 5 + 30 = 50, enumerated by reason:
-#   * the 8 late-r11 registrations that have never had a driver row
-#     (queued per the r9 protocol with full 4-scale sweep evidence),
-#     first in line as promised;
-#   * the 7 round-6-stale entries deferred from the r11 window by
-#     name (agg_pricing_summary, counter_hourly, gauge_latest_per_user,
-#     join_asof_last_error, ts_step_resample, stream_sliding_counts,
-#     stream_session_windows), promised first alongside them;
-#   * the 5 entries REGISTERED OR ORACLE-UPGRADED this round (r6 rule:
-#     in-window from day one): multimodal_image_png_features and
-#     multimodal_image_row_stats (VERDICT r11 #3 — real PNG codec),
-#     multimodal_video_apng_frames (extension past #3 — real APNG
-#     frame demux, the last fake-media caveat retired),
-#     dedup_cdc_chunk_pairs (VERDICT r11 #6 — rows-only until r12, its
-#     new DuckDB oracle needs a driver hash row), and
-#     stream_semantic_contamination (VERDICT r11 #4, rows-only by
-#     nature — exact batch-parity + kill/restart tests instead);
-#   * 30 of the 40 entries whose last driver row is round 7 — the
-#     whole remaining recency tail except 10 deferred BY NAME to r13
-#     (first in line there), chosen as the members with the strongest
-#     independent per-round signal — benched every round in HEADLINE
-#     and/or carrying dedicated unit suites / native streaming twins:
-#     summary_by_type, histogram_cumulative, info_latest_per_user
-#     (metrics-family suites + bench), exposition_counter (the
-#     exposition family's dedicated render + HTTP-seam suites),
+# queries(). 1 + 10 + 2 + 1 + 36 = 50, enumerated by reason:
+#   * stream_semantic_contamination FIRST (VERDICT r12 #1: its r12
+#     driver row FAILED — the eval-arrival fixture writer's pandas
+#     round-trip emitted list<double> under the driver's Arrow-off
+#     session; the writer is now Spark-side and the fix is pinned at
+#     the parquet-physical-type layer in
+#     tests/test_streaming_semantic_contamination.py);
+#   * the 10 round-7-stale entries deferred from the r12 window BY
+#     NAME, promised first in line here: summary_by_type,
+#     histogram_cumulative, info_latest_per_user, exposition_counter,
 #     ml_ensemble_unified, join_fact_fact_revenue,
 #     join_broadcast_enrich, win_topk_per_group,
-#     dedup_minhash_lsh_pairs (benched every round),
-#     dedup_incremental_batch (benched + native streaming-twin tests).
-#     All 10 are hash-green in this round's committed full-registry
-#     sweeps like everything else.
-# After r12 the staleness ledger is: nothing older than r7, exactly
-# the 10 enumerated r7 deferrals at r7, everything else r8+, and no
-# entry without a driver row EXCEPT the 2 late-r12 registrations
-# queued below (4-scale sweep evidence committed, first driver row
-# in r13 — the same protocol the 8 late-r11 registrations followed
-# into this window).
-# QUEUED FOR R13 (r9 queue protocol — registered late r12 with full
-# sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines appended to all
-# three sweep logs + SWEEP_sf1_rest.log appended run, goldens in
-# tests/test_text6_golden.py, plan pins in tests/test_plan_shape.py):
-# text_boilerplate_segments (plans/text6.py — frequent-segment
-# boilerplate strip with order-preserving cleaned-text fingerprint)
-# and text_bigram_lm_score (plans/text6.py — corpus-trained add-k
-# bigram LM mean log-probability, the perplexity-style quality
-# filter). They join the 10 deferred r7-stale entries at the front of
-# the r13 window.
+#     dedup_minhash_lsh_pairs, dedup_incremental_batch;
+#   * the 2 late-r12 registrations queued per the r9 protocol
+#     (4-scale sweep evidence committed last round):
+#     text_boilerplate_segments and text_bigram_lm_score;
+#   * the 1 entry REGISTERED THIS round (r6 rule: in-window day one):
+#     multimodal_image_gif_features (VERDICT r12 #5 — real GIF89a
+#     LZW/palette/interlace codec, the third stdlib container);
+#   * 36 of the 48 entries whose last driver row is round 8 — the
+#     whole remaining recency tail except 12 deferred BY NAME to r14
+#     (first in line there), chosen as the members with the strongest
+#     independent per-round signal — benched every round in HEADLINE
+#     and/or carrying dedicated suites / native streaming twins:
+#     promql_avg_over_time, promql_histogram_quantile_p90,
+#     rollup_daily_from_hourly, text_contamination_eval_overlap,
+#     text_ngram_jaccard_pairs, text_stats, vec_ann_filtered_topk,
+#     vec_ann_tuned_topk, pipeline_curation_verdicts,
+#     promql_vector_share_group_left (all 10 in HEADLINE every
+#     round), stream_counter_rate (native streaming suite + the
+#     substrate of r12-green stream_burn_rate_alert),
+#     quality_repetition_stats (dedicated quality-suite goldens).
+#     All 12 are hash-green in the committed full-registry sweeps.
+# After r13 the staleness ledger is: nothing older than r8, exactly
+# the 12 enumerated r8 deferrals at r8, everything else r9+, and no
+# entry without a driver row.
 _CHECK_FIRST = (
-    # -- late-r11 registrations, first driver row (8) --
-    "promql_native_histogram_fraction_rate",
-    "promql_burn_rate_multiwindow",
-    "vec_pq_subvector_topk",
-    "vec_matryoshka_prefix_topk",
-    "promql_native_histogram_rate_quantile_agg",
-    "stream_burn_rate_alert",
-    "multimodal_audio_wav_features",
-    "multimodal_audio_frame_energy",
-    # -- r11-deferred round-6-stale entries (7) --
-    "agg_pricing_summary",
-    "counter_hourly",
-    "gauge_latest_per_user",
-    "join_asof_last_error",
-    "ts_step_resample",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    # -- new round-12 registrations / oracle upgrades (5) --
-    "multimodal_image_png_features",
-    "multimodal_image_row_stats",
-    "multimodal_video_apng_frames",
-    "dedup_cdc_chunk_pairs",
+    # -- the r12 driver failure, fixed this round (1) --
     "stream_semantic_contamination",  # rows-only by nature
-    # -- r7 recency tail, 30 of 40 --
-    "agg_conditional_buckets",
-    "agg_distinct_counts",
-    "agg_rollup_region_nation",
-    "agg_stats_moments",
-    "dedup_shingle_minhash_pairs",
-    "filter_predicates",
-    "join_anti_inactive_customers",
-    "join_band_value_tiers",
-    "join_full_outer_keys",
-    "join_semi_active_customers",
-    "label_merge_right_biased",
-    "profile_column_stats",
-    "promql_absent_over_time",
-    "promql_alert_firing",
-    "promql_label_ops",
-    "promql_present_over_time",
-    "promql_rate_extrapolated",
-    "promql_topk_users_hourly",
-    "sample_split_by_cluster",
-    "scalar_array_funcs",
-    "scalar_json_extract",
-    "scalar_nan_inf_clean",
-    "set_union_intersect_except",
-    "subquery_correlated_max_per_cust",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_volume",
-    "tpch_q7_nation_volume",
-    "vec_cosine_topk",
-    "win_running_cumulative",
+    # -- r12-deferred round-7-stale entries (10) --
+    "summary_by_type",
+    "histogram_cumulative",
+    "info_latest_per_user",
+    "exposition_counter",
+    "ml_ensemble_unified",
+    "join_fact_fact_revenue",
+    "join_broadcast_enrich",
+    "win_topk_per_group",
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_batch",
+    # -- late-r12 registrations, first driver row (2) --
+    "text_boilerplate_segments",
+    "text_bigram_lm_score",
+    # -- new round-13 registration (1) --
+    "multimodal_image_gif_features",
+    # -- r8 recency tail, 36 of 48 --
+    "agg_cube_flag_status",
+    "counter_monotonic_guard",
+    "exposition_full_registry",
+    "join_cross_small",
+    "join_interval_bucketed",
+    "join_left_outer_order_counts",
+    "ml_conformal_threshold",
+    "ml_static_threshold",
+    "profile_drift_halves",
+    "project_computed",
+    "promql_count_over_time",
+    "promql_irate_last_delta",
+    "promql_last_over_time",
+    "promql_limit_ratio",
+    "promql_limitk",
+    "promql_max_over_time",
+    "promql_min_over_time",
+    "promql_rate_per_hour",
+    "promql_ratio_group_right",
+    "promql_stddev_over_time",
+    "promql_stdvar_over_time",
+    "promql_subquery_max_rate",
+    "promql_sum_over_time",
+    "promql_vector_ratio_ignoring",
+    "promql_vector_ratio_on",
+    "quality_constraint_checks",
+    "rollup_quantile_sketch_daily",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "sort_global_topk",
+    "text_quality_by_source",
+    "tpch_q6_forecast_revenue",
+    "ts_ewma_irregular",
+    "ts_holt_winters_level_trend",
+    "win_first_last_nth",
+    "win_rank_variants",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

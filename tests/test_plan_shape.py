@@ -547,6 +547,7 @@ def test_image_decode_is_shuffle_free_map(spark, sf_dir):
         "multimodal_image_png_features",
         "multimodal_image_row_stats",
         "multimodal_video_apng_frames",
+        "multimodal_image_gif_features",  # round 13: GIF/LZW sibling
     ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"

@@ -201,6 +201,11 @@ def test_png_corrupt_payloads_rejected():
     with pytest.raises(ValueError, match="IHDR or IEND"):
         decode_png(payload[: payload.index(b"IEND") - 4])
 
+    # garbage appended after IEND (r12 ADVICE: a garbled container must
+    # never silently decode — trailing bytes are corruption too)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_png(payload + b"\x00garbage")
+
 
 # ---------------------------------------------------------------------------
 # APNG (round-12 video frame demux) — same three layers as the still
