@@ -81,7 +81,7 @@ _MODULES = (
 # ROUND-13 ROTATION (VERDICT r12 next-round #3; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 1 + 10 + 2 + 1 + 36 = 50, enumerated by reason:
+# queries(). 1 + 10 + 2 + 2 + 35 = 50, enumerated by reason:
 #   * stream_semantic_contamination FIRST (VERDICT r12 #1: its r12
 #     driver row FAILED — the eval-arrival fixture writer's pandas
 #     round-trip emitted list<double> under the driver's Arrow-off
@@ -97,11 +97,14 @@ _MODULES = (
 #   * the 2 late-r12 registrations queued per the r9 protocol
 #     (4-scale sweep evidence committed last round):
 #     text_boilerplate_segments and text_bigram_lm_score;
-#   * the 1 entry REGISTERED THIS round (r6 rule: in-window day one):
-#     multimodal_image_gif_features (VERDICT r12 #5 — real GIF89a
-#     LZW/palette/interlace codec, the third stdlib container);
-#   * 36 of the 48 entries whose last driver row is round 8 — the
-#     whole remaining recency tail except 12 deferred BY NAME to r14
+#   * the 2 entries REGISTERED THIS round (r6 rule: in-window day
+#     one): multimodal_image_gif_features (VERDICT r12 #5 — real
+#     GIF89a LZW/palette/interlace codec, the third stdlib container)
+#     and multimodal_image_jpeg_coefficients (real baseline-JPEG
+#     entropy decode, featured in the exact coefficient domain — the
+#     fake seam now covers ffmpeg-class video only);
+#   * 35 of the 48 entries whose last driver row is round 8 — the
+#     whole remaining recency tail except 13 deferred BY NAME to r14
 #     (first in line there), chosen as the members with the strongest
 #     independent per-round signal — benched every round in HEADLINE
 #     and/or carrying dedicated suites / native streaming twins:
@@ -112,10 +115,11 @@ _MODULES = (
 #     promql_vector_share_group_left (all 10 in HEADLINE every
 #     round), stream_counter_rate (native streaming suite + the
 #     substrate of r12-green stream_burn_rate_alert),
-#     quality_repetition_stats (dedicated quality-suite goldens).
-#     All 12 are hash-green in the committed full-registry sweeps.
+#     quality_repetition_stats and quality_constraint_checks
+#     (dedicated quality-suite goldens).
+#     All 13 are hash-green in the committed full-registry sweeps.
 # After r13 the staleness ledger is: nothing older than r8, exactly
-# the 12 enumerated r8 deferrals at r8, everything else r9+, and no
+# the 13 enumerated r8 deferrals at r8, everything else r9+, and no
 # entry without a driver row.
 _CHECK_FIRST = (
     # -- the r12 driver failure, fixed this round (1) --
@@ -134,9 +138,10 @@ _CHECK_FIRST = (
     # -- late-r12 registrations, first driver row (2) --
     "text_boilerplate_segments",
     "text_bigram_lm_score",
-    # -- new round-13 registration (1) --
+    # -- new round-13 registrations (2) --
     "multimodal_image_gif_features",
-    # -- r8 recency tail, 36 of 48 --
+    "multimodal_image_jpeg_coefficients",
+    # -- r8 recency tail, 35 of 48 --
     "agg_cube_flag_status",
     "counter_monotonic_guard",
     "exposition_full_registry",
@@ -162,7 +167,6 @@ _CHECK_FIRST = (
     "promql_sum_over_time",
     "promql_vector_ratio_ignoring",
     "promql_vector_ratio_on",
-    "quality_constraint_checks",
     "rollup_quantile_sketch_daily",
     "scalar_math_funcs",
     "scalar_string_funcs",
