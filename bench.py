@@ -229,6 +229,26 @@ def main() -> None:
     # die. Budget < any plausible external timeout.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     t_start = time.perf_counter()
+
+    # Load gate (VERDICT r12 #4): BENCH_r12 was captured at loadavg 5.3
+    # start and its one-shots contradicted the quiet twin by up to 2× on
+    # unchanged code. If the 1-minute loadavg says another process is
+    # eating cores, WAIT (bounded) for the storm to pass — BEFORE the
+    # session/warmup spin up, so the gate measures EXTERNAL load, not
+    # the bench's own warmup (r13 self-review finding: gating after the
+    # core-saturating warmup reads our own load and wastes the measured
+    # window on quiet hosts).
+    ncpu = os.cpu_count() or 8
+    load_gate = {"threshold": round(ncpu / 4, 2), "waits_s": []}
+    for _ in range(2):
+        la1 = os.getloadavg()[0]
+        if la1 <= ncpu / 4:
+            break
+        wait = 45.0
+        load_gate["waits_s"].append(round(wait, 1))
+        time.sleep(wait)
+    load_gate["loadavg_after_gate"] = round(os.getloadavg()[0], 2)
+
     spark = get_session(app_name="bench")
 
     queries = plans.all_queries()
@@ -277,26 +297,6 @@ def main() -> None:
         )
         if status == "ok":
             sentinel_series.append(round(time.perf_counter() - t0, 4))
-
-    # Load gate (VERDICT r12 #4): BENCH_r12 was captured at loadavg 5.3
-    # start and its one-shots contradicted the quiet twin by up to 2× on
-    # unchanged code. If the 1-minute loadavg says another process is
-    # eating cores, WAIT (bounded) for the storm to pass before opening
-    # the measured window — the committed driver artifact should be the
-    # evidence-grade capture, not a forensic exercise.
-    ncpu = os.cpu_count() or 8
-    load_gate = {"threshold": round(ncpu / 4, 2), "waits_s": []}
-    for _ in range(2):
-        la1 = os.getloadavg()[0]
-        if la1 <= ncpu / 4:
-            break
-        remaining = budget_s - (time.perf_counter() - t_start)
-        if remaining < 0.5 * budget_s:
-            break  # never trade the measured window for the wait
-        wait = min(45.0, 0.1 * remaining)
-        load_gate["waits_s"].append(round(wait, 1))
-        time.sleep(wait)
-    load_gate["loadavg_after_gate"] = round(os.getloadavg()[0], 2)
 
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}

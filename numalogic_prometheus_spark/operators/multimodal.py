@@ -7,10 +7,14 @@ codec-adversarial closed-form oracles: audio as RIFF/WAVE (round 11),
 images as PNG with all five scanline filters (round 12) AND GIF89a
 with variable-width LZW, palette indirection and 4-pass interlacing
 (round 13), and video frame demux as APNG — sequenced fcTL/fdAT
-frames, per-frame DEFLATE (round 12). `_fake_decode_features` below
-remains only as the documented stand-in for codec families genuinely
-absent from this container (JPEG/ffmpeg-class — nothing
-stdlib-expressible is faked anymore): binary in → fixed-schema feature struct
+frames, per-frame DEFLATE (round 12); round 13 adds GIF89a
+(variable-width LZW, palette indirection, 4-pass interlacing) and
+baseline-JPEG ENTROPY decode (exact coefficient domain — JPEG's pixel
+path is lossy by spec, so only its IDCT stage stays out of oracle
+reach). `_fake_decode_features` below remains only as the documented
+stand-in for decode work genuinely outside this container's reach:
+ffmpeg-class video and JPEG's lossy pixel path — nothing
+stdlib-expressible-and-exact is faked anymore. It is binary in → fixed-schema feature struct
 out, batch-wise over Arrow record batches, so swapping it for a
 PIL/torchaudio kernel changes zero Spark-side code — schema,
 partitioning, UDF signature and batch shape are the same contract the
@@ -993,7 +997,12 @@ def _gif_lzw_encode(indexes, min_code_size: int, reset_after: int) -> bytes:
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         seq = (v,)
-        if adds >= reset_after:
+        # force a Clear at the cadence OR when the table is full
+        # (code 4096 would not fit the frozen 12-bit width and the
+        # decoder's table is capped — r13 self-review finding: the
+        # unguarded encoder emitted undecodable streams when called
+        # directly with a sparse cadence)
+        if adds >= reset_after or next_code == 4096:
             out_bits.append((clear, width))
             table, next_code, width = fresh_table()
             adds = 0
@@ -1158,6 +1167,8 @@ def decode_gif(payload: bytes):
     pos += 3 * ncol
     if pos >= len(payload) or payload[pos] != 0x2C:
         raise ValueError("expected image descriptor")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated image descriptor")
     left, top, fw, fh, fpacked = struct.unpack(
         "<HHHHB", payload[pos + 1 : pos + 10]
     )
@@ -1308,18 +1319,6 @@ _JPEG_AC_VALS = (
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 )
-
-# Zigzag order: _JPEG_ZIGZAG[k] = (row, col) of zigzag index k.
-def _jpeg_zigzag_order():
-    order = []
-    for s in range(15):
-        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
-        order.extend(diag if s % 2 else diag[::-1])
-    return order
-
-
-_JPEG_ZIGZAG = tuple(_jpeg_zigzag_order())
-
 
 def _jpeg_blocks(doc_id: int) -> tuple[int, int]:
     """Closed-form 8×8-block grid: 1..3 wide × 1..2 high."""
@@ -1592,10 +1591,12 @@ def decode_jpeg_coefficients(payload: bytes):
             if body[:5] != b"JFIF\x00":
                 raise ValueError("missing JFIF identifier")
         elif marker == 0xFFDB:
-            if body[0] != 0x00 or len(body) != 65:
+            if len(body) != 65 or body[0] != 0x00:
                 raise ValueError("unsupported DQT shape")
             qt = np.frombuffer(body[1:], dtype=np.uint8).astype(np.int64)
         elif marker == 0xFFC0:
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 body")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp != 1 or body[6:9] != b"\x01\x11\x00":
                 raise ValueError("unsupported SOF0 layout")
@@ -1603,6 +1604,8 @@ def decode_jpeg_coefficients(payload: bytes):
                 raise ValueError("dimensions not block-aligned")
             dims = (w, h)
         elif marker == 0xFFC4:
+            if len(body) < 17:
+                raise ValueError("truncated DHT body")
             tc_th, tbl = body[0], body[1:]
             bits = tuple(tbl[:16])
             vals = tuple(tbl[16 : 16 + sum(bits)])
@@ -1615,6 +1618,8 @@ def decode_jpeg_coefficients(payload: bytes):
             else:
                 raise ValueError("unsupported DHT class/id")
         elif marker == 0xFFDD:
+            if len(body) != 2:
+                raise ValueError("bad DRI length")
             (dri,) = struct.unpack(">H", body)
         elif marker == 0xFFDA:
             if body != b"\x01\x01\x00\x00\x3f\x00":
@@ -1628,8 +1633,6 @@ def decode_jpeg_coefficients(payload: bytes):
     bw, bh = w // 8, h // 8
     if dri != bw:
         raise ValueError("restart interval != block row")
-
-    import numpy as np
 
     rd = _JpegBitReader(payload, pos)
     blocks = {}

@@ -328,7 +328,8 @@ def multimodal_image_jpeg_coefficients(
     integers from the closed form, so Huffman, run-length, prediction,
     restart, stuffing and dequantize bugs all break the hash;
     tests/test_jpeg_codec.py exercises them directly). With this the
-    fake decode seam shrinks to ffmpeg-class video alone. Scale:
+    fake decode seam shrinks to ffmpeg-class video plus JPEG's lossy
+    pixel path (IDCT) alone. Scale:
     map-only decode inside mapInPandas, zero exchanges — plan-pinned
     with the other decode entries."""
     docs = load_table(spark, sf_dir, "documents")

@@ -104,7 +104,10 @@ def main() -> None:
                     line = f"PASS {name} {time.perf_counter() - t0:.1f}s"
                 else:
                     n = len(queries[name](spark, sf_dir).collect())
-                    assert n > 0, f"{name}: rows-only entry returned 0 rows"
+                    if n == 0:  # explicit raise: assert dies under -O
+                        raise ValueError(
+                            f"{name}: rows-only entry returned 0 rows"
+                        )
                     line = (
                         f"PASS {name} {time.perf_counter() - t0:.1f}s "
                         f"(rows-only, {n} rows)"

@@ -69,17 +69,74 @@ def test_corpus_exercises_all_codec_paths():
     assert saw_reset and saw_growth and saw_interlace
 
 
+def _walk_lzw_codes(data: bytes, min_code_size: int):
+    """Test-side reference walker: yield the raw code sequence using
+    the canonical width rules (mirrors the decoder's width evolution
+    without building strings) — lets tests assert on the CODE stream
+    itself, e.g. that inline Clear codes are really present."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = n = pos = 0
+    width = min_code_size + 1
+    table_len = eoi + 1
+    first_after_clear = True
+    while True:
+        while n < width:
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        yield code
+        if code == eoi:
+            return
+        if code == clear:
+            width = min_code_size + 1
+            table_len = eoi + 1
+            first_after_clear = True
+            continue
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+
+
 def test_lzw_stream_contains_inline_clear_codes():
     """For a small reset cadence the encoder must emit Clear codes
-    mid-stream (not just the leading one) — decode a doctored stream
-    with Clear handling disabled and it must fail."""
-    d = 6  # reset_after = 16, 8x8 canvas, 64 pixels, ncol=16
+    MID-STREAM (not just the leading one), and the decoder must
+    round-trip through them — r13 self-review finding: the original
+    pin used an asset whose cadence (208) exceeded its pixel count, so
+    the forced-Clear branch never fired and the test was a plain
+    round-trip."""
+    d = 7  # doc_id % 7 == 0 → reset_after = 16; 22×10 canvas = 220 px
+    assert _lzw_reset_after(d) == 16
     bits = _gif_palette_bits(d)
     w, h = _gif_dims(d)
     stream = [int(v) for v in _gif_indexes(d, w, h, 1 << bits).reshape(-1)]
-    data = _gif_lzw_encode(stream, max(2, bits), _lzw_reset_after(d))
-    out = _gif_lzw_decode(data, max(2, bits), len(stream))
-    assert out == stream
+    assert len(stream) - 1 > 16  # enough adds to force inline Clears
+    mcs = max(2, bits)
+    data = _gif_lzw_encode(stream, mcs, _lzw_reset_after(d))
+    codes = list(_walk_lzw_codes(data, mcs))
+    n_clears = sum(1 for c in codes if c == (1 << mcs))
+    assert n_clears >= 2, "no INLINE Clear code in the stream"
+    assert _gif_lzw_decode(data, mcs, len(stream)) == stream
+
+
+def test_lzw_table_full_forces_clear():
+    """With no cadence resets, a long high-entropy stream must hit the
+    4096-entry cap and the encoder must force a Clear there instead of
+    emitting undecodable >12-bit codes (r13 self-review finding)."""
+    import random
+
+    rng = random.Random(99)
+    stream = [rng.randrange(256) for _ in range(20_000)]
+    data = _gif_lzw_encode(stream, 8, 10**9)
+    assert _gif_lzw_decode(data, 8, len(stream)) == stream
+    codes = list(_walk_lzw_codes(data, 8))
+    assert sum(1 for c in codes if c == 256) >= 2  # table-full Clears
+    assert max(codes) < 4096
 
 
 def test_lzw_kwkwk_case():
