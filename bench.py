@@ -140,6 +140,10 @@ HEADLINE_EXCLUDED = {
     "stream_semantic_contamination": _STREAM_HARNESS,
     "scalar_datetime_funcs": _SWEEP_DOMINATED,
     "join_interval_bucketed": _SWEEP_DOMINATED,
+    # r13: 2.2s sweep line on a loaded host; spark-side min-of-3 is
+    # 1.10s at sf0.1 (the DuckDB 4-table correlated-min oracle + host
+    # noise dominate the sweep line)
+    "tpch_q2_min_cost_supplier": _SWEEP_DOMINATED,
     "filter_predicates": _SWEEP_DOMINATED,
     "ts_sessionize_gap": _SWEEP_DOMINATED,
     "ml_static_threshold": _SWEEP_DOMINATED,
