@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_video_apng_frames",   # real APNG frame demux (r12)
     "multimodal_image_gif_features",  # real GIF/LZW palette decode (r13)
     "multimodal_image_jpeg_coefficients",  # real JFIF entropy decode (r13)
+    "multimodal_video_avi_mjpeg_frames",  # real RIFF/MJPEG demux (late r13)
     "dedup_cdc_chunk_pairs",          # CDC chunk pairing (oracle-backed r12)
 ]
 

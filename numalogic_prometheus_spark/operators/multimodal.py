@@ -1406,9 +1406,20 @@ def synthesize_jpeg(doc_id: int) -> bytes:
     block row), an SOS whose entropy data Huffman-codes the
     closed-form quantized coefficients with DC prediction (reset at
     each RST), in-region zero runs, ZRL escapes and EOB, and EOI."""
+    bw, bh = _jpeg_blocks(doc_id)
+    return _synthesize_jfif(
+        bw, bh, lambda by, bx, k: _jpeg_qcoef(doc_id, by, bx, k)
+    )
+
+
+def _synthesize_jfif(bw: int, bh: int, qcoef) -> bytes:
+    """The parameterized JFIF encoder behind synthesize_jpeg: fixed
+    block grid (bw × bh), quantized coefficients from ``qcoef(by, bx,
+    k)`` — shared with the AVI/MJPEG frame encoder, where every frame
+    keeps the container's dims but carries its own coefficient
+    signal."""
     import struct
 
-    bw, bh = _jpeg_blocks(doc_id)
     w, h = 8 * bw, 8 * bh
     dc_enc = _jpeg_build_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc = _jpeg_build_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -1444,7 +1455,7 @@ def synthesize_jpeg(doc_id: int) -> bytes:
             rst = (rst + 1) % 8
             pred = 0  # DC prediction resets at a restart
         for bx in range(bw):
-            zz = [_jpeg_qcoef(doc_id, by, bx, k) for k in range(64)]
+            zz = [qcoef(by, bx, k) for k in range(64)]
             cat, bits = _jpeg_magnitude(zz[0] - pred)
             pred = zz[0]
             code, length = dc_enc[cat]
@@ -1723,4 +1734,262 @@ def jpeg_coefficient_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _extract, schema=JPEG_COEF_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 13 (third codec) — REAL video container demux: AVI/MJPEG.
+# Motion-JPEG in a RIFF AVI is the video container the stdlib can
+# fully express end-to-end: RIFF list nesting ('RIFF…AVI ' → LIST
+# hdrl(avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) )
+# → LIST movi('00dc' chunks) → idx1), WORD-ALIGNMENT padding (RIFF
+# chunks pad to even sizes — the classic demux off-by-one), an index
+# whose offsets/sizes must agree with the actual chunk positions, and
+# one genuine JFIF stream PER FRAME decoded by the round's baseline
+# JPEG entropy decoder. With this, every container / demux / entropy
+# layer across image, audio and video is real; the only faked stage
+# left anywhere is JPEG's lossy pixel path (IDCT).
+# ---------------------------------------------------------------------------
+
+AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long,"
+    " n_blocks long, sum_dc long, sum_abs_ac long, sum_sq long,"
+    " zz_checksum long"
+)
+
+
+def _avi_blocks(doc_id: int) -> tuple[int, int]:
+    """Frame block grid (fixed per container): 1..2 × 1 blocks — the
+    strf dims every frame must match."""
+    return 1 + doc_id % 2, 1
+
+
+def _avi_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 3  # 2..4 frames
+
+
+def _avi_qcoef(doc_id: int, t: int, by: int, bx: int, k: int) -> int:
+    """Per-frame closed-form quantized coefficients — the JPEG still
+    image's signal family with the frame index mixed in, so every
+    frame is distinct and a frame-order slip is feature-visible."""
+    if k < 1 + (doc_id + t + by + bx) % 8:
+        return (doc_id * 37 + t * 29 + by * 17 + bx * 11 + k * 7) % 21 - 10
+    if k == 40 and (doc_id + t + by + bx) % 3 == 0:
+        return (doc_id + t + by + bx) % 9 + 1
+    return 0
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """A RIFF chunk with the spec's even-size padding."""
+    import struct
+
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def synthesize_avi(doc_id: int) -> bytes:
+    """A genuine RIFF 'AVI ' container: avih (frame count + dims),
+    one 'vids'/'MJPG' stream (strh + BITMAPINFOHEADER strf), a movi
+    list of '00dc' frames each holding a full JFIF stream (ODD sizes
+    arise naturally, so the even-padding rule is really exercised),
+    and an idx1 whose entries carry each frame's movi-relative offset
+    and exact size."""
+    import struct
+
+    bw, bh = _avi_blocks(doc_id)
+    w, h = 8 * bw, 8 * bh
+    n = _avi_n_frames(doc_id)
+    frames = [
+        _synthesize_jfif(
+            bw, bh,
+            lambda by, bx, k, t=t: _avi_qcoef(doc_id, t, by, bx, k),
+        )
+        for t in range(n)
+    ]
+
+    avih = struct.pack(
+        "<10I", 33366, 0, 0, 0x10, n, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                        30, 0, n, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(
+            b"LIST",
+            b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for f in frames:
+        # idx1 offsets are movi-list-relative, pointing at the '00dc'
+        # fourcc; sizes are the UNPADDED payload sizes
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_chunk(b"LIST", bytes(movi_body))
+    idx1 = _riff_chunk(b"idx1", bytes(idx))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """The AVI/MJPEG READ path, strict like the repo's other codecs:
+    RIFF/AVI signature, list sizes consistent with their contents,
+    even-padding honored, exactly one 'vids' stream whose handler is
+    MJPG, avih frame count == strf-consistent '00dc' chunk count, an
+    idx1 whose per-frame offsets AND sizes match the actual movi
+    layout, every frame a JFIF stream whose decoded dims match the
+    container dims, and no trailing bytes. Returns (w, h, frames)
+    with frames[t] = dict[(by, bx)] → int64[64] dequantized
+    coefficients (via decode_jpeg_coefficients)."""
+    import struct
+
+    def u32(b: bytes, at: int) -> int:
+        if at + 4 > len(b):
+            raise ValueError("truncated RIFF size field")
+        return struct.unpack("<I", b[at : at + 4])[0]
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("bad RIFF/AVI signature")
+    riff_size = u32(payload, 4)
+    if 8 + riff_size + (riff_size % 2) != len(payload):
+        raise ValueError("RIFF size disagrees with payload length")
+
+    def walk(data: bytes, pos: int, end: int):
+        """Yield (fourcc, body, abs_body_offset) honoring padding."""
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated chunk header")
+            fourcc = data[pos : pos + 4]
+            size = u32(data, pos + 4)
+            body_off = pos + 8
+            if body_off + size > end:
+                raise ValueError(f"chunk {fourcc!r} overruns its parent")
+            yield fourcc, data[body_off : body_off + size], body_off
+            pos = body_off + size + (size % 2)  # even padding
+        if pos != end:
+            raise ValueError("chunk walk desynchronized")
+
+    n_frames = dims = None
+    handler_ok = False
+    movi_abs = None
+    frame_chunks = []  # (movi_relative_offset, size, body)
+    idx_entries = None
+    for fourcc, body, off in walk(payload, 12, 8 + riff_size):
+        if fourcc == b"LIST" and body[:4] == b"hdrl":
+            for f2, b2, _ in walk(body, 4, len(body)):
+                if f2 == b"avih":
+                    if len(b2) < 56:
+                        raise ValueError("short avih")
+                    vals = struct.unpack("<10I", b2[:40])
+                    n_frames, w, h = vals[4], vals[8], vals[9]
+                elif f2 == b"LIST" and b2[:4] == b"strl":
+                    for f3, b3, _ in walk(b2, 4, len(b2)):
+                        if f3 == b"strh":
+                            if b3[:4] != b"vids" or b3[4:8] != b"MJPG":
+                                raise ValueError(
+                                    "stream is not vids/MJPG"
+                                )
+                            handler_ok = True
+                        elif f3 == b"strf":
+                            if len(b3) < 40:
+                                raise ValueError("short strf")
+                            _, sw, sh = struct.unpack("<Iii", b3[:12])
+                            dims = (sw, sh)
+        elif fourcc == b"LIST" and body[:4] == b"movi":
+            movi_abs = off
+            for f2, b2, o2 in walk(body, 4, len(body)):
+                if f2 != b"00dc":
+                    raise ValueError(f"unexpected movi chunk {f2!r}")
+                # movi-relative offset of the chunk's fourcc
+                frame_chunks.append((o2 - 8, len(b2), b2))
+        elif fourcc == b"idx1":
+            if len(body) % 16:
+                raise ValueError("idx1 not 16-byte entries")
+            idx_entries = [
+                struct.unpack("<4sIII", body[i : i + 16])
+                for i in range(0, len(body), 16)
+            ]
+        else:
+            raise ValueError(f"unexpected top-level chunk {fourcc!r}")
+    if n_frames is None or dims is None or not handler_ok:
+        raise ValueError("missing avih/strh/strf headers")
+    if movi_abs is None or idx_entries is None:
+        raise ValueError("missing movi list or idx1 index")
+    if len(frame_chunks) != n_frames:
+        raise ValueError(
+            f"avih declares {n_frames} frames, movi has {len(frame_chunks)}"
+        )
+    if len(idx_entries) != n_frames:
+        raise ValueError("idx1 entry count != frame count")
+    for (cid, _flags, ioff, isize), (roff, size, _b) in zip(
+        idx_entries, frame_chunks
+    ):
+        if cid != b"00dc":
+            raise ValueError("idx1 entry for a non-frame chunk")
+        if ioff != roff or isize != size:
+            raise ValueError("idx1 offset/size disagrees with movi layout")
+
+    w, h = dims
+    frames = []
+    for _off, _size, body in frame_chunks:
+        fw, fh, blocks = decode_jpeg_coefficients(body)
+        if (fw, fh) != (w, h):
+            raise ValueError("frame dims != container dims")
+        frames.append(blocks)
+    return w, h, frames
+
+
+def _decode_avi_asset(doc_id: int):
+    payload = synthesize_avi(int(doc_id))
+    return payload, decode_avi_mjpeg(payload)
+
+
+def avi_frame_features(docs: DataFrame) -> DataFrame:
+    """mapInPandas: per doc_id, demux the AVI, entropy-decode every
+    MJPEG frame, and emit one row per frame with exact coefficient-
+    domain features (the JPEG still entry's shape plus frame_idx —
+    a frame-order or index slip breaks the per-frame hashes)."""
+    from collections.abc import Iterator
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, (w, h, frames) = _decode_avi_asset(int(doc_id))
+                bw = w // 8
+                for t, blocks in enumerate(frames):
+                    sum_dc = sum_abs_ac = sum_sq = zz_ck = 0
+                    for (by, bx), zz in blocks.items():
+                        bi = by * bw + bx
+                        sum_dc += int(zz[0])
+                        sum_abs_ac += int(np.abs(zz[1:]).sum())
+                        sum_sq += int((zz * zz).sum())
+                        kw = bi * 64 + np.arange(64, dtype=np.int64) + 1
+                        zz_ck += int((kw * zz).sum())
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": t,
+                            "width": w,
+                            "height": h,
+                            "n_blocks": len(blocks),
+                            "sum_dc": sum_dc,
+                            "sum_abs_ac": sum_abs_ac,
+                            "sum_sq": sum_sq,
+                            "zz_checksum": zz_ck,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _extract, schema=AVI_FRAME_SCHEMA
     )

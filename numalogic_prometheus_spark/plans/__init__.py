@@ -120,7 +120,18 @@ _MODULES = (
 #     All 13 are hash-green in the committed full-registry sweeps.
 # After r13 the staleness ledger is: nothing older than r8, exactly
 # the 13 enumerated r8 deferrals at r8, everything else r9+, and no
-# entry without a driver row.
+# entry without a driver row EXCEPT the 1 late-r13 registration
+# queued below.
+# QUEUED FOR R14 (r9 queue protocol — registered late r13 with full
+# sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines in all three
+# sweep logs + an appended SWEEP_sf1_rest.log run + a vanilla-session
+# delta in SWEEP_sf0.01_vanilla.log, codec suite in
+# tests/test_avi_codec.py, plan pin in tests/test_plan_shape.py):
+# multimodal_video_avi_mjpeg_frames (plans/images.py — RIFF AVI
+# demux with per-frame JFIF entropy decode; with it, every
+# container/demux/entropy layer across the three modalities is real).
+# It joins the 13 enumerated r8 deferrals at the front of the r14
+# window.
 _CHECK_FIRST = (
     # -- the r12 driver failure, fixed this round (1) --
     "stream_semantic_contamination",  # rows-only by nature

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from numalogic_prometheus_spark.operators.multimodal import (
     apng_frame_features,
+    avi_frame_features,
     gif_features,
     jpeg_coefficient_features,
     png_features,
@@ -334,3 +335,78 @@ def multimodal_image_jpeg_coefficients(
     with the other decode entries."""
     docs = load_table(spark, sf_dir, "documents")
     return jpeg_coefficient_features(docs)
+
+
+@register(
+    "multimodal_video_avi_mjpeg_frames",
+    # Closed-form per-frame coefficient signal (late round 13): the
+    # JPEG still entry's family with the frame index mixed in —
+    # mirrors operators/multimodal.py:_avi_qcoef/_avi_blocks/
+    # _avi_n_frames; quantization lossless by construction exactly as
+    # in the still entry.
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS bw,
+               1 AS bh,
+               2 + doc_id % 3 AS nf
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, bw, bh, t, by, bx, k,
+               1 + (doc_id + t + by + bx) % 8 AS nz
+        FROM params,
+             unnest(range(0, nf)) AS s(t),
+             unnest(range(0, bh)) AS u(by),
+             unnest(range(0, bw)) AS v(bx),
+             unnest(range(0, 64)) AS q(k)
+    ),
+    deq AS (
+        SELECT doc_id, bw, bh, t, by, bx, k,
+               (CASE
+                    WHEN k < nz
+                        THEN (doc_id * 37 + t * 29 + by * 17
+                              + bx * 11 + k * 7) % 21 - 10
+                    WHEN k = 40 AND (doc_id + t + by + bx) % 3 = 0
+                        THEN (doc_id + t + by + bx) % 9 + 1
+                    ELSE 0
+                END) * (1 + k % 4) AS d
+        FROM cells
+    )
+    SELECT doc_id,
+           t::BIGINT AS frame_idx,
+           (8 * bw)::BIGINT AS width,
+           (8 * bh)::BIGINT AS height,
+           (bw * bh)::BIGINT AS n_blocks,
+           sum(CASE WHEN k = 0 THEN d ELSE 0 END)::BIGINT AS sum_dc,
+           sum(CASE WHEN k > 0 THEN abs(d) ELSE 0 END)::BIGINT
+               AS sum_abs_ac,
+           sum(d * d)::BIGINT AS sum_sq,
+           sum(((by * bw + bx) * 64 + k + 1) * d)::BIGINT AS zz_checksum
+    FROM deq GROUP BY doc_id, t, bw, bh
+    """,
+)
+def multimodal_video_avi_mjpeg_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video demux through a REAL RIFF AVI container with MJPEG frames
+    (late round 13): per document-keyed asset, a genuine
+    'RIFF…AVI ' layout — LIST hdrl (avih frame count/dims + 'vids'/
+    'MJPG' strh + BITMAPINFOHEADER strf), LIST movi of '00dc' chunks
+    each holding a full JFIF stream (odd sizes occur naturally, so
+    RIFF's even-padding rule is really exercised), and an idx1 whose
+    per-frame offsets AND sizes must agree with the actual movi
+    layout — demuxed strictly and entropy-decoded per frame by the
+    round's baseline JPEG decoder
+    (operators/multimodal.py:decode_avi_mjpeg). Features live in the
+    exact coefficient domain like the still entry, one row per frame;
+    the oracle recomputes them from the closed-form per-frame signal,
+    so list-nesting, padding, index-consistency, frame-order and
+    every JPEG entropy bug class break the hash
+    (tests/test_avi_codec.py exercises them directly). With this,
+    every container/demux/entropy layer across image, audio and video
+    is REAL; the only faked stage anywhere is JPEG's lossy pixel path
+    (IDCT). Scale: map-only 1→N demux inside mapInPandas, zero
+    exchanges — plan-pinned with the other decode entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return avi_frame_features(docs)
