@@ -1876,7 +1876,8 @@ def decode_avi_mjpeg(payload: bytes):
         if pos != end:
             raise ValueError("chunk walk desynchronized")
 
-    n_frames = dims = None
+    n_frames = dims = avih_dims = None
+    n_strl = n_movi = n_idx1 = 0
     handler_ok = False
     movi_abs = None
     frame_chunks = []  # (movi_relative_offset, size, body)
@@ -1888,8 +1889,9 @@ def decode_avi_mjpeg(payload: bytes):
                     if len(b2) < 56:
                         raise ValueError("short avih")
                     vals = struct.unpack("<10I", b2[:40])
-                    n_frames, w, h = vals[4], vals[8], vals[9]
+                    n_frames, avih_dims = vals[4], (vals[8], vals[9])
                 elif f2 == b"LIST" and b2[:4] == b"strl":
+                    n_strl += 1
                     for f3, b3, _ in walk(b2, 4, len(b2)):
                         if f3 == b"strh":
                             if b3[:4] != b"vids" or b3[4:8] != b"MJPG":
@@ -1901,8 +1903,13 @@ def decode_avi_mjpeg(payload: bytes):
                             if len(b3) < 40:
                                 raise ValueError("short strf")
                             _, sw, sh = struct.unpack("<Iii", b3[:12])
+                            if b3[16:20] != b"MJPG":
+                                raise ValueError(
+                                    "strf biCompression is not MJPG"
+                                )
                             dims = (sw, sh)
         elif fourcc == b"LIST" and body[:4] == b"movi":
+            n_movi += 1
             movi_abs = off
             for f2, b2, o2 in walk(body, 4, len(body)):
                 if f2 != b"00dc":
@@ -1910,6 +1917,7 @@ def decode_avi_mjpeg(payload: bytes):
                 # movi-relative offset of the chunk's fourcc
                 frame_chunks.append((o2 - 8, len(b2), b2))
         elif fourcc == b"idx1":
+            n_idx1 += 1
             if len(body) % 16:
                 raise ValueError("idx1 not 16-byte entries")
             idx_entries = [
@@ -1922,6 +1930,16 @@ def decode_avi_mjpeg(payload: bytes):
         raise ValueError("missing avih/strh/strf headers")
     if movi_abs is None or idx_entries is None:
         raise ValueError("missing movi list or idx1 index")
+    # 'exactly one' means exactly one (r13 second-review findings):
+    # a duplicate stream list, movi list or index is a malformed
+    # container, and an avih that lies about the canvas is too
+    if (n_strl, n_movi, n_idx1) != (1, 1, 1):
+        raise ValueError(
+            f"expected exactly one strl/movi/idx1, got "
+            f"{n_strl}/{n_movi}/{n_idx1}"
+        )
+    if avih_dims != dims:
+        raise ValueError("avih dims disagree with strf dims")
     if len(frame_chunks) != n_frames:
         raise ValueError(
             f"avih declares {n_frames} frames, movi has {len(frame_chunks)}"

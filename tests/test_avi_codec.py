@@ -51,21 +51,32 @@ def test_avi_roundtrip_exact():
                 assert (zz == _expected(d, t, by, bx)).all()
 
 
+def _movi_frame_sizes(p: bytes) -> list[int]:
+    """Walk ONLY the movi list's chunk headers (the way the decoder
+    does) — a raw byte scan for '00dc' also matches idx1 entries and
+    could match entropy-data collisions (r13 second-review finding)."""
+    movi_at = p.index(b"movi")
+    list_size = struct.unpack("<I", p[movi_at - 4 : movi_at])[0]
+    end = movi_at + list_size
+    pos = movi_at + 4
+    sizes = []
+    while pos < end:
+        fourcc = p[pos : pos + 4]
+        size = struct.unpack("<I", p[pos + 4 : pos + 8])[0]
+        assert fourcc == b"00dc"
+        sizes.append(size)
+        pos += 8 + size + (size % 2)
+    return sizes
+
+
 def test_padding_rule_really_exercised():
     """Odd-size frame payloads must occur across the corpus — without
     them the even-padding walk would be vacuous."""
-    n_odd = 0
-    for d in range(40):
-        p = synthesize_avi(d)
-        i = 0
-        while True:
-            j = p.find(b"00dc", i + 1)
-            if j < 0:
-                break
-            size = struct.unpack("<I", p[j + 4 : j + 8])[0]
-            if size > 100 and size % 2:
-                n_odd += 1
-            i = j
+    n_odd = sum(
+        sz % 2
+        for d in range(40)
+        for sz in _movi_frame_sizes(synthesize_avi(d))
+    )
     assert n_odd >= 10
 
 
@@ -140,6 +151,44 @@ def test_avi_index_layout_consistency_enforced():
     )
     with pytest.raises(ValueError, match="idx1 offset/size"):
         decode_avi_mjpeg(bytes(lies))
+
+
+def test_avi_header_lies_rejected():
+    """r13 second-review findings: an avih that lies about the canvas,
+    a duplicated stream list, and a strf declaring a non-MJPG codec
+    must all be refused."""
+    payload = synthesize_avi(4)
+
+    # avih dims disagree with strf
+    avih_at = payload.index(b"avih")
+    lie = bytearray(payload)
+    lie[avih_at + 8 + 32 : avih_at + 8 + 36] = struct.pack("<I", 56)
+    with pytest.raises(ValueError, match="avih dims"):
+        decode_avi_mjpeg(bytes(lie))
+
+    # strf biCompression != MJPG
+    strf_at = payload.index(b"strf")
+    raw = bytearray(payload)
+    raw[strf_at + 8 + 16 : strf_at + 8 + 20] = b"RAW "
+    with pytest.raises(ValueError, match="biCompression"):
+        decode_avi_mjpeg(bytes(raw))
+
+    # duplicated strl LIST inside hdrl
+    strl_at = payload.index(b"strl") - 8  # LIST header start
+    strl_size = struct.unpack("<I", payload[strl_at + 4 : strl_at + 8])[0]
+    strl_chunk = payload[strl_at : strl_at + 8 + strl_size + (strl_size % 2)]
+    hdrl_at = payload.index(b"hdrl") - 8
+    hdrl_size = struct.unpack("<I", payload[hdrl_at + 4 : hdrl_at + 8])[0]
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    dup = bytearray(payload[:hdrl_end] + strl_chunk + payload[hdrl_end:])
+    dup[hdrl_at + 4 : hdrl_at + 8] = struct.pack(
+        "<I", hdrl_size + len(strl_chunk)
+    )
+    dup[4:8] = struct.pack(
+        "<I", struct.unpack("<I", payload[4:8])[0] + len(strl_chunk)
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        decode_avi_mjpeg(bytes(dup))
 
 
 def test_avi_frame_count_lie_rejected():
