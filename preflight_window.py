@@ -1,5 +1,12 @@
-"""r13 window pre-flight: first 50 queries() entries through the
-driver-mimic compare on a VANILLA (driver-shaped, Arrow-off) session."""
+"""Driver-window pre-flight: the first 50 queries() entries (the
+driver's check window) through the driver-mimic compare on a VANILLA
+(driver-shaped, Arrow-off) session — run before every rotation commit
+and again on final code each round. The vanilla session is the point
+(VERDICT r12 #2): a window member whose correctness depends on an
+engine-session conf must fail HERE, not in the driver.
+
+Usage: python preflight_window.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
 import sys, time, traceback
 sys.path.insert(0, '/root/repo')
 from numalogic_prometheus_spark import plans
@@ -7,7 +14,7 @@ from sweep_oracles import build_vanilla_session
 from tests.oracle_harness import compare, run_oracle
 
 spark = build_vanilla_session()
-sf_dir = "/root/testdata/sf0.01"
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 q, o = plans.all_queries(), plans.all_oracles()
 window = list(q)[:50]
 ok = bad = 0
