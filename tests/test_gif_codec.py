@@ -276,3 +276,34 @@ def test_lzw_pixel_count_contract():
         _gif_lzw_decode(data, 2, 59)
     with pytest.raises(ValueError, match="canvas needs"):
         _gif_lzw_decode(data, 2, 61)
+
+
+# ---------------------------------------------------------------------------
+# Property layer (the CDC-fuzz pattern): the LZW pair must round-trip
+# ARBITRARY symbol streams across the whole parameter space — palette
+# widths 2..8 bits, any reset cadence including none and table-full.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    cadence=st.one_of(
+        st.integers(min_value=1, max_value=64),
+        st.just(10**9),  # never reset by cadence → table-full path
+    ),
+    data=st.data(),
+)
+def test_lzw_roundtrip_property(mcs, cadence, data):
+    stream = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << mcs) - 1),
+            min_size=1,
+            max_size=800,
+        )
+    )
+    enc = _gif_lzw_encode(stream, mcs, cadence)
+    assert _gif_lzw_decode(enc, mcs, len(stream)) == stream

@@ -167,3 +167,60 @@ def test_jpeg_header_contract_enforced():
     bad_dri[dri + 4 : dri + 6] = struct.pack(">H", 7)
     with pytest.raises(ValueError, match="restart interval"):
         decode_jpeg_coefficients(bytes(bad_dri))
+
+
+# ---------------------------------------------------------------------------
+# Property layer: JPEG magnitude coding (category + ones'-complement
+# bits) and the extend inverse must round-trip every representable DC
+# delta / AC value, and the full JFIF encoder must round-trip
+# ARBITRARY coefficient planes, not just the fixture's closed form.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from numalogic_prometheus_spark.operators.multimodal import (
+    _jpeg_extend,
+    _jpeg_magnitude,
+    _synthesize_jfif,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=st.integers(min_value=-2047, max_value=2047))
+def test_jpeg_magnitude_extend_inverse(v):
+    cat, bits = _jpeg_magnitude(v)
+    assert _jpeg_extend(bits, cat) == v
+    if v != 0:
+        assert cat == abs(v).bit_length()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+def test_jfif_roundtrip_arbitrary_coefficients(bw, bh, data):
+    """Encoder and decoder must agree on ANY quantized plane — dense,
+    sparse, all-zero, extreme magnitudes — via the real entropy path
+    (Huffman, runs, ZRL, EOB, restarts, stuffing)."""
+    planes = {
+        (by, bx): data.draw(
+            st.lists(
+                st.integers(min_value=-200, max_value=200),
+                min_size=64,
+                max_size=64,
+            )
+        )
+        for by in range(bh)
+        for bx in range(bw)
+    }
+    payload = _synthesize_jfif(bw, bh, lambda by, bx, k: planes[(by, bx)][k])
+    w, h, blocks = decode_jpeg_coefficients(payload)
+    assert (w, h) == (8 * bw, 8 * bh)
+    for (by, bx), zz in blocks.items():
+        want = np.array(
+            [planes[(by, bx)][k] * _jpeg_quant(k) for k in range(64)]
+        )
+        assert (zz == want).all()
