@@ -307,3 +307,85 @@ def test_lzw_roundtrip_property(mcs, cadence, data):
     )
     enc = _gif_lzw_encode(stream, mcs, cadence)
     assert _gif_lzw_decode(enc, mcs, len(stream)) == stream
+
+
+# ---------------------------------------------------------------------------
+# Round 14 hardening (VERDICT r13 nit + ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_trailing_garbage_after_eoi_rejected():
+    """ADVICE r13: a garbage sub-block appended AFTER the EOI code must
+    be corruption, never a silent partial read — the decoder's own
+    documented posture. Probed at the packed-stream level (the
+    sub-block walk would happily concatenate the extra block)."""
+    d = 11
+    bits = _gif_palette_bits(d)
+    w, h = _gif_dims(d)
+    stream = [int(v) for v in _gif_indexes(d, w, h, 1 << bits).reshape(-1)]
+    mcs = max(2, bits)
+    data = _gif_lzw_encode(stream, mcs, _lzw_reset_after(d))
+    # the clean stream still decodes
+    assert _gif_lzw_decode(data, mcs, len(stream)) == stream
+    # whole garbage bytes after EOI are rejected
+    for tail in (b"\x00", b"\xff", b"\xab\xcd"):
+        with pytest.raises(ValueError, match="trailing LZW data"):
+            _gif_lzw_decode(data + tail, mcs, len(stream))
+
+
+def test_lzw_decoder_table_capped_on_never_clear_stream():
+    """VERDICT r13 hardening nit: a hostile stream that NEVER sends
+    Clear past table-full must decode under the deferred-clear
+    convention with the decoder's table frozen at 4096 entries —
+    decoder state must not grow with stream length. The crafted
+    encoder below mirrors the real one but freezes instead of forcing
+    a Clear, which is exactly the well-formed-but-never-clearing
+    stream a non-cooperating encoder may emit."""
+    import random
+
+    def encode_never_clear(indexes, min_code_size):
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        table = {(i,): i for i in range(clear)}
+        next_code, width = eoi + 1, min_code_size + 1
+        out_bits = [(clear, width)]
+        seq = ()
+        for v in indexes:
+            cand = seq + (int(v),)
+            if cand in table:
+                seq = cand
+                continue
+            out_bits.append((table[seq], width))
+            if next_code < 4096:  # freeze, never Clear
+                table[cand] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            seq = (int(v),)
+        if seq:
+            out_bits.append((table[seq], width))
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out_bits.append((eoi, width))
+        acc = n_acc = 0
+        data = bytearray()
+        for code, w_bits in out_bits:
+            acc |= code << n_acc
+            n_acc += w_bits
+            while n_acc >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                n_acc -= 8
+        if n_acc:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    rng = random.Random(1234)
+    stream = [rng.randrange(256) for _ in range(30_000)]
+    data = encode_never_clear(stream, 8)
+    stats: dict = {}
+    assert _gif_lzw_decode(data, 8, len(stream), stats=stats) == stream
+    assert stats["max_table"] == 4096, (
+        f"decoder table grew to {stats['max_table']} on a never-Clear "
+        "stream — the 4096 cap is not honored"
+    )

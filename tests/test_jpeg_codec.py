@@ -224,3 +224,58 @@ def test_jfif_roundtrip_arbitrary_coefficients(bw, bh, data):
             [planes[(by, bx)][k] * _jpeg_quant(k) for k in range(64)]
         )
         assert (zz == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Round 14 hardening (ADVICE r13)
+# ---------------------------------------------------------------------------
+
+
+def test_zrl_past_block_end_rejected():
+    """ADVICE r13: a ZRL whose 16 zeros run past coefficient 63 is
+    spec-invalid even when nothing but EOI follows — the old loop
+    exited silently at k >= 64. Crafted: a 1-block scan whose entropy
+    data is DC(cat 0) then FOUR ZRLs (k = 1+64 = 65)."""
+    from numalogic_prometheus_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _jpeg_build_huffman,
+    )
+
+    base = synthesize_jpeg(0)  # doc 0 → 1×1 block grid
+    sos = base.index(b"\xff\xda")
+    head = base[: sos + 2 + struct.unpack(">H", base[sos + 2 : sos + 4])[0]]
+
+    dc_enc = _jpeg_build_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _jpeg_build_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bwr = _JpegBitWriter()
+    code, length = dc_enc[0]
+    bwr.put(code, length)  # DC diff category 0 (no magnitude bits)
+    zc, zl = ac_enc[0xF0]
+    for _ in range(4):  # k: 1 → 17 → 33 → 49 → 65 (past block end)
+        bwr.put(zc, zl)
+    bwr.align()
+    crafted = head + bytes(bwr.out) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="ZRL past block end"):
+        decode_jpeg_coefficients(crafted)
+
+
+def test_dht_oversized_body_rejected():
+    """ADVICE r13: extra trailing bytes inside a DHT segment body are a
+    framing slip and must be rejected like every other one — not
+    silently ignored because the counted prefix parses."""
+    payload = synthesize_jpeg(42)
+    dht = payload.index(b"\xff\xc4")
+    ln = struct.unpack(">H", payload[dht + 2 : dht + 4])[0]
+    doctored = (
+        payload[: dht + 2]
+        + struct.pack(">H", ln + 1)
+        + payload[dht + 4 : dht + 2 + ln]
+        + b"\x00"  # the stray trailing byte
+        + payload[dht + 2 + ln :]
+    )
+    with pytest.raises(ValueError, match="DHT body length"):
+        decode_jpeg_coefficients(doctored)

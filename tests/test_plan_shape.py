@@ -550,6 +550,8 @@ def test_image_decode_is_shuffle_free_map(spark, sf_dir):
         "multimodal_image_gif_features",  # round 13: GIF/LZW sibling
         "multimodal_image_jpeg_coefficients",  # round 13: JFIF entropy
         "multimodal_video_avi_mjpeg_frames",  # late r13: RIFF demux
+        "multimodal_decode_features",  # round 14: unified real-codec dispatch
+        "multimodal_frame_sample",  # round 14: sampled real-container demux
     ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"

@@ -159,24 +159,42 @@ def test_ivf_assignment_is_argmin(spark, vecs):
     assert got == expect
 
 
-@given(payload_len=st.integers(min_value=1, max_value=300))
+@given(
+    doc_id=st.integers(min_value=0, max_value=5000),
+    every=st.integers(min_value=1, max_value=4),
+)
 @_settings
-def test_frame_sample_covers_payload(spark, payload_len):
-    # Sampled frame offsets are exactly 0, every*size, 2*every*size, …
-    # within the payload; every frame is non-empty and ≤ frame_size.
+def test_frame_sample_matches_full_decode(doc_id, every):
+    # Sampled decode (round 14: real containers, decode skipped for
+    # unsampled frames) must agree frame-for-frame with the full
+    # decoder at indexes 0, every, 2*every, … — for BOTH container
+    # families and any cadence. Kernel-level property (no Spark
+    # session needed: the mapInPandas wrapper is pinned elsewhere).
+    import numpy as np
+
     from numalogic_prometheus_spark.operators import multimodal as MM
 
-    df = spark.createDataFrame(
-        [(2, "x" * payload_len)], "doc_id long, text string"
-    )
-    assets = MM.synthesize_assets(df, "doc_id", "text")
-    frames = MM.frame_sample(assets, frame_size=16, every=3).collect()
-    n_frames = max(1, payload_len // 16)
-    expect_idx = list(range(0, n_frames, 3))
-    assert sorted(r["frame_idx"] for r in frames) == expect_idx
-    for r in frames:
-        assert r["frame_offset"] == r["frame_idx"] * 16
-        assert 1 <= r["frame_bytes"] <= 16
+    if doc_id % 2 == 0:
+        payload = MM.synthesize_apng(doc_id)
+        w, h, full = MM.decode_apng(payload)
+        ws, hs, sampled = MM.decode_apng_sampled(payload, every)
+        assert (ws, hs) == (w, h)
+        assert [t for t, _d, _p in sampled] == list(
+            range(0, len(full), every)
+        )
+        for t, dnum, pix in sampled:
+            assert dnum == full[t][0]
+            assert np.array_equal(pix, full[t][1])
+    else:
+        payload = MM.synthesize_avi(doc_id)
+        w, h, full = MM.decode_avi_mjpeg(payload)
+        ws, hs, sampled = MM.decode_avi_mjpeg_sampled(payload, every)
+        assert (ws, hs) == (w, h)
+        assert [t for t, _b in sampled] == list(range(0, len(full), every))
+        for t, blocks in sampled:
+            assert set(blocks) == set(full[t])
+            for k in blocks:
+                assert np.array_equal(blocks[k], full[t][k])
 
 
 @given(

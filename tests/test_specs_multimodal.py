@@ -46,52 +46,91 @@ def test_spec_registration_in_catalog(spark, samples):
     assert {r["user_id"]: r["gauge_value"] for r in got} == {"13": 2.5, "7": 9.0}
 
 
-def test_multimodal_decode_roundtrip(spark):
-    df = spark.createDataFrame(
-        [(0, "hello world"), (1, "aaaa"), (2, "x" * 300)], "doc_id long, text string"
-    )
-    assets = MM.synthesize_assets(df, "doc_id", "text")
-    feats = {r["asset_id"]: r for r in MM.decode_features(assets).collect()}
-    assert feats[0]["n_bytes"] == 11
-    assert feats[1]["n_bytes"] == 4
-    # media_type cycles image/audio/video by id
-    assert feats[0]["media_type"] == "image"
-    assert feats[1]["media_type"] == "audio"
-    assert feats[2]["media_type"] == "video"
-    assert feats[2]["frame_count"] == 300 // 64
-    # deterministic byte stats survive the Arrow round-trip
-    assert feats[1]["byte_mean"] == pytest.approx(97.0)
-    assert feats[1]["byte_entropy_proxy"] == round(1 / 256, 6)  # codec rounds to 6dp
+def test_unified_decode_dispatches_to_real_codecs(spark):
+    """Round 14: the unified seam runs the REAL codec of each modality
+    and the features are exact integers recomputable from the closed
+    forms — checked here end-to-end through the Arrow path against an
+    independent numpy recomputation."""
+    import numpy as np
+
+    doc_ids = [0, 1, 2, 3, 4, 5, 100]
+    df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id long")
+    feats = {
+        r["doc_id"]: r for r in MM.unified_decode_features(df).collect()
+    }
+    assert set(feats) == set(doc_ids)
+    for d in doc_ids:
+        mt_expect = MM.UNIFIED_MEDIA[d % 3]
+        assert feats[d]["media_type"] == mt_expect
+        # independent recomputation of the decoded stream
+        if d % 3 == 0:
+            n = 160 + (d % 97) * 16
+            i = np.arange(n, dtype=np.int64)
+            v = (d * 7919 + i * 104729) % 65536 - 32768
+        elif d % 3 == 1:
+            w, h = 8 + (d % 13) * 2, 8 + (d % 7) * 2
+            y = np.arange(h)[:, None, None]
+            x = np.arange(w)[None, :, None]
+            c = np.arange(3)[None, None, :]
+            v = ((d * 4099 + y * 131 + x * 17 + c * 59) % 256).reshape(-1)
+        else:
+            w, h = 8 + (d % 11) * 2, 8 + (d % 6) * 2
+            ncol = 1 << (2 + d % 5)
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            j = ((d * 31 + y * 7 + x * 3) % ncol)[:, :, None]
+            chan = np.stack(
+                [
+                    (d * 5 + j[..., 0] * 41) % 256,
+                    (d * 11 + j[..., 0] * 23) % 256,
+                    (d * 17 + j[..., 0] * 59) % 256,
+                ],
+                axis=2,
+            )
+            v = chan.reshape(-1)
+        pos = np.arange(1, len(v) + 1, dtype=np.int64)
+        row = feats[d]
+        assert row["n_values"] == len(v)
+        assert row["sum_vals"] == int(v.sum())
+        assert row["sum_sq"] == int((v * v).sum())
+        assert row["peak"] == int(np.abs(v).max())
+        assert row["pos_checksum"] == int((pos * v).sum())
 
 
-def test_multimodal_resize_stub(spark):
-    df = spark.createDataFrame([(0, "z" * 100)], "doc_id long, text string")
-    assets = MM.synthesize_assets(df, "doc_id", "text")
-    resized = MM.resize_stub(assets, 32, 24).collect()[0]
-    assert resized["width"] == 32 and resized["height"] == 24
-    assert len(resized["payload"]) == 50
+def test_video_frame_sample_cadence_and_parity(spark):
+    """Round 14: sampled demux over real containers — even docs APNG,
+    odd docs AVI/MJPEG; only frames t % every == 0 appear, and each
+    sampled row equals the corresponding full-decode frame."""
+    import numpy as np
 
-
-def test_multimodal_frame_sample(spark):
-    # ids 2 and 5 are video (id % 3 == 2); payloads of 200 and 40 bytes
-    df = spark.createDataFrame(
-        [(2, "v" * 200), (5, "w" * 40), (0, "image-not-sampled" * 10)],
-        "doc_id long, text string",
-    )
-    assets = MM.synthesize_assets(df, "doc_id", "text")
-    frames = MM.frame_sample(assets, frame_size=32, every=2).collect()
-    by_asset = {}
-    for r in frames:
-        by_asset.setdefault(r["asset_id"], []).append(r)
-    # only videos are demuxed
-    assert set(by_asset) == {2, 5}
-    # 200 bytes / 32 = 6 frames, every 2nd → idx 0,2,4
-    assert [r["frame_idx"] for r in sorted(by_asset[2], key=lambda r: r["frame_idx"])] == [0, 2, 4]
-    assert all(r["frame_offset"] == r["frame_idx"] * 32 for r in by_asset[2])
-    # full frames are 32 bytes; the tail frame of asset 2 (idx 4: bytes
-    # 128..160) is still complete at 200 bytes payload
-    assert all(r["frame_bytes"] == 32 for r in by_asset[2])
-    # 40 bytes → 1 frame, idx 0, 32 bytes captured
-    assert len(by_asset[5]) == 1 and by_asset[5][0]["frame_bytes"] == 32
-    # checksum of 'v'*32 = 118*32 mod 65536
-    assert by_asset[2][0]["frame_checksum"] == (118 * 32) % 65536
+    doc_ids = [0, 1, 2, 3, 6, 7]
+    df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id long")
+    rows = MM.video_frame_sample(df, every=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(doc_ids)
+    for d in doc_ids:
+        got = sorted(by_doc[d], key=lambda r: r["frame_idx"])
+        if d % 2 == 0:
+            nf = 2 + d % 4
+            assert all(r["media_type"] == "video/apng" for r in got)
+            _w, _h, full = MM.decode_apng(MM.synthesize_apng(d))
+            frames = {t: pix.reshape(-1) for t, (_dn, pix) in enumerate(full)}
+        else:
+            nf = 2 + d % 3
+            assert all(r["media_type"] == "video/avi-mjpeg" for r in got)
+            _w, _h, full = MM.decode_avi_mjpeg(MM.synthesize_avi(d))
+            frames = {
+                t: np.concatenate([b[k] for k in sorted(b)])
+                for t, b in enumerate(full)
+            }
+        assert [r["frame_idx"] for r in got] == list(range(0, nf, 2))
+        for r in got:
+            v = frames[r["frame_idx"]]
+            pos = np.arange(1, len(v) + 1, dtype=np.int64)
+            assert r["n_values"] == len(v)
+            assert r["sum_vals"] == int(v.sum())
+            assert r["sum_sq"] == int((v * v).sum())
+            assert r["peak"] == int(np.abs(v).max())
+            assert r["pos_checksum"] == int((pos * v).sum())
