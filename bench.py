@@ -111,6 +111,8 @@ HEADLINE = [
     "multimodal_image_jpeg_coefficients",  # real JFIF entropy decode (r13)
     "multimodal_video_avi_mjpeg_frames",  # real RIFF/MJPEG demux (late r13)
     "dedup_cdc_chunk_pairs",          # CDC chunk pairing (oracle-backed r12)
+    "multimodal_decode_features",     # unified real-codec dispatch (r14)
+    "multimodal_frame_sample",        # sampled real-container demux (r14)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the
@@ -375,6 +377,73 @@ def main() -> None:
             del errors[name]
 
     _sentinel_tick()  # closing tick
+
+    def _spread_of(series: list[float]) -> float | None:
+        if series and min(series) > 0:
+            return round(max(series) / min(series), 2)
+        return None
+
+    # Bounded IN-RUN contention retry (VERDICT r13 #3): the load gate
+    # guards external load BEFORE the window, but sentinel-spread
+    # contention shows up only AFTER the measured pass — r13 needed 6
+    # manual capture attempts to land a quiet artifact. If the window
+    # measured contended and budget remains, re-run ONE pass over the
+    # already-timed queries with a FRESH interleaved sentinel series
+    # (min-merged into the timings — a re-pass can only tighten them);
+    # the artifact's contended flag reflects the LAST series, and the
+    # retry history ships inside the artifact so the driver sees what
+    # it took.
+    contention_retries: list[dict] = []
+    spread = _spread_of(sentinel_series)
+    while (
+        spread is not None
+        and spread > 2.0
+        and len(contention_retries) < 2
+        and budget_s - (time.perf_counter() - t_start) > 150
+    ):
+        retry_series: list[float] = []
+
+        def _retry_tick() -> None:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            status, _ = _timed_save(
+                spark, lambda: queries[sentinel_name](spark, sf_dir), 60.0
+            )
+            if status == "ok":
+                retry_series.append(round(time.perf_counter() - t0, 4))
+
+        n_requeried = 0
+        for qi, name in enumerate([n for n in names if n in timings]):
+            if qi % 5 == 0:
+                _retry_tick()
+            remaining = budget_s - (time.perf_counter() - t_start)
+            if remaining < 60:
+                break
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            status, _ = _timed_save(
+                spark,
+                lambda n=name: queries[n](spark, sf_dir),
+                min(120.0, remaining),
+            )
+            if status == "ok":
+                timings[name] = round(
+                    min(timings[name], time.perf_counter() - start), 4
+                )
+                n_requeried += 1
+        _retry_tick()
+        contention_retries.append(
+            {
+                "series": retry_series,
+                "spread": _spread_of(retry_series),
+                "n_requeried": n_requeried,
+            }
+        )
+        if not retry_series:
+            break
+        sentinel_series = retry_series
+        spread = _spread_of(retry_series)
+
     # PARALLEL sentinel (round 10): the serial sentinel is a light scan
     # that never saturates the 32 cores, so it is blind to sustained
     # background load / host-epoch drift that only taxes core-saturating
@@ -390,11 +459,6 @@ def main() -> None:
             "sum(id * 2654435761 % 1000003) AS s"
         ).write.mode("overwrite").format("noop").save()
         par_series.append(round(time.perf_counter() - t0, 4))
-    spread = (
-        round(max(sentinel_series) / min(sentinel_series), 2)
-        if sentinel_series and min(sentinel_series) > 0
-        else None
-    )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -410,6 +474,10 @@ def main() -> None:
         "sentinel_series": sentinel_series,
         "sentinel_spread": spread,
         "contended": bool(spread and spread > 2.0),
+        # in-run contention retries taken (VERDICT r13 #3): each entry
+        # is one bounded re-pass with a fresh sentinel series; the
+        # fields above reflect the LAST series
+        "contention_retries": contention_retries,
         # pre-window wait-and-retry on host load (VERDICT r12 #4):
         # waits_s lists the bounded sleeps taken before measuring; a
         # loadavg_after_gate still above threshold means the storm

@@ -78,116 +78,99 @@ _MODULES = (
     "text6",
 )
 
-# ROUND-13 ROTATION (VERDICT r12 next-round #3; per-round narratives
+# ROUND-14 ROTATION (VERDICT r13 next-round #1; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 1 + 10 + 2 + 2 + 35 = 50, enumerated by reason:
-#   * stream_semantic_contamination FIRST (VERDICT r12 #1: its r12
-#     driver row FAILED — the eval-arrival fixture writer's pandas
-#     round-trip emitted list<double> under the driver's Arrow-off
-#     session; the writer is now Spark-side and the fix is pinned at
-#     the parquet-physical-type layer in
-#     tests/test_streaming_semantic_contamination.py);
-#   * the 10 round-7-stale entries deferred from the r12 window BY
-#     NAME, promised first in line here: summary_by_type,
-#     histogram_cumulative, info_latest_per_user, exposition_counter,
-#     ml_ensemble_unified, join_fact_fact_revenue,
-#     join_broadcast_enrich, win_topk_per_group,
-#     dedup_minhash_lsh_pairs, dedup_incremental_batch;
-#   * the 2 late-r12 registrations queued per the r9 protocol
-#     (4-scale sweep evidence committed last round):
-#     text_boilerplate_segments and text_bigram_lm_score;
-#   * the 2 entries REGISTERED THIS round (r6 rule: in-window day
-#     one): multimodal_image_gif_features (VERDICT r12 #5 — real
-#     GIF89a LZW/palette/interlace codec, the third stdlib container)
-#     and multimodal_image_jpeg_coefficients (real baseline-JPEG
-#     entropy decode, featured in the exact coefficient domain — the
-#     fake seam now covers ffmpeg-class video only);
-#   * 35 of the 48 entries whose last driver row is round 8 — the
-#     whole remaining recency tail except 13 deferred BY NAME to r14
+# queries(). 1 + 13 + 2 + 34 = 50, enumerated by reason:
+#   * multimodal_video_avi_mjpeg_frames FIRST — the late-r13
+#     registration queued per the r9 protocol (4-scale sweeps, vanilla
+#     delta, sf1 replica and a judge re-execution all green last
+#     round; this is its first driver row);
+#   * the 13 round-8-stale entries deferred from the r13 window BY
+#     NAME, promised first in line here: promql_avg_over_time,
+#     promql_histogram_quantile_p90, rollup_daily_from_hourly,
+#     text_contamination_eval_overlap, text_ngram_jaccard_pairs,
+#     text_stats, vec_ann_filtered_topk, vec_ann_tuned_topk,
+#     pipeline_curation_verdicts, promql_vector_share_group_left,
+#     stream_counter_rate, quality_repetition_stats,
+#     quality_constraint_checks;
+#   * the 2 entries REWRITTEN this round (r6 rule: new/changed
+#     registrations in-window day one): multimodal_decode_features and
+#     multimodal_frame_sample — both were rows-only fake-decode seams,
+#     both now dispatch to the REAL codec kernels (WAV/PNG/GIF;
+#     APNG/AVI sampled demux) with closed-form oracles (VERDICT r13
+#     #2 — the fake seam is now zero registry entries);
+#   * 34 of the 49 remaining entries whose last driver row is round 9
+#     — the whole r9 recency tail except 15 deferred BY NAME to r15
 #     (first in line there), chosen as the members with the strongest
 #     independent per-round signal — benched every round in HEADLINE
 #     and/or carrying dedicated suites / native streaming twins:
-#     promql_avg_over_time, promql_histogram_quantile_p90,
-#     rollup_daily_from_hourly, text_contamination_eval_overlap,
-#     text_ngram_jaccard_pairs, text_stats, vec_ann_filtered_topk,
-#     vec_ann_tuned_topk, pipeline_curation_verdicts,
-#     promql_vector_share_group_left (all 10 in HEADLINE every
-#     round), stream_counter_rate (native streaming suite + the
-#     substrate of r12-green stream_burn_rate_alert),
-#     quality_repetition_stats and quality_constraint_checks
-#     (dedicated quality-suite goldens).
-#     All 13 are hash-green in the committed full-registry sweeps.
-# After r13 the staleness ledger is: nothing older than r8, exactly
-# the 13 enumerated r8 deferrals at r8, everything else r9+, and no
-# entry without a driver row EXCEPT the 1 late-r13 registration
-# queued below.
-# QUEUED FOR R14 (r9 queue protocol — registered late r13 with full
-# sf0.001/0.01/0.1/sf1.0 evidence: dated delta lines in all three
-# sweep logs + an appended SWEEP_sf1_rest.log run + a vanilla-session
-# delta in SWEEP_sf0.01_vanilla.log, codec suite in
-# tests/test_avi_codec.py, plan pin in tests/test_plan_shape.py):
-# multimodal_video_avi_mjpeg_frames (plans/images.py — RIFF AVI
-# demux with per-frame JFIF entropy decode; with it, every
-# container/demux/entropy layer across the three modalities is real).
-# It joins the 13 enumerated r8 deferrals at the front of the r14
-# window.
+#     agg_approx_distinct, dedup_cluster_components,
+#     dedup_simhash_pairs, layout_compaction_bins, layout_zorder_files,
+#     pipeline_anomaly_scores, profile_key_skew, promql_mad_over_time,
+#     promql_quantile_over_time_sliding, sample_split_snapshot_fed,
+#     stream_dedup_within_watermark, stream_stateful_scaler,
+#     vec_ann_multiband_topk, vec_ann_signbucket_topk,
+#     vec_ivf_filtered_topk.
+#     All 15 are hash/rows-green in the committed full-registry sweeps.
+# After r14 the staleness ledger is: nothing older than r9, exactly
+# the 15 enumerated r9 deferrals at r9, everything else r10+, and no
+# registered entry without a driver row.
 _CHECK_FIRST = (
-    # -- the r12 driver failure, fixed this round (1) --
-    "stream_semantic_contamination",  # rows-only by nature
-    # -- r12-deferred round-7-stale entries (10) --
-    "summary_by_type",
-    "histogram_cumulative",
-    "info_latest_per_user",
-    "exposition_counter",
-    "ml_ensemble_unified",
-    "join_fact_fact_revenue",
-    "join_broadcast_enrich",
-    "win_topk_per_group",
-    "dedup_minhash_lsh_pairs",
-    "dedup_incremental_batch",
-    # -- late-r12 registrations, first driver row (2) --
-    "text_boilerplate_segments",
-    "text_bigram_lm_score",
-    # -- new round-13 registrations (2) --
-    "multimodal_image_gif_features",
-    "multimodal_image_jpeg_coefficients",
-    # -- r8 recency tail, 35 of 48 --
-    "agg_cube_flag_status",
-    "counter_monotonic_guard",
-    "exposition_full_registry",
-    "join_cross_small",
-    "join_interval_bucketed",
-    "join_left_outer_order_counts",
-    "ml_conformal_threshold",
-    "ml_static_threshold",
-    "profile_drift_halves",
-    "project_computed",
-    "promql_count_over_time",
-    "promql_irate_last_delta",
-    "promql_last_over_time",
-    "promql_limit_ratio",
-    "promql_limitk",
-    "promql_max_over_time",
-    "promql_min_over_time",
-    "promql_rate_per_hour",
-    "promql_ratio_group_right",
-    "promql_stddev_over_time",
-    "promql_stdvar_over_time",
-    "promql_subquery_max_rate",
-    "promql_sum_over_time",
-    "promql_vector_ratio_ignoring",
-    "promql_vector_ratio_on",
-    "rollup_quantile_sketch_daily",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "sort_global_topk",
-    "text_quality_by_source",
-    "tpch_q6_forecast_revenue",
-    "ts_ewma_irregular",
-    "ts_holt_winters_level_trend",
-    "win_first_last_nth",
-    "win_rank_variants",
+    # -- late-r13 registration, first driver row (1) --
+    "multimodal_video_avi_mjpeg_frames",
+    # -- r13-deferred round-8-stale entries (13) --
+    "promql_avg_over_time",
+    "promql_histogram_quantile_p90",
+    "rollup_daily_from_hourly",
+    "text_contamination_eval_overlap",
+    "text_ngram_jaccard_pairs",
+    "text_stats",
+    "vec_ann_filtered_topk",
+    "vec_ann_tuned_topk",
+    "pipeline_curation_verdicts",
+    "promql_vector_share_group_left",
+    "stream_counter_rate",  # rows-only by nature (streaming)
+    "quality_repetition_stats",
+    "quality_constraint_checks",
+    # -- rewritten this round: fake seam -> real codecs (2) --
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    # -- r9 recency tail, 34 of 49 --
+    "agg_approx_quantiles",
+    "agg_grouping_sets",
+    "agg_hll_mergeable_daily",
+    "agg_pivot_status",
+    "agg_salted_distinct",
+    "agg_unpivot_part_attrs",
+    "agg_window_vectors",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_minhash_signatures",
+    "explode_token_frequencies",
+    "ml_minmax_scaled",
+    "ml_quantile_threshold",
+    "ml_reconstruction_error",  # rows-only by nature (model seam)
+    "ml_tanh_scaled",
+    "ml_zscore_scaled",
+    "promql_quantile_agg_by",
+    "promql_time_functions",
+    "registry_latest_artifact",
+    "samples_label_algebra",
+    "subquery_scalar_above_avg",
+    "text_bm25_topk",
+    "text_fingerprint",
+    "text_langid_confusion",
+    "text_simhash_signatures",
+    "text_unigram_logprob",
+    "tpch_q10_returned_items",
+    "tpch_q9_product_profit",
+    "ts_linear_interpolate",
+    "udf_grouped_agg_threshold",
+    "udf_scalar_pandas_tanh",
+    "udtf_tokenize_positions",
+    "vec_neardup_pairs",
+    "vec_norm_stats",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -28,9 +28,12 @@ from numalogic_prometheus_spark.sources.tables import load_table, load_table_spr
 # constants (r12 ADVICE — a constant change must not silently diverge),
 # and this guard makes a change that breaks the identity itself fail at
 # import, not as a sweep-hash mismatch.
-assert _B % _DIV == 1 and _M % _DIV == 0, (
-    "CDC oracle identity broken: need _B ≡ 1 (mod _DIV) and _DIV | _M"
-)
+# explicit raise, not assert: this must fail at import even under
+# python -O (r13 ADVICE — assert is stripped there)
+if not (_B % _DIV == 1 and _M % _DIV == 0):
+    raise AssertionError(
+        "CDC oracle identity broken: need _B ≡ 1 (mod _DIV) and _DIV | _M"
+    )
 
 # Word bigrams as strings ("tok_i tok_i+1"), deduplicated — the set the
 # Jaccard/containment measures run over.

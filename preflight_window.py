@@ -7,8 +7,10 @@ engine-session conf must fail HERE, not in the driver.
 
 Usage: python preflight_window.py [sf_dir]   (default /root/testdata/sf0.01)
 """
-import sys, time, traceback
-sys.path.insert(0, '/root/repo')
+import os, sys, time, traceback
+# derive the repo root from this file's location (r13 ADVICE: a
+# hardcoded path imports the wrong code from any other checkout)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from numalogic_prometheus_spark import plans
 from sweep_oracles import build_vanilla_session
 from tests.oracle_harness import compare, run_oracle
@@ -26,7 +28,8 @@ for name in window:
             tag = "hash"
         else:
             n = len(q[name](spark, sf_dir).collect())
-            assert n > 0, f"{name}: 0 rows"
+            if n == 0:  # explicit raise: assert dies under -O
+                raise ValueError(f"{name}: rows-only entry returned 0 rows")
             tag = f"rows-only {n}"
         print(f"PASS {name} {time.perf_counter()-t0:.1f}s ({tag})", flush=True)
         ok += 1
