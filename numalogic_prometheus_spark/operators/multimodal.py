@@ -705,6 +705,82 @@ def png_row_stats(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 14 — REAL image resize (the north-star's `resize` op; its old
+# stand-in truncated payload bytes and is deleted). Nearest-neighbor
+# resampling is the one resize kernel that is EXACT in integers —
+# dst(y2, x2) = src((y2*h)//H, (x2*w)//W) — so unlike bilinear/Lanczos
+# (float weights, rounding-mode dependent) it admits a closed-form
+# cross-engine oracle over the decoded pixels. The corpus exercises
+# both directions: source widths 8..32 vs a 16-wide target, heights
+# 8..20 vs 12.
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 16, 12  # fixed thumbnail grid (classic preprocessing)
+RESIZE_FEATURE_SCHEMA = (
+    "doc_id long, src_width long, src_height long, width long,"
+    " height long, n_values long, sum_vals long, sum_sq long,"
+    " peak long, pos_checksum long"
+)
+
+
+def resize_nearest(pix, out_w: int, out_h: int):
+    """Nearest-neighbor resample of an (h, w, 3) int array to
+    (out_h, out_w, 3): source index = (dst * src_size) // dst_size —
+    the floor map every thumbnailer uses, exact in integer arithmetic."""
+    import numpy as np
+
+    h, w, _ = pix.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pix[ys][:, xs]
+
+
+def png_resize_features(
+    docs: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """mapInPandas: per doc_id, round-trip the real PNG container,
+    nearest-neighbor-resize the DECODED pixels to the fixed thumbnail
+    grid, and feature-extract exact integers from the RESIZED plane
+    (count, signed sum, energy, peak, position-weighted checksum over
+    destination positions). The oracle recomputes the resample map in
+    SQL, so a flipped axis, a ceil-vs-floor slip, or an off-by-one in
+    the index map all break the hash. Map-only decode+resize, zero
+    exchanges — the same embarrassingly-parallel posture as the other
+    decode entries."""
+    from collections.abc import Iterator
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, (w, h, _filters, pix) = _decode_png_asset(int(doc_id))
+                r = resize_nearest(pix, out_w, out_h)
+                v = r.reshape(-1)
+                pos = np.arange(1, len(v) + 1, dtype=np.int64)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "src_width": w,
+                        "src_height": h,
+                        "width": out_w,
+                        "height": out_h,
+                        "n_values": len(v),
+                        "sum_vals": int(v.sum()),
+                        "sum_sq": int((v * v).sum()),
+                        "peak": int(v.max()),
+                        "pos_checksum": int((pos * v).sum()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        _extract, schema=RESIZE_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROUND 12 — REAL video-frame demux: APNG (the PNG specification's
 # animated extension, a standard container the stdlib can fully
 # express). Each asset is a genuine multi-frame animation — acTL
@@ -1568,7 +1644,11 @@ class _JpegBitReader:
                 raise ValueError("unexpected marker inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits BEFORE shifting: an unbounded acc is
+        # a Python bigint whose per-byte shift cost grows with scan
+        # length — O(n^2) over a long entropy stream (r14 self-review;
+        # invisible at fixture frame sizes, real at scale)
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
 
     def bit(self) -> int:
@@ -1578,10 +1658,11 @@ class _JpegBitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.bit()
-        return v
+        # bulk extraction, MSB-first — bit-identical to a per-bit loop
+        while self.n < count:
+            self._fill()
+        self.n -= count
+        return (self.acc >> self.n) & ((1 << count) - 1)
 
     def align_discard(self) -> None:
         """Drop pad bits to the byte boundary (they must be 1s)."""

@@ -115,7 +115,16 @@ _MODULES = (
 #     All 15 are hash/rows-green in the committed full-registry sweeps.
 # After r14 the staleness ledger is: nothing older than r9, exactly
 # the 15 enumerated r9 deferrals at r9, everything else r10+, and no
-# registered entry without a driver row.
+# registered entry without a driver row EXCEPT the 1 late-r14
+# registration queued below.
+# QUEUED FOR R15 (r9 queue protocol — registered late r14 with
+# 4-scale + vanilla evidence committed as dated delta lines in the
+# sweep logs, kernel suite in tests/test_png_codec.py, plan pin in
+# tests/test_plan_shape.py): multimodal_image_resize_features
+# (plans/images.py — real nearest-neighbor resize over decoded PNG
+# pixels; the north-star's `resize` op made real after its
+# payload-truncating stub was deleted this round). It joins the 15
+# enumerated r9 deferrals at the front of the r15 window.
 _CHECK_FIRST = (
     # -- late-r13 registration, first driver row (1) --
     "multimodal_video_avi_mjpeg_frames",

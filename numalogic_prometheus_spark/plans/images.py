@@ -40,6 +40,7 @@ from numalogic_prometheus_spark.operators.multimodal import (
     gif_features,
     jpeg_coefficient_features,
     png_features,
+    png_resize_features,
     png_row_stats,
 )
 from numalogic_prometheus_spark.plans import register
@@ -174,8 +175,7 @@ def multimodal_video_apng_frames(
     frame-misorder, sequence off-by-one, delay-misparse and
     de-filter bugs all break the hash — the video sibling of the WAV
     (r11) and PNG (above) codec-adversarial entries, retiring the
-    last fake-media caveat. Map-only 1→N inside mapInPandas (the
-    frame_sample stand-in stays for ffmpeg-class codecs); the
+    last fake-media caveat. Map-only 1→N inside mapInPandas; the
     per-frame relation feeds ordinary windowed aggregations."""
     docs = load_table(spark, sf_dir, "documents")
     return apng_frame_features(docs)
@@ -410,3 +410,64 @@ def multimodal_video_avi_mjpeg_frames(
     exchanges — plan-pinned with the other decode entries."""
     docs = load_table(spark, sf_dir, "documents")
     return avi_frame_features(docs)
+
+
+@register(
+    "multimodal_image_resize_features",
+    # Round 14 (late registration, r9 queue protocol — first driver row
+    # in r15): the north-star's `resize` op made REAL. Nearest-neighbor
+    # is the resize kernel that is exact in integers — src index =
+    # (dst * src) // dst — so the oracle can recompute the resample map
+    # itself: it regenerates the SOURCE pixel signal (the PNG closed
+    # form), applies the same floor map to a 16×12 target, and
+    # recomputes every feature from the resampled values. A flipped
+    # axis, ceil-vs-floor slip or off-by-one in the map breaks the
+    # hash. Widths 8..32 / heights 8..20 mean the corpus exercises both
+    # up- and down-sampling on both axes.
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id,
+               8 + (doc_id % 13) * 2 AS w,
+               8 + (doc_id % 7) * 2 AS h
+        FROM documents
+    ),
+    dst AS (
+        SELECT doc_id, w, h, y2, x2, c,
+               (y2 * h) // 12 AS sy,
+               (x2 * w) // 16 AS sx
+        FROM params,
+             unnest(range(0, 12)) AS u(y2),
+             unnest(range(0, 16)) AS q(x2),
+             unnest(range(0, 3)) AS t(c)
+    ),
+    vals AS (
+        SELECT doc_id, w, h, (y2 * 16 + x2) * 3 + c AS i,
+               (doc_id * 4099 + sy * 131 + sx * 17 + c * 59) % 256 AS v
+        FROM dst
+    )
+    SELECT doc_id,
+           w::BIGINT AS src_width,
+           h::BIGINT AS src_height,
+           16::BIGINT AS width,
+           12::BIGINT AS height,
+           count(*)::BIGINT AS n_values,
+           sum(v)::BIGINT AS sum_vals,
+           sum(v * v)::BIGINT AS sum_sq,
+           max(v)::BIGINT AS peak,
+           sum((i + 1) * v)::BIGINT AS pos_checksum
+    FROM vals GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_resize_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image resize through the real codec: decode the PNG container,
+    nearest-neighbor-resample the DECODED pixels to the fixed 16×12
+    thumbnail grid, and feature-extract exact integers from the
+    resized plane only (operators/multimodal.py:png_resize_features).
+    Replaces the deleted payload-truncating resize stub with a real
+    kernel under the same mapInPandas contract. Scale: map-only
+    decode+resize, zero exchanges, plan-pinned with the other decode
+    entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return png_resize_features(docs)

@@ -552,6 +552,7 @@ def test_image_decode_is_shuffle_free_map(spark, sf_dir):
         "multimodal_video_avi_mjpeg_frames",  # late r13: RIFF demux
         "multimodal_decode_features",  # round 14: unified real-codec dispatch
         "multimodal_frame_sample",  # round 14: sampled real-container demux
+        "multimodal_image_resize_features",  # round 14: real NN resize
     ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"

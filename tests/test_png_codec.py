@@ -395,3 +395,67 @@ def test_registered_oracles_match_real_decoders_directly():
         ).fetchall()
     )
     assert got2 == want2
+
+
+# ---------------------------------------------------------------------------
+# Round 14 — real nearest-neighbor resize over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+def test_resize_nearest_hand_cases():
+    """The floor map src = (dst * src_size) // dst_size, both
+    directions, against hand-computed expectations."""
+    import numpy as np
+
+    from numalogic_prometheus_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    # 2×2 → 4×4 upsample: each source pixel becomes a 2×2 block
+    src = np.arange(2 * 2 * 3, dtype=np.int64).reshape(2, 2, 3)
+    up = resize_nearest(src, 4, 4)
+    assert up.shape == (4, 4, 3)
+    for y2 in range(4):
+        for x2 in range(4):
+            assert (up[y2, x2] == src[y2 // 2, x2 // 2]).all()
+
+    # 4×4 → 2×2 downsample picks rows/cols 0 and 2
+    src = np.arange(4 * 4 * 3, dtype=np.int64).reshape(4, 4, 3)
+    down = resize_nearest(src, 2, 2)
+    assert (down == src[[0, 2]][:, [0, 2]]).all()
+
+    # identity when dims match
+    assert (resize_nearest(src, 4, 4) == src).all()
+
+    # non-divisible: 3 → 2 picks indexes (0*3)//2=0 and (1*3)//2=1
+    src = np.arange(3 * 3 * 3, dtype=np.int64).reshape(3, 3, 3)
+    got = resize_nearest(src, 2, 2)
+    assert (got == src[[0, 1]][:, [0, 1]]).all()
+
+
+def test_resize_features_match_closed_form():
+    """Kernel-level twin of the registry oracle: decode + resize per
+    doc, features recomputed independently from the closed-form source
+    signal through the same floor map."""
+    import numpy as np
+
+    from numalogic_prometheus_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        _decode_png_asset,
+        resize_nearest,
+    )
+
+    for d in list(range(40)) + [1234, 99991]:
+        _, (w, h, _f, pix) = _decode_png_asset(d)
+        r = resize_nearest(pix, RESIZE_W, RESIZE_H)
+        # independent recomputation (no codec, no resize kernel)
+        exp = np.empty((RESIZE_H, RESIZE_W, 3), dtype=np.int64)
+        for y2 in range(RESIZE_H):
+            for x2 in range(RESIZE_W):
+                sy, sx = (y2 * h) // RESIZE_H, (x2 * w) // RESIZE_W
+                for c in range(3):
+                    exp[y2, x2, c] = (
+                        d * 4099 + sy * 131 + sx * 17 + c * 59
+                    ) % 256
+        assert np.array_equal(r, exp), f"doc {d}"
