@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_cdc_chunk_pairs",          # CDC chunk pairing (oracle-backed r12)
     "multimodal_decode_features",     # unified real-codec dispatch (r14)
     "multimodal_frame_sample",        # sampled real-container demux (r14)
+    "multimodal_image_resize_features",  # real NN resize over decode (late r14)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the
@@ -434,12 +435,20 @@ def main() -> None:
         _retry_tick()
         contention_retries.append(
             {
+                # the series that TRIGGERED this retry is preserved
+                # here — replacing the headline series must never
+                # discard the contended evidence (r14 self-review)
+                "triggering_series": sentinel_series,
                 "series": retry_series,
                 "spread": _spread_of(retry_series),
                 "n_requeried": n_requeried,
             }
         )
-        if not retry_series:
+        # a degenerate retry series (storm still raging: ticks timed
+        # out and were dropped) must not flip `contended` to false on
+        # one lucky sample — require at least 3 landed ticks before
+        # the retry series replaces the original
+        if len(retry_series) < 3:
             break
         sentinel_series = retry_series
         spread = _spread_of(retry_series)

@@ -60,6 +60,26 @@ UNIFIED_FEATURE_SCHEMA = (
 UNIFIED_MEDIA = ("audio/wav", "image/png", "image/gif")
 
 
+def _stream_features(v) -> dict:
+    """The unified 5-stat feature block over a decoded int64 scalar
+    stream: value count, signed sum, energy, peak |v|, and the
+    position-weighted checksum sum((i+1) * v[i]) — ONE implementation
+    for every consumer (unified decode, both frame-sample branches,
+    resize), so a dtype or checksum change cannot silently diverge
+    across copies. For non-negative streams (pixels) peak |v| equals
+    max(v), which is what the pixel-domain oracles compute."""
+    import numpy as np
+
+    pos = np.arange(1, len(v) + 1, dtype=np.int64)
+    return {
+        "n_values": len(v),
+        "sum_vals": int(v.sum()),
+        "sum_sq": int((v * v).sum()),
+        "peak": int(np.abs(v).max()) if len(v) else 0,
+        "pos_checksum": int((pos * v).sum()),
+    }
+
+
 def _unified_decode_values(doc_id: int):
     """Round-trip the REAL codec for this doc's modality and return
     (media_type, int64[n] decoded scalar stream): PCM samples for WAV,
@@ -86,23 +106,13 @@ def unified_decode_features(docs: DataFrame) -> DataFrame:
     breaks. Map-only, zero exchanges; Arrow batches amortize the
     Python transfer exactly as the per-codec entries do."""
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 mt, v = _unified_decode_values(int(doc_id))
-                pos = np.arange(1, len(v) + 1, dtype=np.int64)
                 out.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "media_type": mt,
-                        "n_values": len(v),
-                        "sum_vals": int(v.sum()),
-                        "sum_sq": int((v * v).sum()),
-                        "peak": int(np.abs(v).max()) if len(v) else 0,
-                        "pos_checksum": int((pos * v).sum()),
-                    }
+                    {"doc_id": int(doc_id), "media_type": mt}
+                    | _stream_features(v)
                 )
             yield pd.DataFrame(out)
 
@@ -146,44 +156,30 @@ def video_frame_sample(
                     payload = synthesize_apng(doc_id)
                     _w, _h, frames = decode_apng_sampled(payload, every)
                     for t, _dnum, pix in frames:
-                        v = pix.reshape(-1)
-                        pos = np.arange(1, len(v) + 1, dtype=np.int64)
                         out.append(
                             {
                                 "doc_id": doc_id,
                                 "media_type": "video/apng",
                                 "frame_idx": t,
-                                "n_values": len(v),
-                                "sum_vals": int(v.sum()),
-                                "sum_sq": int((v * v).sum()),
-                                "peak": int(np.abs(v).max()),
-                                "pos_checksum": int((pos * v).sum()),
                             }
+                            | _stream_features(pix.reshape(-1))
                         )
                 else:
                     payload = synthesize_avi(doc_id)
                     _w, _h, frames = decode_avi_mjpeg_sampled(payload, every)
                     for t, blocks in frames:
-                        v = np.concatenate(
-                            [
-                                blocks[(by, bx)]
-                                for by, bx in sorted(blocks)
-                            ]
-                        )
                         # raster order: sorted (by, bx) matches
                         # i = (by*bw + bx)*64 + k exactly
-                        pos = np.arange(1, len(v) + 1, dtype=np.int64)
+                        v = np.concatenate(
+                            [blocks[(by, bx)] for by, bx in sorted(blocks)]
+                        )
                         out.append(
                             {
                                 "doc_id": doc_id,
                                 "media_type": "video/avi-mjpeg",
                                 "frame_idx": t,
-                                "n_values": len(v),
-                                "sum_vals": int(v.sum()),
-                                "sum_sq": int((v * v).sum()),
-                                "peak": int(np.abs(v).max()),
-                                "pos_checksum": int((pos * v).sum()),
                             }
+                            | _stream_features(v)
                         )
             yield pd.DataFrame(out)
 
@@ -750,15 +746,11 @@ def png_resize_features(
     from collections.abc import Iterator
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 _, (w, h, _filters, pix) = _decode_png_asset(int(doc_id))
                 r = resize_nearest(pix, out_w, out_h)
-                v = r.reshape(-1)
-                pos = np.arange(1, len(v) + 1, dtype=np.int64)
                 out.append(
                     {
                         "doc_id": int(doc_id),
@@ -766,12 +758,8 @@ def png_resize_features(
                         "src_height": h,
                         "width": out_w,
                         "height": out_h,
-                        "n_values": len(v),
-                        "sum_vals": int(v.sum()),
-                        "sum_sq": int((v * v).sum()),
-                        "peak": int(v.max()),
-                        "pos_checksum": int((pos * v).sum()),
                     }
+                    | _stream_features(r.reshape(-1))
                 )
             yield pd.DataFrame(out)
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.operators.multimodal import (
+    FRAME_SAMPLE_EVERY,
     video_frame_sample,
 )
 from numalogic_prometheus_spark.plans import register
@@ -73,11 +74,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the fake frame chunker is retired): even doc_ids carry an APNG
     # (pixel-domain signal, operators/multimodal.py:_apng_pixels), odd
     # an AVI/MJPEG (exact dequantized-coefficient signal, _avi_qcoef);
-    # only frames with t % 2 = 0 are decoded. The oracle recomputes
-    # both branches from the closed forms with the same sampling
-    # filter, so a cadence slip, frame misorder, or any per-frame
-    # decode bug breaks the hash.
-    oracle="""
+    # only frames with t % FRAME_SAMPLE_EVERY = 0 are decoded — the
+    # cadence is interpolated from the ONE constant the Spark call
+    # also uses. The oracle recomputes both branches from the closed
+    # forms with the same sampling filter, so a cadence slip, frame
+    # misorder, or any per-frame decode bug breaks the hash.
+    oracle=f"""
     WITH apng AS (
         SELECT doc_id, 'video/apng' AS media_type, t,
                (y * w + x) * 3 + c AS i,
@@ -91,7 +93,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(0, h)) AS u(y),
              unnest(range(0, w)) AS q(x),
              unnest(range(0, 3)) AS r(c)
-        WHERE t % 2 = 0
+        WHERE t % {FRAME_SAMPLE_EVERY} = 0
     ),
     avi AS (
         SELECT doc_id, 'video/avi-mjpeg' AS media_type, t,
@@ -111,7 +113,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(0, bh)) AS u(by),
              unnest(range(0, bw)) AS q(bx),
              unnest(range(0, 64)) AS r(k)
-        WHERE t % 2 = 0
+        WHERE t % {FRAME_SAMPLE_EVERY} = 0
     ),
     allv AS (
         SELECT * FROM apng UNION ALL SELECT * FROM avi
@@ -129,14 +131,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse frame sampling over REAL video containers (round 14 —
-    VERDICT r13 #2): every 2nd frame of each doc's video (APNG on even
-    doc_ids, AVI/MJPEG on odd) is decoded through the strict READ path
-    and emitted as one unified feature row; unsampled frames skip the
-    per-frame decode (inflate/entropy — the dominant cost), with AVI's
-    validated idx1 as the seek structure that makes the skip real at
-    scale. Map-only 1→N demux inside mapInPandas, shuffled nowhere."""
+    VERDICT r13 #2): every FRAME_SAMPLE_EVERY-th frame of each doc's
+    video (APNG on even doc_ids, AVI/MJPEG on odd) is decoded through
+    the strict READ path and emitted as one unified feature row;
+    unsampled frames skip the per-frame decode (inflate/entropy — the
+    dominant cost), with AVI's validated idx1 as the seek structure
+    that makes the skip real at scale. Map-only 1→N demux inside
+    mapInPandas, shuffled nowhere."""
     d = load_table(spark, sf_dir, "documents")
-    return video_frame_sample(d, every=2)
+    return video_frame_sample(d, every=FRAME_SAMPLE_EVERY)
 
 
 # KMV sketch size. k=128 puts the driver's sf0.01 daily cardinalities

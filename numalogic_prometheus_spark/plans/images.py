@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from numalogic_prometheus_spark.operators.multimodal import (
+    RESIZE_H,
+    RESIZE_W,
     apng_frame_features,
     avi_frame_features,
     gif_features,
@@ -51,13 +53,16 @@ from numalogic_prometheus_spark.sources.tables import load_table
 # + c*59) % 256 — mirrors operators/multimodal.py:_png_pixels. All
 # features are exact integers (p < 2^8, ≤ 1920 values/asset, weighted
 # sums < 2^40), so the compare is BIGINT-exact on both engines.
-_PNG_PIXEL_CTE = """
+_PNG_PARAMS_CTE = """
     params AS (
         SELECT doc_id,
                8 + (doc_id % 13) * 2 AS w,
                8 + (doc_id % 7) * 2 AS h
         FROM documents
-    ),
+    )
+"""
+_PNG_PIXEL_CTE = f"""
+    {_PNG_PARAMS_CTE},
     pix AS (
         SELECT doc_id, w, h, y, x, c,
                (doc_id * 4099 + y * 131 + x * 17 + c * 59) % 256 AS p
@@ -424,32 +429,31 @@ def multimodal_video_avi_mjpeg_frames(
     # axis, ceil-vs-floor slip or off-by-one in the map breaks the
     # hash. Widths 8..32 / heights 8..20 mean the corpus exercises both
     # up- and down-sampling on both axes.
+    # shares _PNG_PARAMS_CTE with the other PNG oracles; the pixel
+    # value formula below mirrors the pix CTE's (it cannot reuse pix
+    # itself: resize enumerates DESTINATION pixels and looks the
+    # source signal up through the floor map)
     oracle=f"""
-    WITH params AS (
-        SELECT doc_id,
-               8 + (doc_id % 13) * 2 AS w,
-               8 + (doc_id % 7) * 2 AS h
-        FROM documents
-    ),
+    WITH {_PNG_PARAMS_CTE},
     dst AS (
         SELECT doc_id, w, h, y2, x2, c,
-               (y2 * h) // 12 AS sy,
-               (x2 * w) // 16 AS sx
+               (y2 * h) // {RESIZE_H} AS sy,
+               (x2 * w) // {RESIZE_W} AS sx
         FROM params,
-             unnest(range(0, 12)) AS u(y2),
-             unnest(range(0, 16)) AS q(x2),
+             unnest(range(0, {RESIZE_H})) AS u(y2),
+             unnest(range(0, {RESIZE_W})) AS q(x2),
              unnest(range(0, 3)) AS t(c)
     ),
     vals AS (
-        SELECT doc_id, w, h, (y2 * 16 + x2) * 3 + c AS i,
+        SELECT doc_id, w, h, (y2 * {RESIZE_W} + x2) * 3 + c AS i,
                (doc_id * 4099 + sy * 131 + sx * 17 + c * 59) % 256 AS v
         FROM dst
     )
     SELECT doc_id,
            w::BIGINT AS src_width,
            h::BIGINT AS src_height,
-           16::BIGINT AS width,
-           12::BIGINT AS height,
+           {RESIZE_W}::BIGINT AS width,
+           {RESIZE_H}::BIGINT AS height,
            count(*)::BIGINT AS n_values,
            sum(v)::BIGINT AS sum_vals,
            sum(v * v)::BIGINT AS sum_sq,
