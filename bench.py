@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_decode_features",     # unified real-codec dispatch (r14)
     "multimodal_frame_sample",        # sampled real-container demux (r14)
     "multimodal_image_resize_features",  # real NN resize over decode (late r14)
+    "quality_repetition_stats",       # windowed n-gram repetition (2.2 s spark-side, r14)
 ]
 
 # VERDICT r10 #7: entries whose committed sf0.1 SWEEP time exceeds the
@@ -183,6 +184,16 @@ HEADLINE_EXCLUDED = {
     # r12 late registration: spark-side 1.75 s min-of-3 at sf0.1; the
     # sweep line (2.5 s) is dominated by the oracle's token self-join
     "text_bigram_lm_score": _SWEEP_DOMINATED,
+    # r14: sweep lines crossed 2 s on the refreshed quiet log but the
+    # spark-side min-of-3 at sf0.1 is far under (0.30-1.30 s measured
+    # this round) — the DuckDB oracle + full-result hash compare
+    # dominate those lines
+    "agg_unpivot_part_attrs": _SWEEP_DOMINATED,
+    "exposition_all_families": _SWEEP_DOMINATED,
+    "promql_ts_of_over_time": _SWEEP_DOMINATED,
+    "ts_linear_interpolate": _SWEEP_DOMINATED,
+    "win_first_last_nth": _SWEEP_DOMINATED,
+    "win_rank_variants": _SWEEP_DOMINATED,
 }
 
 
@@ -294,24 +305,43 @@ def main() -> None:
     # next-round forensic.
     sentinel_name = "counter_hourly"
     sentinel_series: list[float] = []
+    # (seconds, query_position) for every MAIN-window tick, including
+    # timed-out ones (capped at the 60 s ceiling) — the retry needs a
+    # position-faithful record: deriving positions from series indexes
+    # breaks as soon as one tick times out and is dropped from the
+    # headline series (r14 second-review finding)
+    sentinel_log: list[tuple[float, int]] = []
 
-    def _sentinel_tick() -> None:
+    def _sentinel_tick(
+        into: list[float], pos: int = -1, ceiling: float = 60.0
+    ) -> None:
+        """One sentinel measurement appended to `into` (shared by the
+        main window and the retry so the two series can never diverge
+        semantically — r14 second-review finding)."""
         if sentinel_name not in queries:
             return
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         status, _ = _timed_save(
-            spark, lambda: queries[sentinel_name](spark, sf_dir), 60.0
+            spark, lambda: queries[sentinel_name](spark, sf_dir), ceiling
         )
+        took = round(time.perf_counter() - t0, 4)
         if status == "ok":
-            sentinel_series.append(round(time.perf_counter() - t0, 4))
+            into.append(took)
+            if pos >= 0:
+                sentinel_log.append((took, pos))
+        elif pos >= 0:
+            # a tick the storm KILLED is the strongest contention
+            # signal of all — keep it for attribution (capped), even
+            # though the headline series keeps its ok-only semantics
+            sentinel_log.append((ceiling, pos))
 
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qi, name in enumerate(names):
         if qi % 5 == 0:
-            _sentinel_tick()
+            _sentinel_tick(sentinel_series, pos=qi)
         # hard wall guard: once the budget is spent, stop STARTING
         # queries — every remaining name still gets an explicit row, and
         # worst-case wall stays ≈ budget + one pass ceiling + cancel
@@ -377,7 +407,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             del errors[name]
 
-    _sentinel_tick()  # closing tick
+    _sentinel_tick(sentinel_series, pos=len(names))  # closing tick
 
     def _spread_of(series: list[float]) -> float | None:
         if series and min(series) > 0:
@@ -387,52 +417,79 @@ def main() -> None:
     # Bounded IN-RUN contention retry (VERDICT r13 #3): the load gate
     # guards external load BEFORE the window, but sentinel-spread
     # contention shows up only AFTER the measured pass — r13 needed 6
-    # manual capture attempts to land a quiet artifact. If the window
-    # measured contended and budget remains, re-run ONE pass over the
-    # already-timed queries with a FRESH interleaved sentinel series
-    # (min-merged into the timings — a re-pass can only tighten them);
-    # the artifact's contended flag reflects the LAST series, and the
-    # retry history ships inside the artifact so the driver sees what
-    # it took.
+    # manual capture attempts to land a quiet artifact. The retry is
+    # the CHEAP variant the directive suggests (fresh sentinel series
+    # + only the worst-affected entries, never a whole re-pass): a
+    # full main pass uses most of the wall budget, so a whole-pass
+    # retry would simply never fire. The retry is allowed a bounded
+    # overrun (RETRY_OVERRUN_S past budget_s — documented in the
+    # artifact; the budget itself is set well under any external
+    # timeout). Re-timed entries min-merge into the timings (a re-pass
+    # can only tighten); the contended flag reflects the LAST sentinel
+    # series, with every attempt's evidence preserved.
+    RETRY_OVERRUN_S = 90.0
+    retry_budget = budget_s + RETRY_OVERRUN_S
+
+    def _retry_remaining() -> float:
+        return retry_budget - (time.perf_counter() - t_start)
+
+    # slow ticks are attributed ONCE, from the MAIN window's
+    # position-faithful log: tick at query position p brands the block
+    # names[p-5:p+5] around it (a slow tick means the storm was live
+    # when the adjacent queries ran; the closing tick brands the final
+    # block). Computed before any retry mutates the series — a
+    # fresh retry series' ticks run back-to-back and carry no
+    # positional meaning for the main window (r14 second-review
+    # findings: dropped-tick index shift, empty closing slice, and
+    # second-iteration misattribution).
+    if sentinel_log:
+        med_log = sorted(s for s, _ in sentinel_log)[len(sentinel_log) // 2]
+        affected = [
+            n
+            for s, p in sentinel_log
+            if s > 1.5 * med_log
+            for n in names[max(0, p - 5) : p + 5]
+            if n in timings
+        ]
+        affected = list(dict.fromkeys(affected))  # dedup, keep order
+    else:
+        affected = []
     contention_retries: list[dict] = []
     spread = _spread_of(sentinel_series)
     while (
         spread is not None
         and spread > 2.0
         and len(contention_retries) < 2
-        and budget_s - (time.perf_counter() - t_start) > 150
+        and _retry_remaining() > 30
     ):
         retry_series: list[float] = []
-
-        def _retry_tick() -> None:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            status, _ = _timed_save(
-                spark, lambda: queries[sentinel_name](spark, sf_dir), 60.0
+        for _ in range(4):  # fresh series, cheap (~1-2 s total quiet)
+            if _retry_remaining() < 30:
+                break  # every tick respects the overrun allowance too
+            _sentinel_tick(
+                retry_series, ceiling=min(60.0, _retry_remaining())
             )
-            if status == "ok":
-                retry_series.append(round(time.perf_counter() - t0, 4))
-
         n_requeried = 0
-        for qi, name in enumerate([n for n in names if n in timings]):
-            if qi % 5 == 0:
-                _retry_tick()
-            remaining = budget_s - (time.perf_counter() - t_start)
-            if remaining < 60:
+        for name in affected:
+            remaining = _retry_remaining()
+            if remaining < 30:
                 break
             spark.catalog.clearCache()
             start = time.perf_counter()
             status, _ = _timed_save(
                 spark,
                 lambda n=name: queries[n](spark, sf_dir),
-                min(120.0, remaining),
+                min(60.0, remaining),
             )
             if status == "ok":
                 timings[name] = round(
                     min(timings[name], time.perf_counter() - start), 4
                 )
                 n_requeried += 1
-        _retry_tick()
+        if _retry_remaining() > 30:
+            _sentinel_tick(
+                retry_series, ceiling=min(60.0, _retry_remaining())
+            )
         contention_retries.append(
             {
                 # the series that TRIGGERED this retry is preserved
@@ -442,6 +499,7 @@ def main() -> None:
                 "series": retry_series,
                 "spread": _spread_of(retry_series),
                 "n_requeried": n_requeried,
+                "overrun_allowance_s": RETRY_OVERRUN_S,
             }
         )
         # a degenerate retry series (storm still raging: ticks timed
@@ -482,7 +540,15 @@ def main() -> None:
         "sentinel": sentinel_name,
         "sentinel_series": sentinel_series,
         "sentinel_spread": spread,
-        "contended": bool(spread and spread > 2.0),
+        # r14: a uniformly SLOW window has a small spread but a slow
+        # parallel sentinel (observed: 0.09-0.16 s quiet epochs vs
+        # 0.68-0.77 s during host storms on identical code) — brand
+        # those too, or a storm that taxes every query equally ships
+        # as "quiet". Threshold sits 2x above the quiet band.
+        "epoch_slow": min(par_series) > 0.30,
+        "contended": bool(
+            (spread and spread > 2.0) or min(par_series) > 0.30
+        ),
         # in-run contention retries taken (VERDICT r13 #3): each entry
         # is one bounded re-pass with a fresh sentinel series; the
         # fields above reflect the LAST series
