@@ -210,6 +210,33 @@ NOISY_FLOORS = {
 }
 
 
+def affected_from_log(
+    sentinel_log: list[tuple[float, int]],
+    names: list[str],
+    timed: set[str],
+) -> list[str]:
+    """Queries the contention-retry should re-time, from the main
+    window's position-faithful sentinel log: a tick at query position
+    p that measured > 1.5x the log's median brands the block
+    names[p-5 : p+5] around it (the tick ran BETWEEN query blocks, so
+    both neighbors are suspect; the closing tick at p == len(names)
+    brands the final block). Position-keyed so a timed-out tick —
+    recorded capped, never dropped — cannot shift later attributions
+    (r14 second-review finding). Deduped, original order, restricted
+    to queries that actually got a timing."""
+    if not sentinel_log:
+        return []
+    med = sorted(s for s, _ in sentinel_log)[len(sentinel_log) // 2]
+    affected = [
+        n
+        for s, p in sentinel_log
+        if s > 1.5 * med
+        for n in names[max(0, p - 5) : p + 5]
+        if n in timed
+    ]
+    return list(dict.fromkeys(affected))
+
+
 def _timed_save(spark, df_fn, limit_s: float) -> tuple[str, str]:
     """Run ``df_fn().write...save()`` in a thread with a wall ceiling.
     Returns ("ok"|"err"|"timeout", detail). On timeout the Spark jobs
@@ -433,27 +460,10 @@ def main() -> None:
     def _retry_remaining() -> float:
         return retry_budget - (time.perf_counter() - t_start)
 
-    # slow ticks are attributed ONCE, from the MAIN window's
-    # position-faithful log: tick at query position p brands the block
-    # names[p-5:p+5] around it (a slow tick means the storm was live
-    # when the adjacent queries ran; the closing tick brands the final
-    # block). Computed before any retry mutates the series — a
-    # fresh retry series' ticks run back-to-back and carry no
-    # positional meaning for the main window (r14 second-review
-    # findings: dropped-tick index shift, empty closing slice, and
-    # second-iteration misattribution).
-    if sentinel_log:
-        med_log = sorted(s for s, _ in sentinel_log)[len(sentinel_log) // 2]
-        affected = [
-            n
-            for s, p in sentinel_log
-            if s > 1.5 * med_log
-            for n in names[max(0, p - 5) : p + 5]
-            if n in timings
-        ]
-        affected = list(dict.fromkeys(affected))  # dedup, keep order
-    else:
-        affected = []
+    # attributed ONCE from the MAIN window's log, before any retry
+    # mutates the series — a fresh retry series' ticks run
+    # back-to-back and carry no positional meaning for the main window
+    affected = affected_from_log(sentinel_log, names, set(timings))
     contention_retries: list[dict] = []
     spread = _spread_of(sentinel_series)
     while (

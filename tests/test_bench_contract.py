@@ -59,3 +59,48 @@ def test_headline_and_exclusions_resolve():
     overlap = set(headline) & set(excluded)
     assert not overlap, f"benched AND excluded: {sorted(overlap)}"
     assert all(isinstance(r, str) and r.strip() for r in excluded.values())
+
+
+def test_affected_from_log_attribution():
+    """r14 second-review pins: the retry's slow-tick→query attribution
+    must survive dropped/timed-out ticks (position-keyed, no index
+    shift), brand the final block from the closing tick, and return
+    nothing for a flat series."""
+    from bench import affected_from_log
+
+    names = [f"q{i}" for i in range(20)]
+    timed = set(names)
+
+    # flat series → nothing to re-time
+    flat = [(0.2, 0), (0.21, 5), (0.2, 10), (0.22, 15), (0.2, 20)]
+    assert affected_from_log(flat, names, timed) == []
+
+    # one slow mid-window tick at position 10 brands q5..q14 (both
+    # neighboring blocks — the tick ran between them)
+    mid = [(0.2, 0), (0.2, 5), (0.9, 10), (0.2, 15), (0.2, 20)]
+    assert affected_from_log(mid, names, timed) == [
+        f"q{i}" for i in range(5, 15)
+    ]
+
+    # a TIMED-OUT tick is recorded capped at its position — it must
+    # brand its neighborhood, and later ticks keep their own positions
+    # (the old series-index scheme shifted everything left)
+    capped = [(0.2, 0), (60.0, 5), (0.2, 10), (0.2, 15), (0.2, 20)]
+    assert affected_from_log(capped, names, timed) == [
+        f"q{i}" for i in range(0, 10)
+    ]
+
+    # the closing tick (position == len(names)) brands the FINAL block,
+    # not an empty slice
+    closing = [(0.2, 0), (0.2, 5), (0.2, 10), (0.2, 15), (0.9, 20)]
+    assert affected_from_log(closing, names, timed) == [
+        f"q{i}" for i in range(15, 20)
+    ]
+
+    # entries without a timing are excluded; order is preserved, dups
+    # collapsed when two slow ticks overlap
+    overlap = [(0.9, 5), (0.9, 10), (0.2, 15), (0.2, 0), (0.2, 20)]
+    got = affected_from_log(overlap, names, timed - {"q7"})
+    assert got == [f"q{i}" for i in range(0, 15) if i != 7]
+
+    assert affected_from_log([], names, timed) == []
