@@ -8,6 +8,27 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop write (computes every row,
 returns nothing to the driver) — the honest analog of a sink at scale,
 with zero collect overhead polluting the measurement.
+
+Scheduling is BREADTH-FIRST (VERDICT r14 #1): every HEADLINE entry gets
+one timed pass before ANY entry gets a second; leftover budget buys
+min-merge extras cheapest-first. A degraded run therefore drops PASSES,
+never QUERIES — r14's depth-first min-of-3 spent the budget on the
+cheap prefix and skipped 38 entries. The artifact records `budget_s`,
+`warmup_s`, per-entry `pass_counts`, and `coverage` (timed/total) so a
+degraded window is visible at a glance.
+
+Cross-round comparability fields (VERDICT r14 #4):
+- `value_core` — the headline sum restricted to CORE_32, the FROZEN
+  32-entry set of the round-4 artifact (the same set the baseline
+  ratio uses). HEADLINE grows every round, so `value` is only
+  comparable within a round; `value_core` never changes membership and
+  survives set growth. `core_set` records how many of the 32 landed.
+- `sentinel_floor_ratio` — this window's serial-sentinel min divided
+  by SENTINEL_R7_FLOOR_S, the committed reference floor (0.140 s, the
+  quiet-r13 min on sentinel code unchanged since r7). The driver can
+  normalize `value`/`value_core` drift by this ratio instead of
+  running a cross-round forensic: the r14 host epoch measured ~1.46 on
+  unchanged code.
 """
 
 from __future__ import annotations
@@ -209,6 +230,42 @@ NOISY_FLOORS = {
     "promql_mad_over_time": 0.725,  # SCALE.md:765 (r11 isolated min-of-12)
 }
 
+# FROZEN cross-round core set (VERDICT r14 #4): exactly the 32 queries
+# of the round-4 artifact (BENCH_r04.json), the set the vs-baseline
+# ratio has used since r4. Membership never changes — `value_core` sums
+# these so the driver has a round-comparable headline even as HEADLINE
+# grows. Do NOT add entries here; new work lands in HEADLINE only.
+CORE_32 = (
+    "agg_pricing_summary", "agg_window_vectors", "counter_hourly",
+    "dedup_shingle_minhash_pairs", "dedup_substring_spans",
+    "gauge_latest_per_user", "histogram_cumulative", "info_latest_per_user",
+    "join_asof_last_error", "join_broadcast_enrich", "join_fact_fact_revenue",
+    "ml_ensemble_unified", "pipeline_anomaly_scores", "promql_avg_over_time",
+    "promql_histogram_quantile_p90", "promql_vector_share_group_left",
+    "rollup_daily_from_hourly", "summary_by_type",
+    "text_contamination_eval_overlap", "text_ngram_jaccard_pairs",
+    "text_stats", "tpch_q18_large_volume_customers",
+    "tpch_q21_sole_late_supplier", "tpch_q5_region_volume",
+    "tpch_q8_market_share", "ts_step_resample", "vec_ann_multiband_topk",
+    "vec_ann_signbucket_topk", "vec_ann_tuned_topk",
+    "vec_int8_quantized_topk", "vec_ivf_topk", "win_topk_per_group",
+)
+
+# Committed serial-sentinel reference floor: min landed counter_hourly
+# tick on a quiet window, sentinel code unchanged since r7 (quiet-r13
+# measured 0.1399 s; COVERAGE.md r14 host-epoch note). The artifact's
+# sentinel_floor_ratio = this window's floor / this constant.
+SENTINEL_R7_FLOOR_S = 0.140
+
+# Committed per-host quiet-band ceiling for the PARALLEL sentinel
+# (ADVICE r14): min-of-3 measured 0.09-0.16 s on every quiet r10-r14
+# window on this host vs 0.68-0.77 s during storms. epoch_slow trips at
+# 2x the band ceiling — a named, committed calibration (the NOISY_FLOORS
+# pattern), not an inline magic number; override on other hardware.
+PAR_SENTINEL_QUIET_CEIL_S = float(
+    os.environ.get("SPARK_GRAFT_PAR_QUIET_CEIL_S", "0.15")
+)
+
 
 def affected_from_log(
     sentinel_log: list[tuple[float, int]],
@@ -216,21 +273,26 @@ def affected_from_log(
     timed: set[str],
 ) -> list[str]:
     """Queries the contention-retry should re-time, from the main
-    window's position-faithful sentinel log: a tick at query position
-    p that measured > 1.5x the log's median brands the block
-    names[p-5 : p+5] around it (the tick ran BETWEEN query blocks, so
-    both neighbors are suspect; the closing tick at p == len(names)
-    brands the final block). Position-keyed so a timed-out tick —
-    recorded capped, never dropped — cannot shift later attributions
-    (r14 second-review finding). Deduped, original order, restricted
-    to queries that actually got a timing."""
+    window's position-faithful sentinel log: a tick at execution
+    position p that measured > 1.5x the window's quiet-band floor (the
+    log's min landed tick) brands the block names[p-5 : p+5] around it
+    (the tick ran BETWEEN query blocks, so both neighbors are suspect;
+    the closing tick at p == len(names) brands the final block).
+    Baselining on the FLOOR, not the median, keeps attribution alive
+    through sustained storms where half or more of the ticks are slow
+    and the median itself is contaminated (ADVICE r14 — with a median
+    baseline such a window re-timed nothing despite contended=true; the
+    floor only needs ONE quiet tick to anchor). Position-keyed so a
+    timed-out tick — recorded capped, never dropped — cannot shift
+    later attributions (r14 second-review finding). Deduped, original
+    order, restricted to queries that actually got a timing."""
     if not sentinel_log:
         return []
-    med = sorted(s for s, _ in sentinel_log)[len(sentinel_log) // 2]
+    floor = min(s for s, _ in sentinel_log)
     affected = [
         n
         for s, p in sentinel_log
-        if s > 1.5 * med
+        if s > 1.5 * floor
         for n in names[max(0, p - 5) : p + 5]
         if n in timed
     ]
@@ -302,25 +364,38 @@ def main() -> None:
 
     # Warm the JVM (codegen, shuffle, agg paths) + parquet footers once so
     # per-query times measure the plan, not session/JIT startup.
+    t_warm0 = time.perf_counter()
     for t in ("events", "lineitem"):
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.groupBy(df.columns[0]).count().write.mode("overwrite").format(
             "noop"
         ).save()
-    # Warm each headline PLAN at the tiniest scale factor: Janino
-    # compilation of the large (partly interpreted) expression trees costs
-    # whole seconds per novel plan shape and would otherwise land inside
-    # the first timed pass.
+    # Warm headline PLANS at the tiniest scale factor: Janino compilation
+    # of the large (partly interpreted) expression trees costs whole
+    # seconds per novel plan shape. Capped at 10% of budget (VERDICT r14
+    # #6 — the old 30% cap ate 126 s on a slow epoch before the first
+    # timed pass; breadth-first pass 1 doubles as warmup under min-merge
+    # for anything not reached here). The walk is in REVERSE headline
+    # order: extras are cheapest-first, so the expensive tail gets the
+    # fewest min-merge passes and benefits most from having its JIT
+    # absorbed outside the timed window, while the cheap prefix reaches
+    # 3 passes and min() discards its pass-1 JIT anyway.
+    n_warmed = 0
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
-        for name in names:
-            if time.perf_counter() - t_start > 0.3 * budget_s:
-                break  # keep warmup under 30% of budget
+        for name in reversed(names):
+            # the ceiling bounds how far one plan can overshoot the
+            # cap, so leave it as headroom below the 10% line — the
+            # measured warmup_s then cannot exceed 0.10 * budget
+            if time.perf_counter() - t_warm0 > 0.10 * budget_s - 10.0:
+                break
             # warmup is best-effort; errors/timeouts surface in the
             # timed pass
             _timed_save(
-                spark, lambda n=name: queries[n](spark, warm_dir), 20.0
+                spark, lambda n=name: queries[n](spark, warm_dir), 10.0
             )
+            n_warmed += 1
+    warmup_s = round(time.perf_counter() - t_warm0, 2)
 
     # Quiet-host guard (VERDICT r7 #6): this host shows sporadic external
     # CPU-contention storms that have twice inflated whole bench windows
@@ -366,54 +441,96 @@ def main() -> None:
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for qi, name in enumerate(names):
-        if qi % 5 == 0:
-            _sentinel_tick(sentinel_series, pos=qi)
-        # hard wall guard: once the budget is spent, stop STARTING
-        # queries — every remaining name still gets an explicit row, and
-        # worst-case wall stays ≈ budget + one pass ceiling + cancel
-        # join, safely inside any external timeout.
-        if time.perf_counter() - t_start > budget_s:
-            errors[name] = "skipped: wall budget exhausted"
-            continue
-        # min of N passes: the first pass can absorb JIT/codegen compilation
-        # for plan shapes not covered by the warmup; min reflects the
-        # steady-state cost of the plan itself. One failing query must not
-        # abort the run — record it under `errors` and keep going (a
-        # 32-query bench degrades, it doesn't vanish).
-        best = float("inf")
-        passes = 3
-        done = 0
-        while done < passes:
-            # clear BEFORE each pass: queries that self-materialize with
-            # .cache()/localCheckpoint must pay their full cost every pass
-            spark.catalog.clearCache()
-            # per-pass ceiling: a single hung/contention-stormed query
-            # must not consume the whole run (round 5 shipped NO numbers
-            # for exactly this class of failure). The pass runs in a
-            # thread; on timeout we cancel the Spark jobs and move on.
-            remaining = budget_s - (time.perf_counter() - t_start)
-            pass_limit = max(30.0, min(120.0, remaining))
-            start = time.perf_counter()
-            status, detail = _timed_save(
-                spark, lambda n=name: queries[n](spark, sf_dir), pass_limit
-            )
-            if status != "ok":
+    pass_counts: dict[str, int] = {n: 0 for n in names}
+    # position-faithful execution trace: sentinel-log positions index
+    # THIS list (which grows across all passes), so slow-tick→query
+    # attribution survives the breadth-first reordering of passes 2+
+    exec_order: list[str] = []
+
+    # bounded overrun allowance, shared by pass 1 and the contention
+    # retry (VERDICT r13 #3 / r14 #1): the budget itself sits well under
+    # any external timeout, so coverage may spend into the allowance
+    # before any entry is skipped
+    RETRY_OVERRUN_S = 90.0
+    retry_budget = budget_s + RETRY_OVERRUN_S
+
+    def _one_pass(name: str, ceiling: float) -> None:
+        """One timed end-to-end pass of `name`, min-merged into
+        timings. A later failure never erases an earlier number (the
+        old depth-first loop dropped two good passes when pass 3 timed
+        out); an error is recorded only while the entry has no timing."""
+        # clear BEFORE each pass: queries that self-materialize with
+        # .cache()/localCheckpoint must pay their full cost every pass
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        status, detail = _timed_save(
+            spark, lambda: queries[name](spark, sf_dir), ceiling
+        )
+        exec_order.append(name)
+        if status != "ok":
+            if name not in timings:
                 errors[name] = detail
-                break
-            best = min(best, time.perf_counter() - start)
-            done += 1
-            # budget guard: every query gets ≥1 pass; extra (noise-
-            # dodging) passes only while inside 80% of the wall budget
+            return
+        took = time.perf_counter() - start
+        timings[name] = round(min(timings.get(name, float("inf")), took), 4)
+        errors.pop(name, None)
+        pass_counts[name] += 1
+
+    # PASS 1 — breadth-first coverage (VERDICT r14 #1): EVERY headline
+    # entry gets one timed pass before ANY entry gets a second. r14's
+    # depth-first min-of-3 spent the budget on min-passes for the cheap
+    # prefix and skipped 38 entries — all the newest families — making
+    # the headline sum non-comparable. Coverage beats extra passes: a
+    # degraded run drops PASSES, never QUERIES. Pass 1 may spend into
+    # the overrun allowance before skipping; only a storm that blows
+    # through budget + overrun can still skip, and each skipped entry
+    # says so explicitly. The per-pass ceiling keeps a single hung query
+    # from consuming the run (round 5 shipped NO numbers for exactly
+    # that failure class).
+    for name in names:
+        # budget check BEFORE the sentinel tick: exec_order does not
+        # grow on a skip, so a tick-first ordering would re-fire the
+        # same %5 tick (up to its 60 s ceiling) for EVERY remaining
+        # skipped entry once the budget is gone
+        remaining = retry_budget - (time.perf_counter() - t_start)
+        if remaining <= 0:
+            errors[name] = "skipped: wall budget + overrun exhausted"
+            continue
+        if len(exec_order) % 5 == 0:
+            _sentinel_tick(sentinel_series, pos=len(exec_order))
+        _one_pass(name, max(30.0, min(120.0, remaining)))
+
+    # PASSES 2+ — min-merge extras, cheapest-first, only while inside
+    # 80% of the base budget: cheap entries buy the most noise
+    # reduction per second, and the expensive tail was warmed first
+    # (reverse-order warmup) so its single pass is already steady-state.
+    # Entries still >3 s after 3 passes get up to 2 contention-dodging
+    # extras, as before. Each outer round grants at most one extra pass
+    # per entry, so extras stay breadth-fair too.
+    TARGET_PASSES = 3
+    MAX_PASSES = 5
+
+    def _wants_more(n: str) -> bool:
+        return pass_counts[n] < TARGET_PASSES or (
+            pass_counts[n] < MAX_PASSES and timings[n] > 3.0
+        )
+
+    for _ in range(MAX_PASSES - 1):
+        if time.perf_counter() - t_start > 0.8 * budget_s:
+            break
+        todo = sorted(
+            (n for n in names if n in timings and _wants_more(n)),
+            key=lambda n: timings[n],
+        )
+        if not todo:
+            break
+        for name in todo:
             if time.perf_counter() - t_start > 0.8 * budget_s:
                 break
-            # this host shows sporadic external CPU contention that can
-            # inflate a whole min-of-N window 10×; if the best pass still
-            # looks contended, buy up to two extra passes to dodge it
-            if done == passes and best > 3.0 and passes < 5:
-                passes += 1
-        if name not in errors:
-            timings[name] = round(best, 4)
+            if len(exec_order) % 5 == 0:
+                _sentinel_tick(sentinel_series, pos=len(exec_order))
+            remaining = budget_s - (time.perf_counter() - t_start)
+            _one_pass(name, max(30.0, min(120.0, remaining)))
 
     # Second chance: pass timeouts here are usually transient external
     # CPU-contention storms (observed: hash-heavy stages slow 30×+ for
@@ -423,18 +540,9 @@ def main() -> None:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < 60:
             break
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        status, detail = _timed_save(
-            spark,
-            lambda n=name: queries[n](spark, sf_dir),
-            min(120.0, remaining),
-        )
-        if status == "ok":
-            timings[name] = round(time.perf_counter() - start, 4)
-            del errors[name]
+        _one_pass(name, min(120.0, remaining))
 
-    _sentinel_tick(sentinel_series, pos=len(names))  # closing tick
+    _sentinel_tick(sentinel_series, pos=len(exec_order))  # closing tick
 
     def _spread_of(series: list[float]) -> float | None:
         if series and min(series) > 0:
@@ -454,16 +562,13 @@ def main() -> None:
     # timeout). Re-timed entries min-merge into the timings (a re-pass
     # can only tighten); the contended flag reflects the LAST sentinel
     # series, with every attempt's evidence preserved.
-    RETRY_OVERRUN_S = 90.0
-    retry_budget = budget_s + RETRY_OVERRUN_S
-
     def _retry_remaining() -> float:
         return retry_budget - (time.perf_counter() - t_start)
 
     # attributed ONCE from the MAIN window's log, before any retry
     # mutates the series — a fresh retry series' ticks run
     # back-to-back and carry no positional meaning for the main window
-    affected = affected_from_log(sentinel_log, names, set(timings))
+    affected = affected_from_log(sentinel_log, exec_order, set(timings))
     contention_retries: list[dict] = []
     spread = _spread_of(sentinel_series)
     while (
@@ -495,6 +600,7 @@ def main() -> None:
                 timings[name] = round(
                     min(timings[name], time.perf_counter() - start), 4
                 )
+                pass_counts[name] += 1  # retry passes count as passes
                 n_requeried += 1
         if _retry_remaining() > 30:
             _sentinel_tick(
@@ -542,6 +648,29 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        # breadth-first scheduling evidence (VERDICT r14 #1): a degraded
+        # window now shows up as lower pass counts, never as skipped
+        # queries — and the artifact says which
+        "budget_s": budget_s,
+        "warmup_s": warmup_s,
+        "n_warmed": n_warmed,
+        "pass_counts": pass_counts,
+        "coverage": f"{len(timings)}/{len(names)}",
+        # frozen-set headline (VERDICT r14 #4): sum over CORE_32, the
+        # round-4 membership that never grows — cross-round comparable
+        # where `value` is not (see module docstring)
+        "value_core": round(
+            sum(timings[n] for n in CORE_32 if n in timings), 4
+        ),
+        "core_set": f"{sum(1 for n in CORE_32 if n in timings)}"
+        f"/{len(CORE_32)}",
+        # this window's serial-sentinel floor vs the committed r7
+        # reference floor — the driver's epoch normalizer (docstring)
+        "sentinel_floor_ratio": (
+            round(min(sentinel_series) / SENTINEL_R7_FLOOR_S, 3)
+            if sentinel_series
+            else None
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # contention-guard fields (VERDICT r7 #6): sentinel passes
         # interleaved through the window + host load; spread >~2 means
@@ -554,11 +683,16 @@ def main() -> None:
         # parallel sentinel (observed: 0.09-0.16 s quiet epochs vs
         # 0.68-0.77 s during host storms on identical code) — brand
         # those too, or a storm that taxes every query equally ships
-        # as "quiet". Threshold sits 2x above the quiet band.
-        "epoch_slow": min(par_series) > 0.30,
+        # as "quiet". Threshold = 2x the committed per-host quiet-band
+        # ceiling (ADVICE r14 — was an inline 0.30; see
+        # PAR_SENTINEL_QUIET_CEIL_S for the calibration provenance and
+        # the env override for other hardware).
+        "epoch_slow": min(par_series) > 2 * PAR_SENTINEL_QUIET_CEIL_S,
         "contended": bool(
-            (spread and spread > 2.0) or min(par_series) > 0.30
+            (spread and spread > 2.0)
+            or min(par_series) > 2 * PAR_SENTINEL_QUIET_CEIL_S
         ),
+        "par_sentinel_quiet_ceil_s": PAR_SENTINEL_QUIET_CEIL_S,
         # in-run contention retries taken (VERDICT r13 #3): each entry
         # is one bounded re-pass with a fresh sentinel series; the
         # fields above reflect the LAST series

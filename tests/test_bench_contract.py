@@ -104,3 +104,39 @@ def test_affected_from_log_attribution():
     assert got == [f"q{i}" for i in range(0, 15) if i != 7]
 
     assert affected_from_log([], names, timed) == []
+
+    # ADVICE r14: sustained storm — half or more of the ticks slow. A
+    # median baseline equals the slow value and brands NOTHING despite
+    # contended=true; the quiet-band-floor baseline needs only the one
+    # quiet tick to anchor and brands every slow tick's neighborhood.
+    storm = [(0.2, 0), (0.9, 5), (0.9, 10), (0.9, 15), (0.9, 20)]
+    assert affected_from_log(storm, names, timed) == [
+        f"q{i}" for i in range(0, 20)
+    ]
+
+
+def test_core32_is_frozen_and_registered():
+    """CORE_32 (VERDICT r14 #4) must stay exactly the round-4 artifact
+    membership — 32 names, all registered, all in HEADLINE — so
+    `value_core` remains cross-round comparable."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", str(_ROOT / "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert len(mod.CORE_32) == 32
+    assert len(set(mod.CORE_32)) == 32
+    queries = plans.all_queries()
+    missing = [n for n in mod.CORE_32 if n not in queries]
+    assert not missing, f"CORE_32 names not in registry: {missing}"
+    not_headline = [n for n in mod.CORE_32 if n not in mod.HEADLINE]
+    assert not not_headline, (
+        f"CORE_32 members missing from HEADLINE: {not_headline}"
+    )
+    import json
+
+    r4 = json.loads((_ROOT / "BENCH_r04.json").read_text())
+    r4_set = set(r4["parsed"]["queries"])
+    assert set(mod.CORE_32) == r4_set, "CORE_32 drifted from the r4 artifact"
