@@ -78,108 +78,96 @@ _MODULES = (
     "text6",
 )
 
-# ROUND-14 ROTATION (VERDICT r13 next-round #1; per-round narratives
+# ROUND-15 ROTATION (VERDICT r14 next-round #2; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 1 + 13 + 2 + 34 = 50, enumerated by reason:
-#   * multimodal_video_avi_mjpeg_frames FIRST — the late-r13
+# queries(). 1 + 15 + 34 = 50, enumerated by reason:
+#   * multimodal_image_resize_features FIRST — the late-r14
 #     registration queued per the r9 protocol (4-scale sweeps, vanilla
-#     delta, sf1 replica and a judge re-execution all green last
-#     round; this is its first driver row);
-#   * the 13 round-8-stale entries deferred from the r13 window BY
-#     NAME, promised first in line here: promql_avg_over_time,
-#     promql_histogram_quantile_p90, rollup_daily_from_hourly,
-#     text_contamination_eval_overlap, text_ngram_jaccard_pairs,
-#     text_stats, vec_ann_filtered_topk, vec_ann_tuned_topk,
-#     pipeline_curation_verdicts, promql_vector_share_group_left,
-#     stream_counter_rate, quality_repetition_stats,
-#     quality_constraint_checks;
-#   * the 2 entries REWRITTEN this round (r6 rule: new/changed
-#     registrations in-window day one): multimodal_decode_features and
-#     multimodal_frame_sample — both were rows-only fake-decode seams,
-#     both now dispatch to the REAL codec kernels (WAV/PNG/GIF;
-#     APNG/AVI sampled demux) with closed-form oracles (VERDICT r13
-#     #2 — the fake seam is now zero registry entries);
-#   * 34 of the 49 remaining entries whose last driver row is round 9
-#     — the whole r9 recency tail except 15 deferred BY NAME to r15
-#     (first in line there), chosen as the members with the strongest
-#     independent per-round signal — benched every round in HEADLINE
-#     and/or carrying dedicated suites / native streaming twins:
-#     agg_approx_distinct, dedup_cluster_components,
+#     delta, sf1 replica, plan pin, and a judge re-execution all green
+#     last round; this is its first driver row);
+#   * the 15 round-9-stale entries deferred from the r14 window BY
+#     NAME (plans/__init__.py r14 comment), promised first in line
+#     here: agg_approx_distinct, dedup_cluster_components,
 #     dedup_simhash_pairs, layout_compaction_bins, layout_zorder_files,
 #     pipeline_anomaly_scores, profile_key_skew, promql_mad_over_time,
 #     promql_quantile_over_time_sliding, sample_split_snapshot_fed,
 #     stream_dedup_within_watermark, stream_stateful_scaler,
 #     vec_ann_multiband_topk, vec_ann_signbucket_topk,
-#     vec_ivf_filtered_topk.
-#     All 15 are hash/rows-green in the committed full-registry sweeps.
-# After r14 the staleness ledger is: nothing older than r9, exactly
-# the 15 enumerated r9 deferrals at r9, everything else r10+, and no
-# registered entry without a driver row EXCEPT the 1 late-r14
-# registration queued below.
-# QUEUED FOR R15 (r9 queue protocol — registered late r14 with
-# 4-scale + vanilla evidence committed as dated delta lines in the
-# sweep logs, kernel suite in tests/test_png_codec.py, plan pin in
-# tests/test_plan_shape.py): multimodal_image_resize_features
-# (plans/images.py — real nearest-neighbor resize over decoded PNG
-# pixels; the north-star's `resize` op made real after its
-# payload-truncating stub was deleted this round). It joins the 15
-# enumerated r9 deferrals at the front of the r15 window.
+#     vec_ivf_filtered_topk;
+#   * 34 of the 48 remaining entries whose last driver row is round 10
+#     — the whole r10 recency tail except 14 deferred BY NAME to r16
+#     (first in line there), chosen as EXACTLY the r10-stale members
+#     benched in HEADLINE every round (the strongest independent
+#     per-round signal; the 34 taken now are the ones with sweep-only
+#     evidence): promql_at_modifier, promql_double_exponential_smoothing,
+#     promql_histogram_fraction, promql_mad_sliding_dense,
+#     promql_native_histogram_buckets, promql_native_histogram_rate,
+#     promql_native_histogram_rate_quantile,
+#     promql_native_histogram_stddev, promql_quantile_sliding_dense,
+#     text_chunk_contamination, text_chunk_overlap,
+#     ts_level_shift_detect, vec_ann_incremental_batch,
+#     vec_ivf_int8_topk.
+#     All 14 are hash-green in the committed full-registry sweeps.
+# After r15 the staleness ledger is: nothing older than r10, exactly
+# the 14 enumerated r10 deferrals at r10, everything else r11+, and
+# every registered entry has a driver row (the r14 queue — resize —
+# drains this round; no new registrations are queued).
 _CHECK_FIRST = (
-    # -- late-r13 registration, first driver row (1) --
-    "multimodal_video_avi_mjpeg_frames",
-    # -- r13-deferred round-8-stale entries (13) --
-    "promql_avg_over_time",
-    "promql_histogram_quantile_p90",
-    "rollup_daily_from_hourly",
-    "text_contamination_eval_overlap",
-    "text_ngram_jaccard_pairs",
-    "text_stats",
-    "vec_ann_filtered_topk",
-    "vec_ann_tuned_topk",
-    "pipeline_curation_verdicts",
-    "promql_vector_share_group_left",
-    "stream_counter_rate",  # rows-only by nature (streaming)
-    "quality_repetition_stats",
-    "quality_constraint_checks",
-    # -- rewritten this round: fake seam -> real codecs (2) --
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # -- r9 recency tail, 34 of 49 --
-    "agg_approx_quantiles",
-    "agg_grouping_sets",
-    "agg_hll_mergeable_daily",
-    "agg_pivot_status",
-    "agg_salted_distinct",
-    "agg_unpivot_part_attrs",
-    "agg_window_vectors",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_minhash_signatures",
-    "explode_token_frequencies",
-    "ml_minmax_scaled",
-    "ml_quantile_threshold",
-    "ml_reconstruction_error",  # rows-only by nature (model seam)
-    "ml_tanh_scaled",
-    "ml_zscore_scaled",
-    "promql_quantile_agg_by",
-    "promql_time_functions",
-    "registry_latest_artifact",
-    "samples_label_algebra",
-    "subquery_scalar_above_avg",
-    "text_bm25_topk",
-    "text_fingerprint",
-    "text_langid_confusion",
-    "text_simhash_signatures",
-    "text_unigram_logprob",
-    "tpch_q10_returned_items",
-    "tpch_q9_product_profit",
-    "ts_linear_interpolate",
-    "udf_grouped_agg_threshold",
-    "udf_scalar_pandas_tanh",
-    "udtf_tokenize_positions",
-    "vec_neardup_pairs",
-    "vec_norm_stats",
+    # -- late-r14 registration, first driver row (1) --
+    "multimodal_image_resize_features",
+    # -- r14-deferred round-9-stale entries (15) --
+    "agg_approx_distinct",
+    "dedup_cluster_components",
+    "dedup_simhash_pairs",
+    "layout_compaction_bins",
+    "layout_zorder_files",
+    "pipeline_anomaly_scores",
+    "profile_key_skew",
+    "promql_mad_over_time",
+    "promql_quantile_over_time_sliding",
+    "sample_split_snapshot_fed",
+    "stream_dedup_within_watermark",  # rows-only by nature (streaming)
+    "stream_stateful_scaler",         # rows-only by nature (streaming)
+    "vec_ann_multiband_topk",
+    "vec_ann_signbucket_topk",
+    "vec_ivf_filtered_topk",
+    # -- r10 recency tail, 34 of 48 (the 14 HEADLINE-benched members
+    #    are deferred by name to r16 — see comment above) --
+    "cohort_retention_weekly",
+    "exposition_all_families",
+    "funnel_signup_view_purchase",
+    "mllib_brp_lsh_neighbors",    # rows-only by nature (MLlib model)
+    "mllib_kmeans_profiles",      # rows-only by nature (iterative MLlib)
+    "mllib_minmax_scaler",        # rows-only by nature (MLlib model)
+    "pack_sequences_contiguous",
+    "pipeline_text_cleaning",
+    "promql_absent_series",
+    "promql_agg_family",
+    "promql_bottomk_users",
+    "promql_clamp_values",
+    "promql_comparison_bool",
+    "promql_count_values",
+    "promql_delta_gauge",
+    "promql_histogram_avg",
+    "promql_idelta",
+    "promql_info_enrich",
+    "promql_math_functions",
+    "promql_native_histogram_quantile",
+    "promql_scalar_binop",
+    "promql_sort_by_label",
+    "promql_sort_desc",
+    "promql_stddev_agg_by",
+    "promql_timestamp_function",
+    "promql_ts_of_over_time",
+    "sample_mixture_epochs",
+    "sample_split_train_val_test",
+    "sample_stratified_hash",
+    "sample_topk_hash_per_source",
+    "scd2_state_history",
+    "text_tfidf_topterms",
+    "text_token_accounting",
+    "vec_range_search",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
