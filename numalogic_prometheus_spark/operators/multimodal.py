@@ -1226,8 +1226,13 @@ def _gif_lzw_decode(
             break
         if code < len(table) and code != eoi:
             entry = table[code]
-        elif code == len(table) and prev is not None and len(table) < 4096:
-            entry = prev + (prev[0],)  # KwKwK
+        elif code == len(table) and prev is not None:
+            # KwKwK. No table-size guard needed here: once the table
+            # freezes at 4096 the code width stays 12 bits, so a
+            # decoded code can never equal len(table) == 4096 — the
+            # cap is enforced solely on the append path below
+            # (ADVICE r14: the old `len(table) < 4096` arm was dead)
+            entry = prev + (prev[0],)
         else:
             raise ValueError(f"LZW code {code} outside string table")
         out.extend(entry)
