@@ -228,6 +228,12 @@ HEADLINE_EXCLUDED = {
 # against another one-shot.
 NOISY_FLOORS = {
     "promql_mad_over_time": 0.725,  # SCALE.md:765 (r11 isolated min-of-12)
+    # r15 isolated min-of-12 on a quiet window (SCALE.md round-15 drift
+    # adjudication): total is BUILD-dominated at fixture scale (0.6-1.1s
+    # Python-DSL+analysis vs 0.53s exec at sf0.1), so it rides the build
+    # sentinel's epoch, not the serial sentinel's — compare one-shot
+    # samples against this floor before flagging drift
+    "text_semantic_contamination": 0.796,
 }
 
 # FROZEN cross-round core set (VERDICT r14 #4): exactly the 32 queries
@@ -297,6 +303,28 @@ def affected_from_log(
         if n in timed
     ]
     return list(dict.fromkeys(affected))
+
+
+def _build_sentinel_plan(spark) -> None:
+    """Fixed, data-free DataFrame construction: 20 chained arithmetic
+    columns + 3 window expressions over spark.range, analyzed but never
+    executed — exercises exactly the py4j-DSL + Catalyst-analysis path
+    whose cost the build sentinel tracks (code must never change
+    round-to-round, like the other sentinels)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).toDF("id")
+    for i in range(20):
+        df = df.withColumn(f"c{i}", (F.col("id") * (i + 1) + F.lit(i)) % 97)
+    w = Window.partitionBy("c0").orderBy("id")
+    df = df.select(
+        "*",
+        F.row_number().over(w).alias("w0"),
+        F.sum("c1").over(w).alias("w1"),
+        F.lag("c2", 1).over(w).alias("w2"),
+    )
+    df._jdf.queryExecution().analyzed()
 
 
 def _timed_save(spark, df_fn, limit_s: float) -> tuple[str, str]:
@@ -635,6 +663,21 @@ def main() -> None:
     # data-independent full-width aggregation measures multi-core
     # throughput directly; compare it across rounds to attribute heavy-
     # query drift to the host before suspecting a plan.
+    # BUILD sentinel (round 15): a third epoch axis. The serial
+    # sentinel is JVM-execution-dominated and the parallel sentinel is
+    # multi-core-throughput; neither tracks the PYTHON-side cost of
+    # constructing+analyzing a large DataFrame tree (py4j round trips,
+    # Catalyst analysis — all driver single-thread). Entries with big
+    # builder functions (e.g. text_semantic_contamination: 0.6-1.1 s
+    # build vs 0.53 s exec at sf0.1, r15 decomposition in SCALE.md) ride
+    # THIS epoch, so record it: a fixed, data-free 60-expression tree
+    # with three window functions, built and analyzed 3 times.
+    build_series = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _build_sentinel_plan(spark)
+        build_series.append(round(time.perf_counter() - t0, 4))
+
     par_series = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -709,6 +752,12 @@ def main() -> None:
         # throughput epoch for this window (see comment above)
         "parallel_sentinel_series": par_series,
         "parallel_sentinel_sec": min(par_series),
+        # fixed data-free plan construction+analysis; min-of-3 is the
+        # PYTHON/py4j+Catalyst single-thread epoch — build-dominated
+        # entries (SCALE.md r15 decomposition) ride this axis, not the
+        # serial or parallel sentinel
+        "build_sentinel_series": build_series,
+        "build_sentinel_sec": min(build_series),
         # isolated steady-state floors for known warm-up-noisy entries
         # (see NOISY_FLOORS): judge/driver should compare these entries'
         # one-shot samples against the floor before flagging drift
