@@ -280,7 +280,7 @@ def affected_from_log(
 ) -> list[str]:
     """Queries the contention-retry should re-time, from the main
     window's position-faithful sentinel log: a tick at execution
-    position p that measured > 1.5x the window's quiet-band floor (the
+    position p that measured > 2x the window's quiet-band floor (the
     log's min landed tick) brands the block names[p-5 : p+5] around it
     (the tick ran BETWEEN query blocks, so both neighbors are suspect;
     the closing tick at p == len(names) brands the final block).
@@ -288,7 +288,11 @@ def affected_from_log(
     through sustained storms where half or more of the ticks are slow
     and the median itself is contaminated (ADVICE r14 — with a median
     baseline such a window re-timed nothing despite contended=true; the
-    floor only needs ONE quiet tick to anchor). Position-keyed so a
+    floor only needs ONE quiet tick to anchor); the 2x threshold sits
+    above the committed quiet windows' own jitter (observed up to 1.72x
+    floor in BENCH_quiet_r11.json — a 1.5x cut would brand most of a
+    mildly noisy window and untarget the bounded retry, r15
+    self-review). Position-keyed so a
     timed-out tick — recorded capped, never dropped — cannot shift
     later attributions (r14 second-review finding). Deduped, original
     order, restricted to queries that actually got a timing."""
@@ -298,7 +302,7 @@ def affected_from_log(
     affected = [
         n
         for s, p in sentinel_log
-        if s > 1.5 * floor
+        if s > 2.0 * floor
         for n in names[max(0, p - 5) : p + 5]
         if n in timed
     ]
@@ -394,10 +398,14 @@ def main() -> None:
     # per-query times measure the plan, not session/JIT startup.
     t_warm0 = time.perf_counter()
     for t in ("events", "lineitem"):
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        df.groupBy(df.columns[0]).count().write.mode("overwrite").format(
-            "noop"
-        ).save()
+        # ceilinged like the plan warms: on a storming epoch an
+        # unbounded table warm could blow through the 10% cap below
+        # before the plan loop even starts (r15 self-review)
+        def _tbl_warm(t=t):
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            return df.groupBy(df.columns[0]).count()
+
+        _timed_save(spark, _tbl_warm, 15.0)
     # Warm headline PLANS at the tiniest scale factor: Janino compilation
     # of the large (partly interpreted) expression trees costs whole
     # seconds per novel plan shape. Capped at 10% of budget (VERDICT r14
@@ -670,8 +678,9 @@ def main() -> None:
     # Catalyst analysis — all driver single-thread). Entries with big
     # builder functions (e.g. text_semantic_contamination: 0.6-1.1 s
     # build vs 0.53 s exec at sf0.1, r15 decomposition in SCALE.md) ride
-    # THIS epoch, so record it: a fixed, data-free 60-expression tree
-    # with three window functions, built and analyzed 3 times.
+    # THIS epoch, so record it: a fixed, data-free expression tree
+    # (20 arithmetic columns + 3 window expressions), built and
+    # analyzed 3 times.
     build_series = []
     for _ in range(3):
         t0 = time.perf_counter()

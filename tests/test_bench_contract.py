@@ -16,7 +16,7 @@ _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _THRESHOLD_S = 2.0
 
 
-def _load_bench_sets():
+def _load_bench_module():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -24,6 +24,11 @@ def _load_bench_sets():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_bench_sets():
+    mod = _load_bench_module()
     return list(mod.HEADLINE), dict(mod.HEADLINE_EXCLUDED)
 
 
@@ -114,18 +119,18 @@ def test_affected_from_log_attribution():
         f"q{i}" for i in range(0, 20)
     ]
 
+    # r15 self-review: quiet-band jitter up to ~1.7x floor (the
+    # committed quiet twins' own spread) must NOT brand — the 2x
+    # threshold keeps the bounded retry targeted at storm ticks only
+    jitter = [(0.2, 0), (0.34, 5), (0.31, 10), (0.2, 15), (0.26, 20)]
+    assert affected_from_log(jitter, names, timed) == []
+
 
 def test_core32_is_frozen_and_registered():
     """CORE_32 (VERDICT r14 #4) must stay exactly the round-4 artifact
     membership — 32 names, all registered, all in HEADLINE — so
     `value_core` remains cross-round comparable."""
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", str(_ROOT / "bench.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = _load_bench_module()
     assert len(mod.CORE_32) == 32
     assert len(set(mod.CORE_32)) == 32
     queries = plans.all_queries()
