@@ -215,6 +215,11 @@ HEADLINE_EXCLUDED = {
     "ts_linear_interpolate": _SWEEP_DOMINATED,
     "win_first_last_nth": _SWEEP_DOMINATED,
     "win_rank_variants": _SWEEP_DOMINATED,
+    # r15 oracle conversion (was rows-only): the 27.5 s sf0.1 sweep
+    # line is the DuckDB minmax twin + full-result hash compare;
+    # spark-side min-of-3 is 1.90 s at sf0.1 (MLlib fit agg +
+    # transform), measured this round
+    "mllib_minmax_scaler": _SWEEP_DOMINATED,
 }
 
 

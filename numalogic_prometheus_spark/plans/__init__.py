@@ -139,7 +139,9 @@ _CHECK_FIRST = (
     "funnel_signup_view_purchase",
     "mllib_brp_lsh_neighbors",    # rows-only by nature (MLlib model)
     "mllib_kmeans_profiles",      # rows-only by nature (iterative MLlib)
-    "mllib_minmax_scaler",        # rows-only by nature (MLlib model)
+    "mllib_minmax_scaler",        # oracle-backed since r15 (closed-form
+    #                               transform; was rows-only — in-window
+    #                               for its first HASH driver row)
     "pack_sequences_contiguous",
     "pipeline_text_cleaning",
     "promql_absent_series",

@@ -1,11 +1,16 @@
 """MLlib-backed operators (BASELINE.json north star: "Structured Streaming
 + MLlib for anomaly detection").
 
-These are rows-only (MLlib internals aren't SQL-expressible) but each has
-a deterministic expression-based twin elsewhere in the registry that IS
-oracle-checked (ml_minmax_scaled, vec_ann_signbucket_topk) — the MLlib
-path demonstrates the production integration, the expression path pins
-the semantics.
+kmeans/LSH are rows-only (iterative / seeded-internals, not
+SQL-expressible) but each has a deterministic expression-based twin
+elsewhere in the registry that IS oracle-checked (ml_minmax_scaled,
+vec_ann_signbucket_topk) — the MLlib path demonstrates the production
+integration, the expression path pins the semantics.
+mllib_minmax_scaler is the exception (r15): MinMaxScalerModel's
+transform is the closed form (v - Emin) / (Emax - Emin) with a 0.5
+constant-range case — one IEEE division on operands both engines
+derive identically — so it is oracle-backed like any expression entry
+(the fitted model just computes the same min/max the SQL does).
 """
 
 from __future__ import annotations
@@ -17,11 +22,48 @@ from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
 
 
-@register("mllib_minmax_scaler")  # MLlib internals → rows-only
+@register(
+    "mllib_minmax_scaler",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               date_trunc('hour', ts) AS hour,
+               count(*)::DOUBLE AS f0,
+               round(sum(value), 4) AS f1,
+               round(avg(value), 4) AS f2
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    mm AS (
+        SELECT min(f0) AS n0, max(f0) AS x0,
+               min(f1) AS n1, max(f1) AS x1,
+               min(f2) AS n2, max(f2) AS x2
+        FROM hourly
+    )
+    SELECT user_id, hour,
+           round(CASE WHEN x0 = n0 THEN 0.5
+                      ELSE (f0 - n0) / (x0 - n0) END, 6) AS scaled_n,
+           round(CASE WHEN x1 = n1 THEN 0.5
+                      ELSE (f1 - n1) / (x1 - n1) END, 6) AS scaled_sum,
+           round(CASE WHEN x2 = n2 THEN 0.5
+                      ELSE (f2 - n2) / (x2 - n2) END, 6) AS scaled_avg
+    FROM hourly CROSS JOIN mm
+    """,
+)
 def mllib_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 via MLlib: window vectors → MinMaxScaler fit/transform. The
     fitted model is the registry artifact (B12) — MLlib persistence
-    (model.save) is the production serialization path."""
+    (model.save) is the production serialization path.
+
+    Oracle-backed (r15, was rows-only): MinMaxScalerModel.transform with
+    the default [0, 1] range computes raw = (v - Emin) / (Emax - Emin)
+    (0.5 when the feature is constant) and then raw * 1.0 + 0.0, which
+    is raw bit-for-bit under IEEE 754 — one correctly-rounded division
+    on operands the SQL derives identically (count cast to double; sum/
+    avg pre-rounded at 4), so the DuckDB twin hashes equal without any
+    MLlib-internals dependence. The fit's min/max come from
+    MultivariateOnlineSummarizer — exact running min/max, same doubles
+    as SQL MIN/MAX."""
     from pyspark.ml.feature import MinMaxScaler
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
