@@ -215,7 +215,7 @@ HEADLINE_EXCLUDED = {
     "ts_linear_interpolate": _SWEEP_DOMINATED,
     "win_first_last_nth": _SWEEP_DOMINATED,
     "win_rank_variants": _SWEEP_DOMINATED,
-    # r15 oracle conversion (was rows-only): the 27.5 s sf0.1 sweep
+    # r15 oracle conversion (was rows-only): the 16.7 s sf0.1 sweep
     # line is the DuckDB minmax twin + full-result hash compare;
     # spark-side min-of-3 is 1.90 s at sf0.1 (MLlib fit agg +
     # transform), measured this round
@@ -410,7 +410,11 @@ def main() -> None:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
             return df.groupBy(df.columns[0]).count()
 
-        _timed_save(spark, _tbl_warm, 15.0)
+        # budget-derived like the plan-warm cap, so the two table warms
+        # cannot eat a double-digit share of a small budget on a
+        # storming epoch (r15 second review: a fixed 15 s ceiling was
+        # up to 17% of a 180 s budget before the plan loop started)
+        _timed_save(spark, _tbl_warm, min(15.0, 0.05 * budget_s))
     # Warm headline PLANS at the tiniest scale factor: Janino compilation
     # of the large (partly interpreted) expression trees costs whole
     # seconds per novel plan shape. Capped at 10% of budget (VERDICT r14

@@ -41,12 +41,12 @@ from numalogic_prometheus_spark.sources.tables import load_table
         FROM hourly
     )
     SELECT user_id, hour,
-           round(CASE WHEN x0 = n0 THEN 0.5
-                      ELSE (f0 - n0) / (x0 - n0) END, 6) AS scaled_n,
-           round(CASE WHEN x1 = n1 THEN 0.5
-                      ELSE (f1 - n1) / (x1 - n1) END, 6) AS scaled_sum,
-           round(CASE WHEN x2 = n2 THEN 0.5
-                      ELSE (f2 - n2) / (x2 - n2) END, 6) AS scaled_avg
+           CASE WHEN x0 = n0 THEN 0.5
+                ELSE (f0 - n0) / (x0 - n0) END AS scaled_n,
+           CASE WHEN x1 = n1 THEN 0.5
+                ELSE (f1 - n1) / (x1 - n1) END AS scaled_sum,
+           CASE WHEN x2 = n2 THEN 0.5
+                ELSE (f2 - n2) / (x2 - n2) END AS scaled_avg
     FROM hourly CROSS JOIN mm
     """,
 )
@@ -58,12 +58,16 @@ def mllib_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-backed (r15, was rows-only): MinMaxScalerModel.transform with
     the default [0, 1] range computes raw = (v - Emin) / (Emax - Emin)
     (0.5 when the feature is constant) and then raw * 1.0 + 0.0, which
-    is raw bit-for-bit under IEEE 754 — one correctly-rounded division
-    on operands the SQL derives identically (count cast to double; sum/
-    avg pre-rounded at 4), so the DuckDB twin hashes equal without any
-    MLlib-internals dependence. The fit's min/max come from
-    MultivariateOnlineSummarizer — exact running min/max, same doubles
-    as SQL MIN/MAX."""
+    is raw bit-for-bit under IEEE 754 — so NOTHING MLlib-internal enters
+    the result: the scaling is one correctly-rounded division, and the
+    fit's min/max (MultivariateOnlineSummarizer) are exact running
+    min/max, the same doubles SQL MIN/MAX selects. The outputs ship
+    UNROUNDED (rounding-lint rule: a round() of a ratio would add the
+    .5-ulp tie class, not absorb one); the only remaining cross-engine
+    seams are the feature-level round(sum/avg, 4) every sum-bearing
+    oracle in this registry carries (the counter_hourly /
+    agg_pricing_summary convention — SCALE.md round-8 tie-class
+    discussion), not anything introduced by the MLlib path."""
     from pyspark.ml.feature import MinMaxScaler
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -81,16 +85,20 @@ def mllib_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = MinMaxScaler(inputCol="features", outputCol="scaled").fit(hourly)
     out = model.transform(hourly)
-    # Unpack the scaled vector to scalar columns: the driver's rows-only
-    # canonicalizer still sorts the frame and cannot hash array cells
+    # Unpack the scaled vector to scalar columns: the driver's
+    # canonicalizer sorts the frame and cannot hash array cells
     # (the round-1 agg_approx_quantiles failure mode).
     scaled = vector_to_array("scaled")
+    # UNROUNDED outputs (the rounding-lint rule): the scaled values are
+    # one IEEE division on operands both engines derive identically, so
+    # the raw doubles are bit-identical — a round(·, 6) here would
+    # ADD the .5-ulp tie class, not absorb one
     return out.select(
         "user_id",
         "hour",
-        F.round(scaled.getItem(0), 6).alias("scaled_n"),
-        F.round(scaled.getItem(1), 6).alias("scaled_sum"),
-        F.round(scaled.getItem(2), 6).alias("scaled_avg"),
+        scaled.getItem(0).alias("scaled_n"),
+        scaled.getItem(1).alias("scaled_sum"),
+        scaled.getItem(2).alias("scaled_avg"),
     )
 
 
