@@ -29,6 +29,12 @@ Cross-round comparability fields (VERDICT r14 #4):
   normalize `value`/`value_core` drift by this ratio instead of
   running a cross-round forensic: the r14 host epoch measured ~1.46 on
   unchanged code.
+
+Capture-window quality (VERDICT r15 #1): the capture is gated on the
+SENTINEL, not just loadavg — a pre-capture gate waits (bounded) while
+the warmed sentinel floor exceeds SENTINEL_GATE_RATIO, and a finished
+window that still exceeds it triggers a bounded min-merge recapture
+(CORE_32 first). See SENTINEL_GATE_RATIO for the r15 incident.
 """
 
 from __future__ import annotations
@@ -268,6 +274,28 @@ CORE_32 = (
 # sentinel_floor_ratio = this window's floor / this constant.
 SENTINEL_R7_FLOOR_S = 0.140
 
+# Capture-window quality bound (VERDICT r15 #1): BENCH_r15's driver
+# artifact rode the round's worst window (sentinel_floor_ratio 1.631,
+# loadavg 6.4 at start — UNDER the 8.0 load gate, so nothing tripped)
+# and graded 2.57x raw on CORE_32 while the same-day quiet twin graded
+# 1.94x. Two mechanisms now gate the capture on the sentinel itself,
+# not just on loadavg:
+#   (a) PRE-CAPTURE GATE — after warmup, min-of-3 serial-sentinel
+#       ticks; while the floor ratio exceeds this bound, wait (bounded
+#       by GATE_BUDGET_FRAC of the budget) and re-measure, so the
+#       timed window starts on the best near-term epoch available;
+#   (b) SLOW-WINDOW RECAPTURE — if the finished window's floor ratio
+#       still exceeds the bound and overrun budget remains, re-time
+#       entries min-merge (CORE_32 first, cheapest first) on the
+#       hopefully-quieter tail, so the artifact keeps the best honest
+#       number per entry rather than the last one.
+# 1.3 sits above the committed quiet windows' own floor jitter
+# (quiet-r13 1.00, quiet-r14 ~1.46 host epoch was a true epoch step —
+# an all-day-slow epoch exhausts the gate and ships with the ratio
+# self-attributing) and well under the 1.63 that branded r15.
+SENTINEL_GATE_RATIO = 1.3
+GATE_BUDGET_FRAC = 0.20
+
 # Committed per-host quiet-band ceiling for the PARALLEL sentinel
 # (ADVICE r14): min-of-3 measured 0.09-0.16 s on every quiet r10-r14
 # window on this host vs 0.68-0.77 s during storms. epoch_slow trips at
@@ -297,13 +325,30 @@ def affected_from_log(
     above the committed quiet windows' own jitter (observed up to 1.72x
     floor in BENCH_quiet_r11.json — a 1.5x cut would brand most of a
     mildly noisy window and untarget the bounded retry, r15
-    self-review). Position-keyed so a
+    self-review). Ticks implausibly below the committed best-ever
+    quiet floor (< 0.7 * SENTINEL_R7_FLOOR_S) are dropped before the
+    min (ADVICE r15): a single anomalously FAST tick (fluke-hot cache,
+    scheduler luck) would otherwise set a baseline that brands nearly
+    the whole window and untargets the bounded retry — the mirror
+    image of the median-under-storm failure the floor baseline fixed.
+    Position-keyed so a
     timed-out tick — recorded capped, never dropped — cannot shift
     later attributions (r14 second-review finding). Deduped, original
     order, restricted to queries that actually got a timing."""
     if not sentinel_log:
         return []
-    floor = min(s for s, _ in sentinel_log)
+    # fluke guard (ADVICE r15): SENTINEL_R7_FLOOR_S is the fastest tick
+    # EVER landed on a committed quiet window, so a tick materially
+    # below it (< 0.7x) is a measurement fluke, not a quiet anchor —
+    # drop it before taking the floor, else one hot-cache outlier
+    # brands nearly the whole window and untargets the bounded retry.
+    # Plausible ticks keep the one-quiet-tick storm anchoring intact;
+    # if EVERY tick is implausibly fast (a genuinely faster host), fall
+    # back to the raw min rather than inventing a floor.
+    plausible = [
+        s for s, _ in sentinel_log if s >= 0.7 * SENTINEL_R7_FLOOR_S
+    ]
+    floor = min(plausible) if plausible else min(s for s, _ in sentinel_log)
     affected = [
         n
         for s, p in sentinel_log
@@ -430,8 +475,14 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in reversed(names):
             # the ceiling bounds how far one plan can overshoot the
-            # cap, so leave it as headroom below the 10% line — the
-            # measured warmup_s then cannot exceed 0.10 * budget
+            # cap, so leave it as headroom below the 10% line. The 10%
+            # is an APPROXIMATE bound, not exact (ADVICE r15): a warm
+            # pass that times out spends its 10 s ceiling plus up to
+            # 30 s of cancel-join inside _timed_save, and the two
+            # ceilinged table warms above accrue to t_warm0 too — on a
+            # storming epoch the measured warmup_s can exceed the 10%
+            # line by those allowances. warmup_s in the artifact
+            # records what actually happened.
             if time.perf_counter() - t_warm0 > 0.10 * budget_s - 10.0:
                 break
             # warmup is best-effort; errors/timeouts surface in the
@@ -458,13 +509,24 @@ def main() -> None:
     # breaks as soon as one tick times out and is dropped from the
     # headline series (r14 second-review finding)
     sentinel_log: list[tuple[float, int]] = []
+    # every landed IN-WINDOW tick across all phases (main passes,
+    # contention retries, slow-window recapture). Timings are
+    # min-merged across those same phases, so the floor of THIS series
+    # is the honest epoch companion of the shipped numbers; gate ticks
+    # (pre-window) are excluded.
+    all_window_ticks: list[float] = []
 
     def _sentinel_tick(
-        into: list[float], pos: int = -1, ceiling: float = 60.0
+        into: list[float],
+        pos: int = -1,
+        ceiling: float = 60.0,
+        window: bool = True,
     ) -> None:
         """One sentinel measurement appended to `into` (shared by the
         main window and the retry so the two series can never diverge
-        semantically — r14 second-review finding)."""
+        semantically — r14 second-review finding). `window=False`
+        (pre-capture gate) keeps the tick out of the floor-ratio
+        series."""
         if sentinel_name not in queries:
             return
         spark.catalog.clearCache()
@@ -475,6 +537,8 @@ def main() -> None:
         took = round(time.perf_counter() - t0, 4)
         if status == "ok":
             into.append(took)
+            if window:
+                all_window_ticks.append(took)
             if pos >= 0:
                 sentinel_log.append((took, pos))
         elif pos >= 0:
@@ -482,6 +546,56 @@ def main() -> None:
             # signal of all — keep it for attribution (capped), even
             # though the headline series keeps its ok-only semantics
             sentinel_log.append((ceiling, pos))
+
+    # PRE-CAPTURE SENTINEL GATE (VERDICT r15 #1a): the loadavg gate
+    # above measures OTHER processes' demand, which r15 proved is not
+    # the same thing as this workload's achievable speed (loadavg 6.4
+    # passed the 8.0 gate while the sentinel ran 1.63x its reference
+    # floor). Measure the thing we actually grade: min-of-3 warmed
+    # serial-sentinel ticks; while the floor ratio exceeds the bound,
+    # wait and re-measure, bounded by GATE_BUDGET_FRAC of the budget so
+    # an all-day storm degrades passes rather than killing coverage.
+    sentinel_gate = {
+        "ratio_bound": SENTINEL_GATE_RATIO,
+        "tick_rounds": [],
+        "waits_s": [],
+    }
+    t_gate0 = time.perf_counter()
+    prev_ratio: float | None = None
+    while True:
+        gate_ticks: list[float] = []
+        for _ in range(3):
+            _sentinel_tick(gate_ticks, window=False)
+        sentinel_gate["tick_rounds"].append(gate_ticks)
+        ratio = (
+            round(min(gate_ticks) / SENTINEL_R7_FLOOR_S, 3)
+            if gate_ticks
+            else None
+        )
+        sentinel_gate["ratio_after_gate"] = ratio
+        if ratio is not None and ratio <= SENTINEL_GATE_RATIO:
+            break
+        # stop-on-stable (first live run of the gate): a PASSING storm
+        # improves round-over-round; a slow HOST EPOCH does not — two
+        # consecutive over-bound rounds within 15% of each other mean
+        # waiting buys nothing, so stop burning pass budget and ship
+        # self-attributing (the 84 s this rule saves is ~2 extra
+        # passes over the expensive tail)
+        if (
+            ratio is not None
+            and prev_ratio is not None
+            and ratio >= 0.85 * prev_ratio
+        ):
+            sentinel_gate["stopped_on_stable"] = True
+            break
+        prev_ratio = ratio
+        if (
+            time.perf_counter() - t_gate0
+            > GATE_BUDGET_FRAC * budget_s - 20.0
+        ):
+            break  # storm outlasted the gate; ship self-attributing
+        sentinel_gate["waits_s"].append(20.0)
+        time.sleep(20.0)
 
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
@@ -672,6 +786,70 @@ def main() -> None:
         sentinel_series = retry_series
         spread = _spread_of(retry_series)
 
+    # SLOW-WINDOW RECAPTURE (VERDICT r15 #1b): the contention retry
+    # above targets spread (spiky storms); a window that is uniformly
+    # slow has spread ~1 and sails through it — exactly the r15
+    # failure (floor ratio 1.631, spread 1.17). If the finished
+    # window's sentinel floor still exceeds the gate bound and overrun
+    # budget remains, re-time entries min-merge on the (hopefully
+    # quieter) tail — CORE_32 first, cheapest first, so the graded
+    # core set gains the most from whatever budget is left. Min-merge
+    # means the artifact keeps the best honest number per entry; a
+    # tail that is still slow tightens nothing and the shipped floor
+    # ratio stays self-attributing.
+    slow_window_recapture = None
+    _floor_ratio_now = (
+        round(min(all_window_ticks) / SENTINEL_R7_FLOOR_S, 3)
+        if all_window_ticks
+        else None
+    )
+    if (
+        _floor_ratio_now is not None
+        and _floor_ratio_now > SENTINEL_GATE_RATIO
+        and _retry_remaining() > 60
+    ):
+        rc_series: list[float] = []
+        rc_requeried = 0
+        rc_order = sorted(
+            (n for n in names if n in timings),
+            key=lambda n: (n not in CORE_32, timings[n]),
+        )
+        for i, name in enumerate(rc_order):
+            remaining = _retry_remaining()
+            if remaining < 30:
+                break
+            if i % 5 == 0:
+                _sentinel_tick(rc_series, ceiling=min(60.0, remaining))
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            status, _ = _timed_save(
+                spark,
+                lambda n=name: queries[n](spark, sf_dir),
+                min(60.0, _retry_remaining()),
+            )
+            if status == "ok":
+                timings[name] = round(
+                    min(timings[name], time.perf_counter() - start), 4
+                )
+                pass_counts[name] += 1
+                rc_requeried += 1
+        if _retry_remaining() > 10:
+            _sentinel_tick(
+                rc_series, ceiling=min(60.0, max(10.0, _retry_remaining()))
+            )
+        slow_window_recapture = {
+            "trigger_floor_ratio": _floor_ratio_now,
+            "ratio_bound": SENTINEL_GATE_RATIO,
+            "series": rc_series,
+            "n_requeried": rc_requeried,
+        }
+        # same replacement rule as the contention retry: the headline
+        # series reflects the LAST substantial evidence, never one
+        # lucky sample
+        if len(rc_series) >= 3:
+            sentinel_series = rc_series
+            spread = _spread_of(rc_series)
+
     # PARALLEL sentinel (round 10): the serial sentinel is a light scan
     # that never saturates the 32 cores, so it is blind to sustained
     # background load / host-epoch drift that only taxes core-saturating
@@ -726,10 +904,14 @@ def main() -> None:
         "core_set": f"{sum(1 for n in CORE_32 if n in timings)}"
         f"/{len(CORE_32)}",
         # this window's serial-sentinel floor vs the committed r7
-        # reference floor — the driver's epoch normalizer (docstring)
+        # reference floor — the driver's epoch normalizer (docstring).
+        # The floor is the min over EVERY landed in-window tick (main
+        # passes + contention retries + slow-window recapture): the
+        # timings are min-merged across those same phases, so this is
+        # the epoch companion of the numbers actually shipped.
         "sentinel_floor_ratio": (
-            round(min(sentinel_series) / SENTINEL_R7_FLOOR_S, 3)
-            if sentinel_series
+            round(min(all_window_ticks) / SENTINEL_R7_FLOOR_S, 3)
+            if all_window_ticks
             else None
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -758,6 +940,16 @@ def main() -> None:
         # is one bounded re-pass with a fresh sentinel series; the
         # fields above reflect the LAST series
         "contention_retries": contention_retries,
+        # pre-capture sentinel gate (VERDICT r15 #1a): tick rounds and
+        # bounded waits taken BEFORE the timed window; a
+        # ratio_after_gate still above ratio_bound means the storm
+        # outlasted the gate budget and the window shipped anyway,
+        # self-attributing via sentinel_floor_ratio
+        "sentinel_gate": sentinel_gate,
+        # slow-window recapture (VERDICT r15 #1b): non-null when the
+        # finished window's floor ratio exceeded the bound and overrun
+        # budget bought a min-merge re-time of the core set
+        "slow_window_recapture": slow_window_recapture,
         # pre-window wait-and-retry on host load (VERDICT r12 #4):
         # waits_s lists the bounded sleeps taken before measuring; a
         # loadavg_after_gate still above threshold means the storm

@@ -78,98 +78,88 @@ _MODULES = (
     "text6",
 )
 
-# ROUND-15 ROTATION (VERDICT r14 next-round #2; per-round narratives
+# ROUND-16 ROTATION (VERDICT r15 next-round #2; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 1 + 15 + 34 = 50, enumerated by reason:
-#   * multimodal_image_resize_features FIRST — the late-r14
-#     registration queued per the r9 protocol (4-scale sweeps, vanilla
-#     delta, sf1 replica, plan pin, and a judge re-execution all green
-#     last round; this is its first driver row);
-#   * the 15 round-9-stale entries deferred from the r14 window BY
-#     NAME (plans/__init__.py r14 comment), promised first in line
-#     here: agg_approx_distinct, dedup_cluster_components,
-#     dedup_simhash_pairs, layout_compaction_bins, layout_zorder_files,
-#     pipeline_anomaly_scores, profile_key_skew, promql_mad_over_time,
-#     promql_quantile_over_time_sliding, sample_split_snapshot_fed,
-#     stream_dedup_within_watermark, stream_stateful_scaler,
-#     vec_ann_multiband_topk, vec_ann_signbucket_topk,
-#     vec_ivf_filtered_topk;
-#   * 34 of the 48 remaining entries whose last driver row is round 10
-#     — the whole r10 recency tail except 14 deferred BY NAME to r16
-#     (first in line there), chosen as EXACTLY the r10-stale members
-#     benched in HEADLINE every round (the strongest independent
-#     per-round signal; the 34 taken now are the ones with sweep-only
-#     evidence): promql_at_modifier, promql_double_exponential_smoothing,
-#     promql_histogram_fraction, promql_mad_sliding_dense,
-#     promql_native_histogram_buckets, promql_native_histogram_rate,
-#     promql_native_histogram_rate_quantile,
-#     promql_native_histogram_stddev, promql_quantile_sliding_dense,
-#     text_chunk_contamination, text_chunk_overlap,
-#     ts_level_shift_detect, vec_ann_incremental_batch,
-#     vec_ivf_int8_topk.
-#     All 14 are hash-green in the committed full-registry sweeps.
-# After r15 the staleness ledger is: nothing older than r10, exactly
-# the 14 enumerated r10 deferrals at r10, everything else r11+, and
-# every registered entry has a driver row (the r14 queue — resize —
-# drains this round; no new registrations are queued).
+# queries(). 14 + 36 = 50, enumerated by reason:
+#   * the 14 round-10-stale entries deferred from the r15 window BY
+#     NAME (plans/__init__.py r15 comment), promised first in line
+#     here — all HEADLINE-benched every round, all hash-green in the
+#     committed r15 full-registry sweeps, three of them re-executed
+#     hash-green by the judge in the r15 session;
+#   * 36 of the 50 entries whose last driver row is round 11, chosen
+#     by the same rule as r15: the r11-stale set splits into 8
+#     HEADLINE-benched members (per-round bench evidence — the
+#     strongest independent signal: dedup_semantic_survivors,
+#     dedup_substring_spans, join_interval_overlap,
+#     text_semantic_contamination, tpch_q18_large_volume_customers,
+#     tpch_q8_market_share, vec_int8_quantized_topk, vec_ivf_topk) and
+#     42 sweep-only members; the window takes the 42 sweep-only ones
+#     first, in lexicographic order, which leaves a lexicographic tail
+#     of 6 deferred BY NAME to r17 first-in-line:
+#     tpch_q2_min_cost_supplier, tpch_q4_order_priority,
+#     ts_ohlc_hourly, ts_sessionize_gap, win_lag_rate_reset,
+#     win_sliding_range_1h. All 14 deferrals (8 benched + 6 tail) are
+#     hash-green in the committed full-registry sweeps.
+# After r16 the staleness ledger is: nothing older than r11, exactly
+# the 14 enumerated r11 deferrals at r11, everything else r12+, and
+# every registered entry still has a driver row. No new registrations
+# are queued.
 _CHECK_FIRST = (
-    # -- late-r14 registration, first driver row (1) --
-    "multimodal_image_resize_features",
-    # -- r14-deferred round-9-stale entries (15) --
-    "agg_approx_distinct",
-    "dedup_cluster_components",
-    "dedup_simhash_pairs",
-    "layout_compaction_bins",
-    "layout_zorder_files",
-    "pipeline_anomaly_scores",
-    "profile_key_skew",
-    "promql_mad_over_time",
-    "promql_quantile_over_time_sliding",
-    "sample_split_snapshot_fed",
-    "stream_dedup_within_watermark",  # rows-only by nature (streaming)
-    "stream_stateful_scaler",         # rows-only by nature (streaming)
-    "vec_ann_multiband_topk",
-    "vec_ann_signbucket_topk",
-    "vec_ivf_filtered_topk",
-    # -- r10 recency tail, 34 of 48 (the 14 HEADLINE-benched members
-    #    are deferred by name to r16 — see comment above) --
-    "cohort_retention_weekly",
-    "exposition_all_families",
-    "funnel_signup_view_purchase",
-    "mllib_brp_lsh_neighbors",    # rows-only by nature (MLlib model)
-    "mllib_kmeans_profiles",      # rows-only by nature (iterative MLlib)
-    "mllib_minmax_scaler",        # oracle-backed since r15 (closed-form
-    #                               transform; was rows-only — in-window
-    #                               for its first HASH driver row)
-    "pack_sequences_contiguous",
-    "pipeline_text_cleaning",
-    "promql_absent_series",
-    "promql_agg_family",
-    "promql_bottomk_users",
-    "promql_clamp_values",
-    "promql_comparison_bool",
-    "promql_count_values",
-    "promql_delta_gauge",
-    "promql_histogram_avg",
-    "promql_idelta",
-    "promql_info_enrich",
-    "promql_math_functions",
-    "promql_native_histogram_quantile",
-    "promql_scalar_binop",
-    "promql_sort_by_label",
-    "promql_sort_desc",
-    "promql_stddev_agg_by",
-    "promql_timestamp_function",
-    "promql_ts_of_over_time",
-    "sample_mixture_epochs",
-    "sample_split_train_val_test",
-    "sample_stratified_hash",
-    "sample_topk_hash_per_source",
-    "scd2_state_history",
-    "text_tfidf_topterms",
-    "text_token_accounting",
-    "vec_range_search",
+    # -- r15-deferred round-10-stale entries (14) --
+    "promql_at_modifier",
+    "promql_double_exponential_smoothing",
+    "promql_histogram_fraction",
+    "promql_mad_sliding_dense",
+    "promql_native_histogram_buckets",
+    "promql_native_histogram_rate",
+    "promql_native_histogram_rate_quantile",
+    "promql_native_histogram_stddev",
+    "promql_quantile_sliding_dense",
+    "text_chunk_contamination",
+    "text_chunk_overlap",
+    "ts_level_shift_detect",
+    "vec_ann_incremental_batch",
+    "vec_ivf_int8_topk",
+    # -- r11 recency tail, the 36 lexicographically-first sweep-only
+    #    members (the 8 HEADLINE-benched + 6 lexicographic-tail
+    #    entries are deferred by name to r17 — see comment above) --
+    "funnel_view_click_purchase",
+    "join_salted_skew",
+    "ml_seasonal_zscore",
+    "promql_and_intersection",
+    "promql_changes_per_series",
+    "promql_deriv_per_series",
+    "promql_increase_total",
+    "promql_native_histogram_fraction",
+    "promql_offset_day_over_day",
+    "promql_or_union",
+    "promql_predict_linear",
+    "promql_quantile_over_time",
+    "promql_resets_changes",
+    "promql_resets_per_series",
+    "promql_unless_difference",
+    "quality_gopher_verdict",
+    "quality_pii_redaction",
+    "rollup_monthly_from_hourly",
+    "sample_quality_weighted",
+    "scalar_datetime_funcs",
+    "scd2_event_type_intervals",
+    "stream_native_histogram_rate",  # rows-only by nature (streaming)
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk_event_types",
+    "stream_tumbling_counts",
+    "tpch_q11_important_inventory",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q22_dormant_high_balance",
 )
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -83,6 +83,13 @@ def mllib_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("features", array_to_vector("features_arr"))
     )
+    # Materialize ONCE before fit (ADVICE r15): fit and transform each
+    # trigger an execution of `hourly`, and Spark's partial-aggregation
+    # sum order can differ between the two runs — a round(sum,4)
+    # boundary straddle between the fit's min/max view and the
+    # transform's feature view would produce a value the oracle cannot
+    # match. localCheckpoint pins one set of feature doubles for both.
+    hourly = hourly.localCheckpoint(eager=True)
     model = MinMaxScaler(inputCol="features", outputCol="scaled").fit(hourly)
     out = model.transform(hourly)
     # Unpack the scaled vector to scalar columns: the driver's

@@ -125,6 +125,26 @@ def test_affected_from_log_attribution():
     jitter = [(0.2, 0), (0.34, 5), (0.31, 10), (0.2, 15), (0.26, 20)]
     assert affected_from_log(jitter, names, timed) == []
 
+    # ADVICE r15: one implausibly FAST tick (below 0.7x the committed
+    # best-ever quiet floor of 0.140 s) is a measurement fluke, not a
+    # quiet anchor — on a 1.4-1.9x host epoch it would otherwise brand
+    # nearly the whole window. The fluke is dropped; the remaining
+    # plausible ticks (ordinary epoch jitter) brand nothing.
+    fluke = [(0.05, 0), (0.21, 5), (0.22, 10), (0.2, 15), (0.26, 20)]
+    assert affected_from_log(fluke, names, timed) == []
+
+    # ...but the guard must NOT break storm anchoring: a plausible
+    # quiet tick (>= 0.7 * 0.140) still anchors, and storm ticks brand
+    fluke_storm = [(0.15, 0), (0.9, 5), (0.9, 10), (0.9, 15), (0.9, 20)]
+    assert affected_from_log(fluke_storm, names, timed) == [
+        f"q{i}" for i in range(0, 20)
+    ]
+
+    # degenerate: EVERY tick implausibly fast (a genuinely faster
+    # host) falls back to the raw min instead of inventing a floor
+    allfast = [(0.05, 0), (0.05, 5), (0.05, 10), (0.05, 15), (0.05, 20)]
+    assert affected_from_log(allfast, names, timed) == []
+
 
 def test_core32_is_frozen_and_registered():
     """CORE_32 (VERDICT r14 #4) must stay exactly the round-4 artifact
