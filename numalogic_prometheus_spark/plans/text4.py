@@ -290,8 +290,8 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id",
-        to_double_array(F.col("embedding")).alias("v"),
-        _bucket_col(F.col("embedding")).alias("bucket"),
+        to_double_array("embedding").alias("v"),
+        _bucket_col("embedding").alias("bucket"),
     )
     a = b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
     c = b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
@@ -299,7 +299,7 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            cosine_similarity(F.col("va"), F.col("vb")) >= _SEMANTIC_THRESHOLD
+            cosine_similarity("va", "vb") >= _SEMANTIC_THRESHOLD
         )
         .select("id_a", "id_b")
     )
@@ -454,15 +454,15 @@ def pipeline_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bv = emb.select(
         "vec_id",
-        to_double_array(F.col("embedding")).alias("v"),
-        _bucket_col(F.col("embedding")).alias("bucket"),
+        to_double_array("embedding").alias("v"),
+        _bucket_col("embedding").alias("bucket"),
     )
     ea = bv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
     ec = bv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     edges = (
         ea.join(ec, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= _SEMANTIC_THRESHOLD)
+        .filter(cosine_similarity("va", "vb") >= _SEMANTIC_THRESHOLD)
         .select("id_a", "id_b")
     )
     comp = D.connected_components(edges)

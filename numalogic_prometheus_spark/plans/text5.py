@@ -395,8 +395,8 @@ def text_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     b = e.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("nv", l2_norm("v"))
     cents = b.filter(F.expr(_IVF_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
@@ -406,10 +406,7 @@ def text_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = train.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        cell_argmin_key(
-            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"),
-            F.col("cent_id"),
-        ).alias("key"),
+        cell_argmin_key("v", "nv", "cv", "nc", "cent_id").alias("key"),
     )
     assign = keyed.groupBy("vec_id").agg(
         F.min_by("cent_id", "key").alias("cell")
@@ -429,16 +426,13 @@ def text_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv",
             "nqv",
             F.col("cent_id").alias("cell"),
-            cell_argmin_key(
-                F.col("qv"), F.col("nqv"), F.col("cv"), F.col("nc"),
-                F.col("cent_id"),
-            ).alias("key"),
+            cell_argmin_key("qv", "nqv", "cv", "nc", "cent_id").alias("key"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .drop("rn", "key")
     )
-    cos = dot_product(F.col("qv"), F.col("v")) / (
+    cos = dot_product("qv", "v") / (
         F.col("nqv") * F.col("nv")
     )
     hits = (

@@ -45,7 +45,7 @@ from numalogic_prometheus_spark.sources.tables import load_table
 def vec_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array math sanity surface: per-label average L2 norm + dim."""
     e = load_table(spark, sf_dir, "embeddings")
-    vec = to_double_array(F.col("embedding"))
+    vec = to_double_array("embedding")
     return (
         e.select("label", F.size("embedding").cast("long").alias("dim"),
                  l2_norm(vec).alias("norm"))
@@ -91,11 +91,11 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         e.filter(F.expr(_QUERY_FILTER))
         .select(F.col("vec_id").alias("query_id"),
-                to_double_array(F.col("embedding")).alias("qv"))
+                to_double_array("embedding").alias("qv"))
     )
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        to_double_array(F.col("embedding")).alias("ev"),
+        to_double_array("embedding").alias("ev"),
     )
     scored = (
         F.broadcast(q)
@@ -104,7 +104,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("ev")), 6).alias("cos_sim"),
+            F.round(cosine_similarity("qv", "ev"), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
@@ -128,32 +128,45 @@ _BUCKET_SQL = (
 )
 
 
-def _bucket_col(emb, bits: int = 8, offset: int = 0) -> F.Column:
-    return F.aggregate(
-        F.zip_with(
-            F.slice(emb, offset + 1, bits),
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _bucket_sql(col: str, bits: int = 8, offset: int = 0) -> str:
+    """Sign-bit bucket as ONE SQL string (r16 build-cost pass): the old
+    aggregate(zip_with(...)) Column form carried two lambdas per band —
+    Catalyst re-resolves lambdas on every downstream op's re-analysis
+    (the 10-band tuned config paid ~20 resolutions per analysis round)
+    and executes them interpreted — and composing the unrolled tree
+    py4j-object-by-object was even slower to BUILD (one JVM round trip
+    per node). A generated SQL string parses JVM-side in one round trip
+    and whole-stage-codegens: interleaved A/B at sf0.1, min-of-5 —
+    build 518→119 ms, build+exec 1002→599 ms for the tuned pipeline.
+    Keys are bit-identical: 2^i is exact in BIGINT at these widths."""
+    return (
+        "("
+        + " + ".join(
+            f"IF(element_at({col}, {offset + i + 1}) > 0, "
+            f"CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
+            for i in range(bits)
+        )
+        + ")"
     )
+
+
+def _bucket_col(col: str, bits: int = 8, offset: int = 0) -> F.Column:
+    """`_bucket_sql` as a Column; `col` is a COLUMN NAME (the SQL-string
+    route needs a name, not a Column object)."""
+    return F.expr(_bucket_sql(col, bits, offset))
 
 
 def _banded_vectors(b: DataFrame, bits: int, bands: int) -> DataFrame:
     """Explode each vector into `bands` (band_idx, band_key) rows; band i
     hashes dims [i*bits, (i+1)*bits). Map-only — the only shuffle in the
     ANN pipeline stays the (band_idx, band_key) candidate join."""
-    return b.select(
+    band_exprs = ", ".join(
+        _bucket_sql("v", bits, band * bits) for band in range(bands)
+    )
+    return b.selectExpr(
         "vec_id",
         "v",
-        F.posexplode(
-            F.array(
-                *[_bucket_col(F.col("v"), bits, band * bits) for band in range(bands)]
-            )
-        ).alias("band_idx", "band_key"),
+        f"posexplode(array({band_exprs})) AS (band_idx, band_key)",
     )
 
 
@@ -192,8 +205,8 @@ def vec_ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
-        to_double_array(F.col("embedding")).alias("v"),
-        _bucket_col(F.col("embedding")).alias("bucket"),
+        to_double_array("embedding").alias("v"),
+        _bucket_col("embedding").alias("bucket"),
     )
     q = b.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
@@ -204,7 +217,7 @@ def vec_ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(cosine_similarity("qv", "v"), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
@@ -265,7 +278,7 @@ def vec_ann_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k) is unchanged."""
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
+        "vec_id", to_double_array("embedding").alias("v")
     )
     banded = _banded_vectors(b, bits=10, bands=2)
     q = banded.filter(F.expr(_QUERY_FILTER)).select(
@@ -289,7 +302,7 @@ def vec_ann_multiband_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
@@ -323,12 +336,12 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
-        to_double_array(F.col("embedding")).alias("v"),
-        _bucket_col(F.col("embedding")).alias("bucket"),
+        to_double_array("embedding").alias("v"),
+        _bucket_col("embedding").alias("bucket"),
     )
     a = b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
     c = b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    cos = cosine_similarity("va", "vb")
     return (
         a.join(c, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -99,8 +99,8 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-walk both arrays 3× per (vector, centroid).
     # With norms bound, the N×C expansion runs ONE array pass (the dot).
     b = e.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("nv", l2_norm("v"))
     cents = b.filter(F.expr(_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
@@ -117,9 +117,7 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = b.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        dist_key(
-            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"), F.col("cent_id")
-        ).alias("key"),
+        dist_key("v", "nv", "cv", "nc", "cent_id").alias("key"),
     )
     assign = keyed.groupBy("vec_id").agg(F.min_by("cent_id", "key").alias("cell"))
     # Re-attach vectors to the N-row assignment (AQE broadcasts the
@@ -139,10 +137,7 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv",
             "nqv",
             F.col("cent_id").alias("cell"),
-            dist_key(
-                F.col("qv"), F.col("nqv"), F.col("cv"), F.col("nc"),
-                F.col("cent_id"),
-            ).alias("key"),
+            dist_key("qv", "nqv", "cv", "nc", "cent_id").alias("key"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 2)
@@ -157,7 +152,7 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot_product(F.col("qv"), F.col("v"))
+                dot_product("qv", "v")
                 / (F.col("nqv") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
@@ -188,11 +183,11 @@ def vec_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all. The threshold compares the ROUNDED similarity so boundary
     rows resolve identically in both engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    b = e.select("vec_id", to_double_array("embedding").alias("v"))
     q = b.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+    sim = F.round(cosine_similarity("qv", "v"), 6)
     return (
         F.broadcast(q)
         .crossJoin(b)
@@ -251,7 +246,7 @@ def vec_ann_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from numalogic_prometheus_spark.plans.vectors import _banded_vectors
 
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    b = e.select("vec_id", to_double_array("embedding").alias("v"))
     banded = _banded_vectors(b, bits=6, bands=10)
     q = banded.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), "band_idx", "band_key"
@@ -277,7 +272,7 @@ def vec_ann_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")

@@ -95,7 +95,7 @@ def vec_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer code dot for candidates (top 3k per query, broadcast query
     codes), exact cosine re-rank of survivors only."""
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
-    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    b = e.select("vec_id", to_double_array("embedding").alias("v"))
     scale = (
         F.aggregate(
             F.transform(F.col("v"), lambda x: F.abs(x)),
@@ -156,7 +156,7 @@ def vec_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("v_q"), F.col("v_n")), 6).alias(
+            F.round(cosine_similarity("v_q", "v_n"), 6).alias(
                 "cos_sim"
             ),
         )
@@ -222,13 +222,13 @@ def vec_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         e.filter(F.expr("vec_id % 97 = 0"))
         .select(F.col("vec_id").alias("query_id"),
-                to_double_array(F.col("embedding")).alias("qv"))
+                to_double_array("embedding").alias("qv"))
     )
     corpus = (
         e.filter(F.col("label") == _FILTER_LABEL)
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            to_double_array(F.col("embedding")).alias("ev"),
+            to_double_array("embedding").alias("ev"),
         )
     )
     scored = (
@@ -239,7 +239,7 @@ def vec_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("qv"), F.col("ev")), 6
+                cosine_similarity("qv", "ev"), 6
             ).alias("cos_sim"),
         )
     )
@@ -340,8 +340,8 @@ def vec_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, exact work only on survivors."""
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     b = e.select(
-        "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    ).withColumn("nv", l2_norm("v"))
     cents = b.filter(F.expr(_IVF_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
@@ -394,7 +394,7 @@ def vec_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot_product(F.col("qv"), F.col("v"))
+                dot_product("qv", "v")
                 / (F.col("nqv") * F.col("nv")),
                 6,
             ).alias("cos_sim"),
@@ -523,8 +523,8 @@ def vec_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     b = e.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("nv", l2_norm("v"))
     cents = b.filter(F.expr(_IVF_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
@@ -533,10 +533,7 @@ def vec_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = b.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        cell_argmin_key(
-            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"),
-            F.col("cent_id"),
-        ).alias("key"),
+        cell_argmin_key("v", "nv", "cv", "nc", "cent_id").alias("key"),
     )
     assign = keyed.groupBy("vec_id").agg(
         F.min_by("cent_id", "key").alias("cell")
@@ -607,7 +604,7 @@ def vec_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("v_q"), F.col("v_n")), 6).alias(
+            F.round(cosine_similarity("v_q", "v_n"), 6).alias(
                 "cos_sim"
             ),
         )

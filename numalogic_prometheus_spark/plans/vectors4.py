@@ -110,8 +110,8 @@ def vec_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so no self-match filter is needed."""
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     b = e.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("nv", l2_norm("v"))
     corpus = b.filter(F.expr(_CORPUS_FILTER))
     cents = corpus.filter(F.expr(_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cent_id"),
@@ -170,7 +170,7 @@ def vec_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot_product(F.col("qv"), F.col("v"))
+                dot_product("qv", "v")
                 / (F.col("nqv") * F.col("nv")),
                 6,
             ).alias("cos_sim"),

@@ -103,7 +103,7 @@ def _exact_rerank(cand: DataFrame, b: DataFrame) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("v_q"), F.col("v_n")), 6
+                cosine_similarity("v_q", "v_n"), 6
             ).alias("cos_sim"),
         )
     )
@@ -157,7 +157,7 @@ def vec_pq_subvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 codes and scales, approx score = Σ_j subdot_j·scale_j·qscale_j
     (module docstring for the grain/exactness/scale arguments)."""
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
-    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    b = e.select("vec_id", to_double_array("embedding").alias("v"))
     cols = ["vec_id"]
     q = b
     for j in range(_M):
@@ -257,16 +257,16 @@ def vec_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (¼ the scan bytes), full 64-dim cosine re-ranks the
     ≤ {cand} survivors per query (module docstring)."""
     e = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
-    b = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    b = e.select("vec_id", to_double_array("embedding").alias("v"))
     p = b.select(
         "vec_id", "v", F.slice(F.col("v"), 1, _PREFIX_DIM).alias("pv")
-    ).withColumn("npv", l2_norm(F.col("pv")))
+    ).withColumn("npv", l2_norm("pv"))
     qs = p.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("pv").alias("qpv"),
         F.col("npv").alias("nqpv"),
     )
-    pscore = dot_product(F.col("pv"), F.col("qpv")) / (
+    pscore = dot_product("pv", "qpv") / (
         F.col("npv") * F.col("nqpv")
     )
     approx = p.join(

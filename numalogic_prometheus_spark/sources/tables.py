@@ -10,12 +10,29 @@ free because every downstream operator filters/aggregates through Catalyst.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from numalogic_prometheus_spark.session import pin_session_invariants
+
+# Per-session scan-plan cache (VERDICT r15 #4 — hoist repeated subplan
+# construction). ``spark.read.parquet`` costs ~110 ms per call on this
+# host (file listing + footer schema inference + py4j), and every
+# builder invocation re-paid it per table — a 7-table TPC-H star paid
+# ~0.8 s of pure plan construction before its first Catalyst analysis.
+# The cached value is the fully-normalized logical PLAN (immutable);
+# EXECUTION still re-scans parquet on every action, so bench passes
+# keep paying full data cost — only the driver-side construction is
+# hoisted, which is exactly what a long-lived production session does.
+# WeakKeyDictionary keys on the live session object: a stopped/GC'd
+# session drops its plans (a DataFrame is bound to the session that
+# built it, so cross-session reuse would be a correctness bug), and the
+# fixture files under /root/testdata are immutable by contract so no
+# invalidation path is needed.
+_SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 # The ten driver tables (TESTDATA.md / FIXTURES.md).
 TABLES = (
@@ -38,15 +55,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     # The driver's verify harness may hand us a vanilla session; every
     # query path goes through here, so re-pin the runtime invariants
-    # (UTC, LAST_WIN map dedup, nanos-as-long parquet reads).
+    # (UTC, LAST_WIN map dedup, nanos-as-long parquet reads). Pinning
+    # runs on EVERY call — including cache hits — because the confs are
+    # session state a caller may have reset between queries.
     pin_session_invariants(spark)
+    cache_key = (os.path.realpath(sf_dir), name)
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    if cache_key in per_session:
+        return per_session[cache_key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Truncate nanos → µs with integer division (epoch-nanos exceeds
     # double's 53-bit mantissa, so float division would corrupt it) and
     # restore the timestamp type — matches DuckDB's ns→µs read.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return normalize_event_time(df)
+    df = normalize_event_time(df)
+    per_session[cache_key] = df
+    return df
 
 
 def normalize_event_time(df: DataFrame) -> DataFrame:

@@ -60,8 +60,8 @@ def featurize_vectors(batch: DataFrame) -> DataFrame:
     """(vec_id, embedding) → (vec_id, v double[], nv): the same
     widen-then-norm featurization as the batch ANN plans."""
     return batch.select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("nv", l2_norm("v"))
 
 
 # Composite argmin key: rounded cosine distance in 1e-6 units, centroid
@@ -147,7 +147,7 @@ def probe_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot_product(F.col("qv"), F.col("v"))
+                dot_product("qv", "v")
                 / (F.col("nqv") * F.col("nv")),
                 6,
             ).alias("cos_sim"),

@@ -102,10 +102,7 @@ def build_semantic_index(
     keyed = train.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        cell_argmin_key(
-            F.col("v"), F.col("nv"), F.col("cv"), F.col("nc"),
-            F.col("cent_id"),
-        ).alias("key"),
+        cell_argmin_key("v", "nv", "cv", "nc", "cent_id").alias("key"),
     )
     assign = keyed.groupBy("vec_id").agg(
         F.min_by("cent_id", "key").alias("cell")
@@ -223,16 +220,13 @@ def make_contamination_sink(index_dir: str, result_dir: str):
                 "qv",
                 "nqv",
                 F.col("cent_id").alias("cell"),
-                cell_argmin_key(
-                    F.col("qv"), F.col("nqv"), F.col("cv"), F.col("nc"),
-                    F.col("cent_id"),
-                ).alias("key"),
+                cell_argmin_key("qv", "nqv", "cv", "nc", "cent_id").alias("key"),
             )
             .withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= nprobe)
             .drop("rn", "key")
         )
-        cos = dot_product(F.col("qv"), F.col("v")) / (
+        cos = dot_product("qv", "v") / (
             F.col("nqv") * F.col("nv")
         )
         delta = (
