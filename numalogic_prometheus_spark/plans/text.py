@@ -39,15 +39,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + ratio stats per document — all row expressions,
     no shuffle at all (map-only at 100 TB)."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
     return d.select(
         "doc_id",
         "lang",
-        TX.token_count(t).alias("n_tokens"),
-        TX.distinct_token_count(t).alias("n_distinct"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct"),
         # unrounded exact-integer ratios (see TX.quality_score note)
-        TX.avg_token_len(t).alias("avg_token_len"),
-        TX.stopword_ratio(t).alias("stopword_ratio"),
+        TX.avg_token_len("text").alias("avg_token_len"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
     )
 
 
@@ -79,7 +78,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (diversity + length + stopword-rate heuristic)
     aggregated per source — the corpus-curation roll-up."""
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select("source", TX.quality_score(F.col("text")).alias("quality"))
+    scored = d.select("source", TX.quality_score("text").alias("quality"))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         # avg keeps its round: summing doubles is order-dependent, so
@@ -117,7 +116,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, oracle-checkable thresholds."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "lang", TX.langid_heuristic(F.col("text")).alias("predicted_lang")
+        "lang", TX.langid_heuristic("text").alias("predicted_lang")
     ).groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -137,7 +136,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — every integer reproduced by the oracle)."""
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     return d.select(
-        "doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id", TX.doc_fingerprint("text").alias("fingerprint")
     )
 
 
