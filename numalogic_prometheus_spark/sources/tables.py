@@ -29,9 +29,13 @@ from numalogic_prometheus_spark.session import pin_session_invariants
 # hoisted, which is exactly what a long-lived production session does.
 # WeakKeyDictionary keys on the live session object: a stopped/GC'd
 # session drops its plans (a DataFrame is bound to the session that
-# built it, so cross-session reuse would be a correctness bug), and the
-# fixture files under /root/testdata are immutable by contract so no
-# invalidation path is needed.
+# built it, so cross-session reuse would be a correctness bug). The key
+# also carries the parquet path's mtime_ns — a microsecond stat() —
+# because test harnesses (and production backfills) OVERWRITE crafted
+# tables at the same path: a plan cached over the old file listing
+# would then fail FAILED_READ_FILE.FILE_NOT_EXIST (mode("overwrite")
+# rewrites the directory, so its mtime always moves). The immutable
+# /root/testdata fixtures stat to a constant and stay cached.
 _SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 # The ten driver tables (TESTDATA.md / FIXTURES.md).
@@ -59,18 +63,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runs on EVERY call — including cache hits — because the confs are
     # session state a caller may have reset between queries.
     pin_session_invariants(spark)
-    cache_key = (os.path.realpath(sf_dir), name)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # let spark.read raise its own error uncached
+    cache_key = (os.path.realpath(sf_dir), name, mtime)
     per_session = _SCAN_CACHE.setdefault(spark, {})
-    if cache_key in per_session:
+    if mtime is not None and cache_key in per_session:
         return per_session[cache_key]
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     # Truncate nanos → µs with integer division (epoch-nanos exceeds
     # double's 53-bit mantissa, so float division would corrupt it) and
     # restore the timestamp type — matches DuckDB's ns→µs read.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = normalize_event_time(df)
-    per_session[cache_key] = df
+    if mtime is not None:
+        per_session[cache_key] = df
     return df
 
 
