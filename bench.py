@@ -561,11 +561,17 @@ def main() -> None:
         "waits_s": [],
     }
     t_gate0 = time.perf_counter()
+    gate_cap_s = GATE_BUDGET_FRAC * budget_s - 20.0
     prev_ratio: float | None = None
     while True:
         gate_ticks: list[float] = []
         for _ in range(3):
-            _sentinel_tick(gate_ticks, window=False)
+            # per-tick ceiling 15 s and an in-round cap check: on a
+            # total storm the default 60 s tick ceiling × 3 would eat
+            # 180 s before the first budget check (r16 self-review)
+            if time.perf_counter() - t_gate0 > gate_cap_s:
+                break
+            _sentinel_tick(gate_ticks, window=False, ceiling=15.0)
         sentinel_gate["tick_rounds"].append(gate_ticks)
         ratio = (
             round(min(gate_ticks) / SENTINEL_R7_FLOOR_S, 3)
@@ -589,10 +595,7 @@ def main() -> None:
             sentinel_gate["stopped_on_stable"] = True
             break
         prev_ratio = ratio
-        if (
-            time.perf_counter() - t_gate0
-            > GATE_BUDGET_FRAC * budget_s - 20.0
-        ):
+        if time.perf_counter() - t_gate0 > gate_cap_s:
             break  # storm outlasted the gate; ship self-attributing
         sentinel_gate["waits_s"].append(20.0)
         time.sleep(20.0)
