@@ -226,6 +226,25 @@ HEADLINE_EXCLUDED = {
     # spark-side min-of-3 is 1.90 s at sf0.1 (MLlib fit agg +
     # transform), measured this round
     "mllib_minmax_scaler": _SWEEP_DOMINATED,
+    # r16: the regenerated sf0.1 sweep ran on a contended window
+    # (1074 s total vs r15's 695 s on identical oracle code) and
+    # pushed these 12 lines over 2 s. Spark-side re-measure this
+    # round: ten at 0.35-1.7 s min-of-3; the two that first read
+    # over (profile_drift_halves 3.2, tpch_q9 4.3) re-measured
+    # 1.73 / 0.98 s against an interleaved sentinel at 0.32 s
+    # (2.3x the reference floor) — storm readings, not plan cost.
+    "profile_drift_halves": _SWEEP_DOMINATED,
+    "promql_comparison_bool": _SWEEP_DOMINATED,
+    "promql_increase_total": _SWEEP_DOMINATED,
+    "promql_resets_changes": _SWEEP_DOMINATED,
+    "promql_scalar_binop": _SWEEP_DOMINATED,
+    "promql_sort_by_label": _SWEEP_DOMINATED,
+    "subquery_scalar_above_avg": _SWEEP_DOMINATED,
+    "text_bm25_topk": _SWEEP_DOMINATED,
+    "text_boilerplate_segments": _SWEEP_DOMINATED,
+    "text_quality_by_source": _SWEEP_DOMINATED,
+    "text_simhash_signatures": _SWEEP_DOMINATED,
+    "tpch_q9_product_profit": _SWEEP_DOMINATED,
 }
 
 
