@@ -581,7 +581,7 @@ def main() -> None:
     }
     t_gate0 = time.perf_counter()
     gate_cap_s = GATE_BUDGET_FRAC * budget_s - 20.0
-    prev_ratio: float | None = None
+    prev_badness: float | None = None
     while True:
         gate_ticks: list[float] = []
         for _ in range(3):
@@ -598,8 +598,29 @@ def main() -> None:
             else None
         )
         sentinel_gate["ratio_after_gate"] = ratio
-        if ratio is not None and ratio <= SENTINEL_GATE_RATIO:
-            break
+        # "badness" unifies both axes for the pass/stable logic below:
+        # the serial floor ratio relative to its bound, and — because a
+        # MULTI-CORE storm is invisible to the light serial scan (r16
+        # live capture: serial floor 0.964 while the parallel sentinel
+        # ran 0.34 s = 3x its quiet band, and the window shipped
+        # contended) — one parallel tick relative to 2x its committed
+        # quiet ceiling. The par tick (~0.1-0.7 s) only runs once the
+        # serial floor is in-bound, so a serial storm never pays it.
+        badness = None
+        if ratio is not None:
+            badness = ratio / SENTINEL_GATE_RATIO
+            if badness <= 1.0:
+                t0p = time.perf_counter()
+                spark.range(0, 200_000_000, 1, 32).selectExpr(
+                    "sum(id * 2654435761 % 1000003) AS s"
+                ).write.mode("overwrite").format("noop").save()
+                par_tick = round(time.perf_counter() - t0p, 4)
+                sentinel_gate.setdefault("par_ticks", []).append(par_tick)
+                badness = max(
+                    badness, par_tick / (2 * PAR_SENTINEL_QUIET_CEIL_S)
+                )
+                if badness <= 1.0:
+                    break
         # stop-on-stable (first live run of the gate): a PASSING storm
         # improves round-over-round; a slow HOST EPOCH does not — two
         # consecutive over-bound rounds within 15% of each other mean
@@ -607,13 +628,13 @@ def main() -> None:
         # self-attributing (the 84 s this rule saves is ~2 extra
         # passes over the expensive tail)
         if (
-            ratio is not None
-            and prev_ratio is not None
-            and ratio >= 0.85 * prev_ratio
+            badness is not None
+            and prev_badness is not None
+            and badness >= 0.85 * prev_badness
         ):
             sentinel_gate["stopped_on_stable"] = True
             break
-        prev_ratio = ratio
+        prev_badness = badness
         if time.perf_counter() - t_gate0 > gate_cap_s:
             break  # storm outlasted the gate; ship self-attributing
         sentinel_gate["waits_s"].append(20.0)
