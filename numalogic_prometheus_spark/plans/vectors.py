@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from numalogic_prometheus_spark.functions.vectors import (
     cosine_similarity,
-    dot_product,
     l2_norm,
     to_double_array,
 )
