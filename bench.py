@@ -574,6 +574,17 @@ def main() -> None:
     # serial-sentinel ticks; while the floor ratio exceeds the bound,
     # wait and re-measure, bounded by GATE_BUDGET_FRAC of the budget so
     # an all-day storm degrades passes rather than killing coverage.
+    def _par_tick() -> float:
+        """One parallel-sentinel measurement: fixed full-width 32-slice
+        aggregation (multi-core throughput; the code never changes
+        round-to-round). Shared by the gate, the mid-window probe, and
+        the end-of-run series."""
+        t0p = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0p, 4)
+
     sentinel_gate = {
         "ratio_bound": SENTINEL_GATE_RATIO,
         "tick_rounds": [],
@@ -610,11 +621,7 @@ def main() -> None:
         if ratio is not None:
             badness = ratio / SENTINEL_GATE_RATIO
             if badness <= 1.0:
-                t0p = time.perf_counter()
-                spark.range(0, 200_000_000, 1, 32).selectExpr(
-                    "sum(id * 2654435761 % 1000003) AS s"
-                ).write.mode("overwrite").format("noop").save()
-                par_tick = round(time.perf_counter() - t0p, 4)
+                par_tick = _par_tick()
                 sentinel_gate.setdefault("par_ticks", []).append(par_tick)
                 badness = max(
                     badness, par_tick / (2 * PAR_SENTINEL_QUIET_CEIL_S)
@@ -639,6 +646,14 @@ def main() -> None:
             break  # storm outlasted the gate; ship self-attributing
         sentinel_gate["waits_s"].append(20.0)
         time.sleep(20.0)
+
+    if "par_ticks" not in sentinel_gate:
+        # the gate only runs its parallel tick once the serial floor is
+        # in-bound; if it never did, warm the parallel-sentinel plan
+        # here (unmeasured) so the mid-window probe measures the host,
+        # not first-execution JIT (a decaying JIT series reads as a
+        # false par-storm to the spread criterion)
+        _par_tick()
 
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
@@ -701,6 +716,16 @@ def main() -> None:
         if len(exec_order) % 5 == 0:
             _sentinel_tick(sentinel_series, pos=len(exec_order))
         _one_pass(name, max(30.0, min(120.0, remaining)))
+
+    # MID-WINDOW parallel probe (r16 live capture: a sustained
+    # ~6-core external load passed the 8.0 load gate, barely moved the
+    # serial sentinel, and was GONE before the end-of-run parallel
+    # series ran — the artifact read "quiet" while value_core measured
+    # 1.9x the same-day quiet twin). One full-width tick taken inside
+    # the window makes that storm class visible: it enters the
+    # parallel series, so the spread criterion below brands the window
+    # and the recapture can rescue it once the storm passes.
+    par_series = [_par_tick()]
 
     # PASSES 2+ — min-merge extras, cheapest-first, only while inside
     # 80% of the base budget: cheap entries buy the most noise
@@ -846,9 +871,29 @@ def main() -> None:
         if all_window_ticks
         else None
     )
+    # one end-of-window parallel tick BEFORE the recapture decision:
+    # together with the mid-window probe it detects the par-storm-
+    # then-quiet class (r16 live capture — artifact read quiet, core
+    # 1.9x the quiet twin). Par-spread > 2.5 with a now-quiet tail
+    # means re-timing pays; par still stormy means it will not (the
+    # epoch flags brand the window instead).
+    par_series.append(_par_tick())
+    _par_spread = (
+        round(max(par_series) / min(par_series), 2) if par_series else None
+    )
+    _par_storm_passed = (
+        _par_spread is not None
+        and _par_spread > 2.5
+        and par_series[-1] <= 2 * PAR_SENTINEL_QUIET_CEIL_S
+    )
     if (
-        _floor_ratio_now is not None
-        and _floor_ratio_now > SENTINEL_GATE_RATIO
+        (
+            (
+                _floor_ratio_now is not None
+                and _floor_ratio_now > SENTINEL_GATE_RATIO
+            )
+            or _par_storm_passed
+        )
         and _retry_remaining() > 60
     ):
         rc_series: list[float] = []
@@ -882,6 +927,7 @@ def main() -> None:
             )
         slow_window_recapture = {
             "trigger_floor_ratio": _floor_ratio_now,
+            "trigger_par_spread": _par_spread,
             "ratio_bound": SENTINEL_GATE_RATIO,
             "series": rc_series,
             "n_requeried": rc_requeried,
@@ -917,13 +963,14 @@ def main() -> None:
         _build_sentinel_plan(spark)
         build_series.append(round(time.perf_counter() - t0, 4))
 
-    par_series = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(id * 2654435761 % 1000003) AS s"
-        ).write.mode("overwrite").format("noop").save()
-        par_series.append(round(time.perf_counter() - t0, 4))
+    # two more end-of-run ticks: the series now spans mid-window,
+    # pre-recapture, and end — min() is still the host-capability
+    # floor; the SPREAD is the partial-storm detector
+    for _ in range(2):
+        par_series.append(_par_tick())
+    par_spread_final = (
+        round(max(par_series) / min(par_series), 2) if par_series else None
+    )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -974,10 +1021,16 @@ def main() -> None:
         # PAR_SENTINEL_QUIET_CEIL_S for the calibration provenance and
         # the env override for other hardware).
         "epoch_slow": min(par_series) > 2 * PAR_SENTINEL_QUIET_CEIL_S,
+        # r16: par-SPREAD joins the criterion — a partial full-width
+        # storm (mid-window tick slow, end ticks quiet) inflates the
+        # core-saturating entries while both the serial sentinel and
+        # min(par_series) read quiet (the r16 live-capture blind spot)
         "contended": bool(
             (spread and spread > 2.0)
             or min(par_series) > 2 * PAR_SENTINEL_QUIET_CEIL_S
+            or (par_spread_final and par_spread_final > 2.5)
         ),
+        "parallel_sentinel_spread": par_spread_final,
         "par_sentinel_quiet_ceil_s": PAR_SENTINEL_QUIET_CEIL_S,
         # in-run contention retries taken (VERDICT r13 #3): each entry
         # is one bounded re-pass with a fresh sentinel series; the
