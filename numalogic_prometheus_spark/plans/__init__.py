@@ -78,89 +78,94 @@ _MODULES = (
     "text6",
 )
 
-# ROUND-16 ROTATION (VERDICT r15 next-round #2; per-round narratives
+# ROUND-17 ROTATION (VERDICT r16 next-round #2; per-round narratives
 # live in COVERAGE.md's dated sections — this comment holds ONLY the
 # current window). The driver verifies the first 50 entries of
-# queries(). 14 + 36 = 50, enumerated by reason:
-#   * the 14 round-10-stale entries deferred from the r15 window BY
-#     NAME (plans/__init__.py r15 comment), promised first in line
-#     here — all HEADLINE-benched every round, all hash-green in the
-#     committed r15 full-registry sweeps, three of them re-executed
-#     hash-green by the judge in the r15 session;
-#   * 36 of the 50 entries whose last driver row is round 11, chosen
-#     by the same rule as r15: the r11-stale set splits into 8
+# queries(). 14 + 26 + 10 = 50, enumerated by reason:
+#   * the 14 round-11-stale entries deferred from the r16 window BY
+#     NAME (the 8 HEADLINE-benched + the 6 lexicographic tail from the
+#     r16 comment), promised first in line here — all hash-green in
+#     the committed r16 full-registry sweeps, and 8 of the 14
+#     re-executed hash-green by the r16 judge on a vanilla session;
+#   * 36 of the 49 entries whose last driver row is round 12, chosen
+#     by the same rule as r15/r16: the r12-stale set splits into 23
 #     HEADLINE-benched members (per-round bench evidence — the
-#     strongest independent signal: dedup_semantic_survivors,
-#     dedup_substring_spans, join_interval_overlap,
-#     text_semantic_contamination, tpch_q18_large_volume_customers,
-#     tpch_q8_market_share, vec_int8_quantized_topk, vec_ivf_topk) and
-#     42 sweep-only members; the window takes the 42 sweep-only ones
-#     first, in lexicographic order, which leaves a lexicographic tail
-#     of 6 deferred BY NAME to r17 first-in-line:
-#     tpch_q2_min_cost_supplier, tpch_q4_order_priority,
-#     ts_ohlc_hourly, ts_sessionize_gap, win_lag_rate_reset,
-#     win_sliding_range_1h. All 14 deferrals (8 benched + 6 tail) are
-#     hash-green in the committed full-registry sweeps.
-# After r16 the staleness ledger is: nothing older than r11, exactly
-# the 14 enumerated r11 deferrals at r11, everything else r12+, and
+#     strongest independent signal) and 26 sweep-only members; the
+#     window takes all 26 sweep-only ones plus the 10
+#     lexicographically-first benched ones (agg_pricing_summary ..
+#     multimodal_image_row_stats), which leaves a lexicographic tail
+#     of 13 benched entries deferred BY NAME to r18 first-in-line:
+#     multimodal_video_apng_frames, profile_column_stats,
+#     promql_alert_firing, promql_burn_rate_multiwindow,
+#     promql_native_histogram_fraction_rate,
+#     promql_native_histogram_rate_quantile_agg,
+#     promql_rate_extrapolated, sample_split_by_cluster,
+#     tpch_q21_sole_late_supplier, tpch_q5_region_volume,
+#     ts_step_resample, vec_matryoshka_prefix_topk, vec_pq_subvector_topk.
+#     All 13 are HEADLINE-benched every round and hash-green in the
+#     committed full-registry sweeps.
+# After r17 the staleness ledger is: nothing older than r12, exactly
+# the 13 enumerated r12 deferrals at r12, everything else r13+, and
 # every registered entry still has a driver row. No new registrations
 # are queued.
 _CHECK_FIRST = (
-    # -- r15-deferred round-10-stale entries (14) --
-    "promql_at_modifier",
-    "promql_double_exponential_smoothing",
-    "promql_histogram_fraction",
-    "promql_mad_sliding_dense",
-    "promql_native_histogram_buckets",
-    "promql_native_histogram_rate",
-    "promql_native_histogram_rate_quantile",
-    "promql_native_histogram_stddev",
-    "promql_quantile_sliding_dense",
-    "text_chunk_contamination",
-    "text_chunk_overlap",
-    "ts_level_shift_detect",
-    "vec_ann_incremental_batch",
-    "vec_ivf_int8_topk",
-    # -- r11 recency tail, the 36 lexicographically-first sweep-only
-    #    members (the 8 HEADLINE-benched + 6 lexicographic-tail
-    #    entries are deferred by name to r17 — see comment above) --
-    "funnel_view_click_purchase",
-    "join_salted_skew",
-    "ml_seasonal_zscore",
-    "promql_and_intersection",
-    "promql_changes_per_series",
-    "promql_deriv_per_series",
-    "promql_increase_total",
-    "promql_native_histogram_fraction",
-    "promql_offset_day_over_day",
-    "promql_or_union",
-    "promql_predict_linear",
-    "promql_quantile_over_time",
-    "promql_resets_changes",
-    "promql_resets_per_series",
-    "promql_unless_difference",
-    "quality_gopher_verdict",
-    "quality_pii_redaction",
-    "rollup_monthly_from_hourly",
-    "sample_quality_weighted",
-    "scalar_datetime_funcs",
-    "scd2_event_type_intervals",
-    "stream_native_histogram_rate",  # rows-only by nature (streaming)
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_topk_event_types",
-    "stream_tumbling_counts",
-    "tpch_q11_important_inventory",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_heavy_shippers",
-    "tpch_q22_dormant_high_balance",
+    # -- r16-deferred round-11-stale entries (14) --
+    "dedup_semantic_survivors",
+    "dedup_substring_spans",
+    "join_interval_overlap",
+    "text_semantic_contamination",
+    "tpch_q18_large_volume_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "ts_ohlc_hourly",
+    "ts_sessionize_gap",
+    "vec_int8_quantized_topk",
+    "vec_ivf_topk",
+    "win_lag_rate_reset",
+    "win_sliding_range_1h",
+    # -- r12 recency tail: all 26 sweep-only members, lexicographic --
+    "agg_conditional_buckets",
+    "agg_distinct_counts",
+    "agg_rollup_region_nation",
+    "agg_stats_moments",
+    "filter_predicates",
+    "join_anti_inactive_customers",
+    "join_band_value_tiers",
+    "join_full_outer_keys",
+    "join_semi_active_customers",
+    "label_merge_right_biased",
+    "promql_absent_over_time",
+    "promql_label_ops",
+    "promql_present_over_time",
+    "promql_topk_users_hourly",
+    "scalar_array_funcs",
+    "scalar_json_extract",
+    "scalar_nan_inf_clean",
+    "set_union_intersect_except",
+    "stream_burn_rate_alert",  # rows-only by nature (streaming)
+    "stream_session_windows",  # rows-only by nature (streaming)
+    "stream_sliding_counts",  # rows-only by nature (streaming)
+    "subquery_correlated_max_per_cust",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_volume",
+    "vec_cosine_topk",
+    "win_running_cumulative",
+    # -- plus the 10 lexicographically-first HEADLINE-benched r12
+    #    members (the remaining 13 are deferred by name to r18 —
+    #    see comment above) --
+    "agg_pricing_summary",
+    "counter_hourly",
+    "dedup_cdc_chunk_pairs",
+    "dedup_shingle_minhash_pairs",
+    "gauge_latest_per_user",
+    "join_asof_last_error",
+    "multimodal_audio_frame_energy",
+    "multimodal_audio_wav_features",
+    "multimodal_image_png_features",
+    "multimodal_image_row_stats",
 )
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
