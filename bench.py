@@ -35,6 +35,24 @@ SENTINEL, not just loadavg — a pre-capture gate waits (bounded) while
 the warmed sentinel floor exceeds SENTINEL_GATE_RATIO, and a finished
 window that still exceeds it triggers a bounded min-merge recapture
 (CORE_32 first). See SENTINEL_GATE_RATIO for the r15 incident.
+
+Phase provenance (VERDICT r16 #1 + ADVICE r16): every timed pass and
+every sentinel tick is tagged with the capture PHASE that produced it
+(main / retry1 / retry2 / recapture / late). `contended` is no longer
+a global-spread verdict: a window is contended iff some shipped
+timing was NEVER successfully measured during a quiet stretch — a
+storm that rages early and passes before the end no longer brands an
+artifact whose every number was (re)captured quiet, and conversely a
+quiet-looking global floor cannot launder numbers whose only passes
+rode the storm. The artifact records `min_phase_counts` (which phase
+produced each shipped min), `phase_sentinels` (per-phase serial/par
+tick evidence + the quiet verdict), and `storm_tainted_entries` (the
+entries that keep storm-only provenance, empty on a clean artifact) —
+the per-phase floor bookkeeping ADVICE r16 asked for. A LATE
+RECAPTURE phase handles the r16 blind spot (par-storm still raging at
+the recapture decision point but gone by end-of-run): if the final
+par ticks read quiet and tainted entries remain, a bounded min-merge
+re-time (CORE_32 first, cheapest first) runs as phase "late".
 """
 
 from __future__ import annotations
@@ -535,6 +553,42 @@ def main() -> None:
     # (pre-window) are excluded.
     all_window_ticks: list[float] = []
 
+    # -- phase provenance (VERDICT r16 #1 / ADVICE r16) ----------------
+    # Every pass and every sentinel tick carries the phase it ran in,
+    # so "was this shipped number ever measured on a quiet stretch?"
+    # is answerable per entry instead of per window. current_phase is a
+    # one-element list so the nested helpers can reassign it.
+    current_phase = ["main"]
+    # (value, phase, exec-position) for every serial tick — killed
+    # ticks enter capped, as in sentinel_log (storm evidence)
+    serial_log: list[tuple[float, str, int]] = []
+    # (value, phase, exec-position) for every parallel tick, gate
+    # included (the gate's last tick anchors the start of main)
+    par_log: list[tuple[float, str, int]] = []
+    # (name, phase, exec-position) per successful timed pass
+    pass_log: list[tuple[str, str, int]] = []
+    # phase that produced each entry's CURRENT shipped min
+    min_phase: dict[str, str] = {}
+    # Quietness thresholds. The par sentinel is data-free, so its
+    # stormy bar is absolute: 2x the committed quiet-band ceiling (the
+    # epoch_slow threshold). The SERIAL sentinel scales with sf_dir
+    # (counter_hourly at sf1 is ~10x its sf0.1 self), so its bar is
+    # window-relative — 3x the window's own plausible floor, never
+    # below 3x the committed sf0.1 reference floor (quiet windows
+    # jitter to ~1.9x the floor, storms measured 3x-8x). A window so
+    # stormy that its own floor is inflated under-taints here; the
+    # sentinel_floor_ratio axis self-attributes that case.
+    PAR_STORMY_S = 2.0 * PAR_SENTINEL_QUIET_CEIL_S
+
+    def _ser_stormy_s() -> float:
+        plausible = [
+            v
+            for v, _, _ in serial_log
+            if v >= 0.7 * SENTINEL_R7_FLOOR_S
+        ]
+        floor = min(plausible) if plausible else SENTINEL_R7_FLOOR_S
+        return 3.0 * max(SENTINEL_R7_FLOOR_S, floor)
+
     def _sentinel_tick(
         into: list[float],
         pos: int = -1,
@@ -558,13 +612,19 @@ def main() -> None:
             into.append(took)
             if window:
                 all_window_ticks.append(took)
+                serial_log.append((took, current_phase[0], len(exec_order)))
             if pos >= 0:
                 sentinel_log.append((took, pos))
-        elif pos >= 0:
+        else:
             # a tick the storm KILLED is the strongest contention
             # signal of all — keep it for attribution (capped), even
             # though the headline series keeps its ok-only semantics
-            sentinel_log.append((ceiling, pos))
+            if pos >= 0:
+                sentinel_log.append((ceiling, pos))
+            if window:
+                serial_log.append(
+                    (ceiling, current_phase[0], len(exec_order))
+                )
 
     # PRE-CAPTURE SENTINEL GATE (VERDICT r15 #1a): the loadavg gate
     # above measures OTHER processes' demand, which r15 proved is not
@@ -664,18 +724,40 @@ def main() -> None:
     # attribution survives the breadth-first reordering of passes 2+
     exec_order: list[str] = []
 
+    # the gate's par ticks anchor the START of the main window for the
+    # per-pass par-quietness test (position 0 = before the first pass)
+    for _gate_par in sentinel_gate.get("par_ticks", []):
+        par_log.append((_gate_par, "gate", 0))
+
+    def _par_probe() -> float:
+        """One parallel tick, phase- and position-tagged for the
+        provenance ledger (and appended to par_series by callers that
+        feed the legacy global-evidence fields)."""
+        v = _par_tick()
+        par_log.append((v, current_phase[0], len(exec_order)))
+        return v
+
     # bounded overrun allowance, shared by pass 1 and the contention
     # retry (VERDICT r13 #3 / r14 #1): the budget itself sits well under
     # any external timeout, so coverage may spend into the allowance
     # before any entry is skipped
     RETRY_OVERRUN_S = 90.0
     retry_budget = budget_s + RETRY_OVERRUN_S
+    # additional bounded allowance for the LATE recapture phase (r16
+    # blind spot: par storm gone only by end-of-run). 420 + 90 + 60 =
+    # 570 s worst case from process start, still under the 600 s
+    # external timeout the verify recipe assumes, with ~30 s of margin
+    # for the build sentinel + artifact write.
+    LATE_RECAPTURE_S = 60.0
 
-    def _one_pass(name: str, ceiling: float) -> None:
+    def _one_pass(name: str, ceiling: float) -> bool:
         """One timed end-to-end pass of `name`, min-merged into
         timings. A later failure never erases an earlier number (the
         old depth-first loop dropped two good passes when pass 3 timed
-        out); an error is recorded only while the entry has no timing."""
+        out); an error is recorded only while the entry has no timing.
+        Returns True on a landed pass (the retry phases count those).
+        Every landed pass enters pass_log with its phase + position;
+        min_phase records which phase produced the CURRENT min."""
         # clear BEFORE each pass: queries that self-materialize with
         # .cache()/localCheckpoint must pay their full cost every pass
         spark.catalog.clearCache()
@@ -687,11 +769,15 @@ def main() -> None:
         if status != "ok":
             if name not in timings:
                 errors[name] = detail
-            return
+            return False
         took = time.perf_counter() - start
+        pass_log.append((name, current_phase[0], len(exec_order) - 1))
+        if took < timings.get(name, float("inf")):
+            min_phase[name] = current_phase[0]
         timings[name] = round(min(timings.get(name, float("inf")), took), 4)
         errors.pop(name, None)
         pass_counts[name] += 1
+        return True
 
     # PASS 1 — breadth-first coverage (VERDICT r14 #1): EVERY headline
     # entry gets one timed pass before ANY entry gets a second. r14's
@@ -704,6 +790,13 @@ def main() -> None:
     # says so explicitly. The per-pass ceiling keeps a single hung query
     # from consuming the run (round 5 shipped NO numbers for exactly
     # that failure class).
+    # start-of-main par anchor when the gate never ran its par tick (a
+    # serial-storm gate exit) — the per-pass par-quietness test needs a
+    # tick on BOTH sides of every pass position
+    par_series: list[float] = []
+    if not sentinel_gate.get("par_ticks"):
+        par_series.append(_par_probe())
+
     for name in names:
         # budget check BEFORE the sentinel tick: exec_order does not
         # grow on a skip, so a tick-first ordering would re-fire the
@@ -725,7 +818,7 @@ def main() -> None:
     # the window makes that storm class visible: it enters the
     # parallel series, so the spread criterion below brands the window
     # and the recapture can rescue it once the storm passes.
-    par_series = [_par_tick()]
+    par_series.append(_par_probe())
 
     # PASSES 2+ — min-merge extras, cheapest-first, only while inside
     # 80% of the base budget: cheap entries buy the most noise
@@ -770,6 +863,9 @@ def main() -> None:
         _one_pass(name, min(120.0, remaining))
 
     _sentinel_tick(sentinel_series, pos=len(exec_order))  # closing tick
+    # end-of-main par anchor: closes the par-tick interval around the
+    # tail of the main window for the per-pass quietness test
+    par_series.append(_par_probe())
 
     def _spread_of(series: list[float]) -> float | None:
         if series and min(series) > 0:
@@ -804,6 +900,8 @@ def main() -> None:
         and len(contention_retries) < 2
         and _retry_remaining() > 30
     ):
+        current_phase[0] = f"retry{len(contention_retries) + 1}"
+        par_series.append(_par_probe())  # phase-start par anchor
         retry_series: list[float] = []
         for _ in range(4):  # fresh series, cheap (~1-2 s total quiet)
             if _retry_remaining() < 30:
@@ -816,23 +914,15 @@ def main() -> None:
             remaining = _retry_remaining()
             if remaining < 30:
                 break
-            spark.catalog.clearCache()
-            start = time.perf_counter()
-            status, _ = _timed_save(
-                spark,
-                lambda n=name: queries[n](spark, sf_dir),
-                min(60.0, remaining),
-            )
-            if status == "ok":
-                timings[name] = round(
-                    min(timings[name], time.perf_counter() - start), 4
-                )
-                pass_counts[name] += 1  # retry passes count as passes
-                n_requeried += 1
+            if n_requeried % 10 == 9:
+                par_series.append(_par_probe())  # mid-phase par anchor
+            if _one_pass(name, min(60.0, remaining)):
+                n_requeried += 1  # retry passes count as passes
         if _retry_remaining() > 30:
             _sentinel_tick(
                 retry_series, ceiling=min(60.0, _retry_remaining())
             )
+        par_series.append(_par_probe())  # phase-end par anchor
         contention_retries.append(
             {
                 # the series that TRIGGERED this retry is preserved
@@ -877,7 +967,8 @@ def main() -> None:
     # 1.9x the quiet twin). Par-spread > 2.5 with a now-quiet tail
     # means re-timing pays; par still stormy means it will not (the
     # epoch flags brand the window instead).
-    par_series.append(_par_tick())
+    current_phase[0] = "end"
+    par_series.append(_par_probe())
     _par_spread = (
         round(max(par_series) / min(par_series), 2) if par_series else None
     )
@@ -896,6 +987,8 @@ def main() -> None:
         )
         and _retry_remaining() > 60
     ):
+        current_phase[0] = "recapture"
+        par_series.append(_par_probe())  # phase-start par anchor
         rc_series: list[float] = []
         rc_requeried = 0
         rc_order = sorted(
@@ -908,23 +1001,16 @@ def main() -> None:
                 break
             if i % 5 == 0:
                 _sentinel_tick(rc_series, ceiling=min(60.0, remaining))
-            spark.catalog.clearCache()
-            start = time.perf_counter()
-            status, _ = _timed_save(
-                spark,
-                lambda n=name: queries[n](spark, sf_dir),
-                min(60.0, _retry_remaining()),
-            )
-            if status == "ok":
-                timings[name] = round(
-                    min(timings[name], time.perf_counter() - start), 4
-                )
-                pass_counts[name] += 1
+            if i % 10 == 5:
+                par_series.append(_par_probe())  # mid-phase par anchor
+            if _one_pass(name, min(60.0, _retry_remaining())):
                 rc_requeried += 1
         if _retry_remaining() > 10:
             _sentinel_tick(
                 rc_series, ceiling=min(60.0, max(10.0, _retry_remaining()))
             )
+        par_series.append(_par_probe())  # phase-end par anchor
+        current_phase[0] = "end"
         slow_window_recapture = {
             "trigger_floor_ratio": _floor_ratio_now,
             "trigger_par_spread": _par_spread,
@@ -967,7 +1053,142 @@ def main() -> None:
     # pre-recapture, and end — min() is still the host-capability
     # floor; the SPREAD is the partial-storm detector
     for _ in range(2):
-        par_series.append(_par_tick())
+        par_series.append(_par_probe())
+
+    # ---- phase-provenance quietness verdicts (VERDICT r16 #1) -------
+    # A serial tick is stormy above _ser_stormy_s(), a par tick above
+    # PAR_STORMY_S (calibration provenance at the constants). Short
+    # phases (retries / recapture / late) get a PHASE-level verdict:
+    # quiet iff no stormy tick of either kind landed in the phase and
+    # at least one serial tick landed (a phase whose every tick was
+    # killed is storm evidence, not quiet). The long main window gets a
+    # PER-PASS verdict instead: a pass is quiet iff its nearest serial
+    # ticks on both sides are non-stormy AND its nearest par anchors on
+    # both sides (gate par ticks anchor position 0) are non-stormy —
+    # phase-level would let one early squall taint five minutes of
+    # quiet passes.
+    def _phase_quiet(phase: str) -> bool:
+        """Whole-phase verdict, reported in phase_sentinels (the
+        per-pass verdict below is what taints entries)."""
+        ser = [v for v, ph, _ in serial_log if ph == phase]
+        par = [v for v, ph, _ in par_log if ph == phase]
+        if not ser:
+            return False
+        return max(ser) <= _ser_stormy_s() and (
+            not par or max(par) <= PAR_STORMY_S
+        )
+
+    def _near_ok(
+        log: list[tuple[float, str, int]],
+        phases: tuple[str, ...],
+        pos: int,
+        stormy: float,
+    ) -> bool:
+        """True iff the nearest same-phase tick at-or-before `pos` and
+        the nearest one after are both non-stormy; a missing side
+        defers to the side that exists; no tick at all is storm
+        evidence, not quiet."""
+        before = [v for v, ph, p in log if ph in phases and p <= pos]
+        after = [v for v, ph, p in log if ph in phases and p > pos]
+        ok = True
+        if before:
+            ok = ok and before[-1] <= stormy
+        if after:
+            ok = ok and after[0] <= stormy
+        return ok and bool(before or after)
+
+    def _pass_quiet(phase: str, pos: int) -> bool:
+        # gate par ticks anchor the start of main (position 0); every
+        # other phase brackets itself with its own probes
+        par_phases = ("main", "gate") if phase == "main" else (phase,)
+        return _near_ok(
+            serial_log, (phase,), pos, _ser_stormy_s()
+        ) and _near_ok(par_log, par_phases, pos, PAR_STORMY_S)
+
+    def _tainted() -> list[str]:
+        quiet_timed = {
+            name
+            for name, phase, pos in pass_log
+            if _pass_quiet(phase, pos)
+        }
+        return sorted(n for n in timings if n not in quiet_timed)
+
+    storm_tainted = _tainted()
+
+    # ---- LATE RECAPTURE (the r16 blind spot) ------------------------
+    # The slow-window recapture decides on ONE par tick taken right
+    # after the retries; r16's storm was still raging at that instant
+    # and gone by the end-of-run series, so nothing re-timed and the
+    # artifact shipped storm-inflated. If tainted entries remain AND
+    # the end-of-run ticks read quiet, spend a bounded extra window
+    # (LATE_RECAPTURE_S past the retry allowance) re-timing them
+    # min-merge, CORE_32 first, cheapest first.
+    late_recapture = None
+    _end_par = [v for v, ph, _ in par_log if ph == "end"]
+    _end_quiet = bool(_end_par) and min(_end_par[-2:]) <= PAR_STORMY_S
+    if (
+        storm_tainted
+        and _end_quiet
+        and retry_budget + LATE_RECAPTURE_S - (time.perf_counter() - t_start)
+        > 45
+    ):
+        current_phase[0] = "late"
+        late_budget = retry_budget + LATE_RECAPTURE_S
+
+        def _late_remaining() -> float:
+            return late_budget - (time.perf_counter() - t_start)
+
+        par_series.append(_par_probe())  # phase-start par anchor
+        late_series: list[float] = []
+        late_requeried = 0
+        late_order = sorted(
+            (n for n in storm_tainted if n in timings),
+            key=lambda n: (n not in CORE_32, timings[n]),
+        )
+        for i, name in enumerate(late_order):
+            remaining = _late_remaining()
+            if remaining < 30:
+                break
+            if i % 5 == 0:
+                _sentinel_tick(late_series, ceiling=min(60.0, remaining))
+            if i % 10 == 5:
+                par_series.append(_par_probe())  # mid-phase par anchor
+            if _one_pass(name, min(60.0, _late_remaining())):
+                late_requeried += 1
+        if _late_remaining() > 10:
+            _sentinel_tick(
+                late_series,
+                ceiling=min(60.0, max(10.0, _late_remaining())),
+            )
+        par_series.append(_par_probe())  # phase-end par anchor
+        current_phase[0] = "end"
+        late_recapture = {
+            "trigger_tainted": len(storm_tainted),
+            "series": late_series,
+            "n_requeried": late_requeried,
+            "overrun_allowance_s": LATE_RECAPTURE_S,
+        }
+        if len(late_series) >= 3:
+            sentinel_series = late_series
+            spread = _spread_of(late_series)
+        storm_tainted = _tainted()
+
+    phase_names = ["main", "retry1", "retry2", "recapture", "late"]
+    phase_sentinels = {
+        ph: {
+            "serial": [v for v, p, _ in serial_log if p == ph],
+            "par": [v for v, p, _ in par_log if p == ph],
+            "quiet": _phase_quiet(ph),
+        }
+        for ph in phase_names
+        if any(p == ph for _, p, _ in serial_log)
+        or any(p == ph for _, p, _ in par_log)
+    }
+    min_phase_counts: dict[str, int] = {}
+    for n in timings:
+        ph = min_phase.get(n, "main")
+        min_phase_counts[ph] = min_phase_counts.get(ph, 0) + 1
+
     par_spread_final = (
         round(max(par_series) / min(par_series), 2) if par_series else None
     )
@@ -1021,15 +1242,22 @@ def main() -> None:
         # PAR_SENTINEL_QUIET_CEIL_S for the calibration provenance and
         # the env override for other hardware).
         "epoch_slow": min(par_series) > 2 * PAR_SENTINEL_QUIET_CEIL_S,
-        # r16: par-SPREAD joins the criterion — a partial full-width
-        # storm (mid-window tick slow, end ticks quiet) inflates the
-        # core-saturating entries while both the serial sentinel and
-        # min(par_series) read quiet (the r16 live-capture blind spot)
-        "contended": bool(
-            (spread and spread > 2.0)
-            or min(par_series) > 2 * PAR_SENTINEL_QUIET_CEIL_S
-            or (par_spread_final and par_spread_final > 2.5)
-        ),
+        # r17: contended is the PHASE-PROVENANCE verdict — true iff
+        # some shipped timing was never successfully measured during a
+        # quiet stretch (see module docstring). The global spread /
+        # epoch fields above and below remain as raw evidence; they no
+        # longer brand an artifact whose every number was (re)captured
+        # quiet, and a quiet-looking global floor cannot launder
+        # storm-only timings. An empty window is contended by
+        # definition.
+        "contended": bool(storm_tainted) or not timings,
+        # the entries that keep storm-only provenance (empty on a
+        # clean artifact) + which phase produced each shipped min +
+        # per-phase tick evidence — ADVICE r16's phase bookkeeping
+        "storm_tainted_entries": storm_tainted,
+        "min_phase_counts": min_phase_counts,
+        "phase_sentinels": phase_sentinels,
+        "late_recapture": late_recapture,
         "parallel_sentinel_spread": par_spread_final,
         "par_sentinel_quiet_ceil_s": PAR_SENTINEL_QUIET_CEIL_S,
         # in-run contention retries taken (VERDICT r13 #3): each entry
