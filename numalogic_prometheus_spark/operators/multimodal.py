@@ -121,6 +121,63 @@ def unified_decode_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_payload_values(payload: bytes):
+    """Decode one asset from its RAW BYTES, modality sniffed from the
+    container magic, returning (media_type, int64[n] decoded stream) —
+    the same stream `_unified_decode_values` produces for the
+    synthesized twin. This is the production kernel seam: a
+    `spark.read.format('binaryFile')` scan hands (path, content) and
+    this function never sees a doc_id."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload)) as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("unsupported WAV layout")
+            raw = w.readframes(w.getnframes())
+        return UNIFIED_MEDIA[0], np.frombuffer(raw, dtype="<i2").astype(
+            np.int64
+        )
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        _w, _h, _filters, pix = decode_png(payload)
+        return UNIFIED_MEDIA[1], pix.reshape(-1)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        _w, _h, _ncol, _inter, pal, idx = decode_gif(payload)
+        return UNIFIED_MEDIA[2], pal[idx].reshape(-1)
+    raise ValueError(f"unrecognized container magic {payload[:8]!r}")
+
+
+def unified_decode_features_from_files(files: DataFrame) -> DataFrame:
+    """`unified_decode_features` over a ``binaryFile`` scan (VERDICT
+    r16 #6 — the production posture SCALE.md argues): input columns
+    (path, content), doc_id parsed from the file stem, modality
+    sniffed from the container magic, features computed on the decoded
+    stream. Decode parallelism comes free from the scan's file splits
+    (one task per file below maxPartitionBytes); the plan stays
+    map-only exactly like the parquet-synthesized path."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                stem = _os.path.splitext(_os.path.basename(str(path)))[0]
+                mt, v = decode_payload_values(bytes(content))
+                out.append(
+                    {"doc_id": int(stem), "media_type": mt}
+                    | _stream_features(v)
+                )
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        _extract, schema=UNIFIED_FEATURE_SCHEMA
+    )
+
+
 VIDEO_SAMPLE_SCHEMA = (
     "doc_id long, media_type string, frame_idx long, n_values long,"
     " sum_vals long, sum_sq long, peak long, pos_checksum long"

@@ -137,11 +137,16 @@ def _bucket_sql(col: str, bits: int = 8, offset: int = 0) -> str:
     per node). A generated SQL string parses JVM-side in one round trip
     and whole-stage-codegens: interleaved A/B at sf0.1, min-of-5 —
     build 518→119 ms, build+exec 1002→599 ms for the tuned pipeline.
-    Keys are bit-identical: 2^i is exact in BIGINT at these widths."""
+    Keys are bit-identical: 2^i is exact in BIGINT at these widths.
+    try_element_at, not element_at (ADVICE r16): under Spark 4 ANSI
+    mode a plain element_at throws INVALID_ARRAY_INDEX past the end of
+    the array, so a malformed short vector would fail the whole query;
+    try_element_at yields NULL there, the > 0 test is false, and the
+    missing dims contribute 0 — the old slice+zip_with semantics."""
     return (
         "("
         + " + ".join(
-            f"IF(element_at({col}, {offset + i + 1}) > 0, "
+            f"IF(try_element_at({col}, {offset + i + 1}) > 0, "
             f"CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
             for i in range(bits)
         )

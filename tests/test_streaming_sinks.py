@@ -291,3 +291,26 @@ def test_available_now_trigger_drains_and_stops(spark, sf_dir):
     assert not q.isActive, "availableNow query must self-terminate"
     rows = {r["event_type"]: r["n"] for r in spark.table("avail_now").collect()}
     assert sum(rows.values()) > 0
+
+
+def test_memory_snapshot_row_ceiling(spark, sf_dir, monkeypatch):
+    """VERDICT r16 #8: the memory-sink snapshot is bounded — a
+    streaming entry whose result exceeds the ceiling fails loudly
+    instead of silently collecting an unbounded relation onto the
+    driver."""
+    import pytest
+
+    from numalogic_prometheus_spark.streaming import runner
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .count()
+    )
+    monkeypatch.setattr(runner, "_MEMORY_SINK_ROW_CEILING", 2)
+    with pytest.raises(ValueError, match="memory-sink snapshot exceeds"):
+        runner.run_stream_to_memory(agg, output_mode="complete")
+    # restored ceiling: same query snapshots fine
+    monkeypatch.setattr(runner, "_MEMORY_SINK_ROW_CEILING", 2_000_000)
+    out = runner.run_stream_to_memory(agg, output_mode="complete")
+    assert out.count() > 2
