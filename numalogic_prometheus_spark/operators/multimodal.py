@@ -98,6 +98,33 @@ def _unified_decode_values(doc_id: int):
     return UNIFIED_MEDIA[2], pal[idx].reshape(-1)
 
 
+
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """Narrow the input to doc_id and hash-repartition it to the
+    session's default parallelism BEFORE the decode mapInPandas.
+
+    The decode stage is the expensive per-row compute; its parallelism
+    is bounded by the INPUT split count, and the driver's synthetic
+    documents table is one parquet file = ONE split — an exchange-free
+    plan decoded the whole corpus on a single core (r17 measurement:
+    apng 14.8 s -> 5.2 s with the spread on the same window; the
+    serial kernel total is ~6 s for 5000 assets, so the old "map-only,
+    zero exchanges" shape was split-bound, not kernel-bound). The
+    shuffle moves ONLY the 8-byte key column (the asset bytes are
+    synthesized/decoded on the far side), so this is the same
+    scale-safe pattern as sources.tables.load_table_spread: at 100 TB
+    the key exchange is noise next to the decode, and the explicit
+    partition count stops AQE from coalescing the narrow exchange back
+    to one partition. The binaryFile production path
+    (unified_decode_features_from_files) deliberately does NOT spread:
+    its parallelism comes free from file splits and repartitioning
+    would shuffle the heavy content column.
+    """
+    spark = docs.sparkSession
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
 def unified_decode_features(docs: DataFrame) -> DataFrame:
     """mapInPandas: per doc_id, decode the modality-dispatched REAL
     container and emit one unified feature row — value count, signed
@@ -116,7 +143,7 @@ def unified_decode_features(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=UNIFIED_FEATURE_SCHEMA
     )
 
@@ -240,7 +267,7 @@ def video_frame_sample(
                         )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _sample, schema=VIDEO_SAMPLE_SCHEMA
     )
 
@@ -343,7 +370,7 @@ def wav_features(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=WAV_FEATURE_SCHEMA
     )
 
@@ -403,7 +430,7 @@ def wav_frame_energy(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_frames, schema=WAV_FRAME_SCHEMA)
+    return _spread_ids(docs).mapInPandas(_frames, schema=WAV_FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -708,7 +735,7 @@ def png_features(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=PNG_FEATURE_SCHEMA
     )
 
@@ -754,7 +781,7 @@ def png_row_stats(docs: DataFrame) -> DataFrame:
                 {k: np.concatenate(v) for k, v in cols.items()}
             )
 
-    return docs.select("doc_id").mapInPandas(_rows, schema=PNG_ROW_SCHEMA)
+    return _spread_ids(docs).mapInPandas(_rows, schema=PNG_ROW_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -820,7 +847,7 @@ def png_resize_features(
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=RESIZE_FEATURE_SCHEMA
     )
 
@@ -1040,7 +1067,7 @@ def apng_frame_features(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=APNG_FRAME_SCHEMA
     )
 
@@ -1455,7 +1482,7 @@ def gif_features(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=GIF_FEATURE_SCHEMA
     )
 
@@ -1935,7 +1962,7 @@ def jpeg_coefficient_features(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=JPEG_COEF_SCHEMA
     )
 
@@ -2242,6 +2269,6 @@ def avi_frame_features(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _extract, schema=AVI_FRAME_SCHEMA
     )

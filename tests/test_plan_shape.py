@@ -494,18 +494,25 @@ def test_semantic_contamination_probe_broadcasts_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin Inner BuildLeft" in plan
 
 
-def test_audio_decode_is_shuffle_free_map(spark, sf_dir):
-    """The WAV feature entries must stay PURE MAP plans: one narrow
-    (doc_id) scan feeding Arrow-batched mapInPandas, zero exchanges —
-    the embarrassingly-parallel decode posture their SCALE.md audit
-    claims. Any shuffle here means the decode stopped being a scan
-    pass."""
+def test_audio_decode_is_spread_map(spark, sf_dir):
+    """The WAV feature entries: one narrow (doc_id) scan, then EXACTLY
+    ONE exchange — the pre-decode hash-repartition of the 8-byte key
+    column (operators/multimodal.py:_spread_ids) — feeding the
+    Arrow-batched mapInPandas. r17 finding: the old zero-exchange
+    "pure map" shape was SPLIT-BOUND, not kernel-bound — the synthetic
+    documents table is one parquet split, so the whole corpus decoded
+    on one core; the narrow-key exchange buys full-width decode for
+    the cost of shuffling doc_ids. No OTHER exchange may appear (the
+    decode output must not reshuffle)."""
     for name in (
         "multimodal_audio_wav_features",
         "multimodal_audio_frame_energy",
     ):
         plan = _plan(spark, sf_dir, name)
-        assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"
+        assert plan.count("Exchange (") == 1, f"{name}: exchanges != 1"
+        assert "hashpartitioning(doc_id" in plan, (
+            f"{name}: pre-decode spread must hash the doc_id key"
+        )
         assert plan.count("Location: InMemoryFileIndex") == 1
         read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
         assert "text" not in read_schema, (
@@ -537,12 +544,11 @@ def test_compressed_candidate_stages_broadcast_queries(spark, sf_dir):
         assert "BroadcastHashJoin" in plan  # exact-stage vector joins
 
 
-def test_image_decode_is_shuffle_free_map(spark, sf_dir):
-    """The PNG feature entries (round 12) must stay PURE MAP plans like
-    their WAV siblings: one narrow (doc_id) scan feeding Arrow-batched
-    mapInPandas, zero exchanges — the embarrassingly-parallel decode
-    posture. Any shuffle here means the decode stopped being a scan
-    pass."""
+def test_image_decode_is_spread_map(spark, sf_dir):
+    """The image/video feature entries, same contract as the WAV
+    siblings (see test_audio_decode_is_spread_map): one narrow
+    (doc_id) scan, exactly ONE exchange (the pre-decode narrow-key
+    spread), Arrow-batched mapInPandas, and no post-decode shuffle."""
     for name in (
         "multimodal_image_png_features",
         "multimodal_image_row_stats",
@@ -555,7 +561,10 @@ def test_image_decode_is_shuffle_free_map(spark, sf_dir):
         "multimodal_image_resize_features",  # round 14: real NN resize
     ):
         plan = _plan(spark, sf_dir, name)
-        assert plan.count("Exchange (") == 0, f"{name}: shuffle crept in"
+        assert plan.count("Exchange (") == 1, f"{name}: exchanges != 1"
+        assert "hashpartitioning(doc_id" in plan, (
+            f"{name}: pre-decode spread must hash the doc_id key"
+        )
         assert plan.count("Location: InMemoryFileIndex") == 1
         read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
         assert "text" not in read_schema, (
