@@ -569,17 +569,21 @@ def main() -> None:
     pass_log: list[tuple[str, str, int]] = []
     # phase that produced each entry's CURRENT shipped min
     min_phase: dict[str, str] = {}
-    # Quietness thresholds. The par sentinel is data-free, so its
-    # stormy bar is absolute: 2x the committed quiet-band ceiling (the
-    # epoch_slow threshold). The SERIAL sentinel scales with sf_dir
-    # (counter_hourly at sf1 is ~10x its sf0.1 self), so its bar is
-    # window-relative — 3x the window's own plausible floor, never
-    # below 3x the committed sf0.1 reference floor (quiet windows
-    # jitter to ~1.9x the floor, storms measured 3x-8x). A window so
-    # stormy that its own floor is inflated under-taints here; the
-    # sentinel_floor_ratio axis self-attributes that case.
-    PAR_STORMY_S = 2.0 * PAR_SENTINEL_QUIET_CEIL_S
-
+    # Quietness thresholds — both WINDOW-RELATIVE, floored by the
+    # committed calibrations. The serial sentinel scales with sf_dir
+    # (counter_hourly at sf1 is ~10x its sf0.1 self): stormy above 3x
+    # the window's own plausible floor, never below 3x the committed
+    # sf0.1 reference (quiet windows jitter to ~1.9x, storms 3x-8x).
+    # The par sentinel is data-free but rides the JVM's TIERED-JIT warm
+    # state (r17 measurement: a fresh session's par ticks decay
+    # 0.63->0.30 over ~8 executions and only reach the committed
+    # 0.09-0.16 quiet band once the session has run real work), so an
+    # absolute bar false-brands structurally-cold early ticks: stormy
+    # above 2x the window's own par floor, never below 2x the
+    # committed quiet-band ceiling. A window whose EVERY par tick is
+    # slow under-taints on the relative bar — the absolute epoch_slow
+    # backstop (min par > 2x ceiling) then taints every entry instead
+    # (no quiet stretch existed).
     def _ser_stormy_s() -> float:
         plausible = [
             v
@@ -588,6 +592,11 @@ def main() -> None:
         ]
         floor = min(plausible) if plausible else SENTINEL_R7_FLOOR_S
         return 3.0 * max(SENTINEL_R7_FLOOR_S, floor)
+
+    def _par_stormy_s() -> float:
+        vals = [v for v, _, _ in par_log]
+        floor = min(vals) if vals else PAR_SENTINEL_QUIET_CEIL_S
+        return 2.0 * max(PAR_SENTINEL_QUIET_CEIL_S, floor)
 
     def _sentinel_tick(
         into: list[float],
@@ -681,7 +690,11 @@ def main() -> None:
         if ratio is not None:
             badness = ratio / SENTINEL_GATE_RATIO
             if badness <= 1.0:
-                par_tick = _par_tick()
+                # min-of-2: a single gate tick is structurally COLD
+                # (tiered JIT; r17 measured fresh-session par ticks
+                # decaying 0.63->0.30 over ~8 executions) and would
+                # false-flag a quiet host
+                par_tick = min(_par_tick(), _par_tick())
                 sentinel_gate.setdefault("par_ticks", []).append(par_tick)
                 badness = max(
                     badness, par_tick / (2 * PAR_SENTINEL_QUIET_CEIL_S)
@@ -724,16 +737,18 @@ def main() -> None:
     # attribution survives the breadth-first reordering of passes 2+
     exec_order: list[str] = []
 
-    # the gate's par ticks anchor the START of the main window for the
-    # per-pass par-quietness test (position 0 = before the first pass)
-    for _gate_par in sentinel_gate.get("par_ticks", []):
-        par_log.append((_gate_par, "gate", 0))
 
     def _par_probe() -> float:
-        """One parallel tick, phase- and position-tagged for the
-        provenance ledger (and appended to par_series by callers that
-        feed the legacy global-evidence fields)."""
-        v = _par_tick()
+        """One parallel CAPABILITY probe: the MIN of two consecutive
+        ticks, phase- and position-tagged for the provenance ledger
+        (and appended to par_series by callers that feed the legacy
+        global-evidence fields). Min-of-2 because the probe asks "could
+        the host go full-width at this moment" — a single tick's
+        scheduler hiccup or GC pause would taint a quiet neighborhood
+        and churn the late recapture, while a real storm slows BOTH
+        consecutive ticks (observed r14 storms: sustained 0.68-0.77 s
+        for minutes)."""
+        v = min(_par_tick(), _par_tick())
         par_log.append((v, current_phase[0], len(exec_order)))
         return v
 
@@ -790,12 +805,13 @@ def main() -> None:
     # says so explicitly. The per-pass ceiling keeps a single hung query
     # from consuming the run (round 5 shipped NO numbers for exactly
     # that failure class).
-    # start-of-main par anchor when the gate never ran its par tick (a
-    # serial-storm gate exit) — the per-pass par-quietness test needs a
-    # tick on BOTH sides of every pass position
+    # start-of-main par anchor (always — the gate's tick is NOT used
+    # as an anchor: it runs structurally cold and would taint the
+    # window's first half on a quiet host; it stays in sentinel_gate
+    # as gate evidence only). The per-pass par-quietness test needs a
+    # tick on both sides of every pass position.
     par_series: list[float] = []
-    if not sentinel_gate.get("par_ticks"):
-        par_series.append(_par_probe())
+    par_series.append(_par_probe())
 
     for name in names:
         # budget check BEFORE the sentinel tick: exec_order does not
@@ -808,6 +824,13 @@ def main() -> None:
             continue
         if len(exec_order) % 5 == 0:
             _sentinel_tick(sentinel_series, pos=len(exec_order))
+        if exec_order and len(exec_order) % 25 == 0:
+            # periodic par anchor (r17): with only 2-3 anchors across a
+            # ~300 s main window, one borderline tick tainted half the
+            # window's passes; ~0.25 s per probe buys per-block
+            # par attribution at the same granularity the serial
+            # sentinel already has
+            par_series.append(_par_probe())
         _one_pass(name, max(30.0, min(120.0, remaining)))
 
     # MID-WINDOW parallel probe (r16 live capture: a sustained
@@ -849,6 +872,8 @@ def main() -> None:
                 break
             if len(exec_order) % 5 == 0:
                 _sentinel_tick(sentinel_series, pos=len(exec_order))
+            if len(exec_order) % 25 == 0:
+                par_series.append(_par_probe())
             remaining = budget_s - (time.perf_counter() - t_start)
             _one_pass(name, max(30.0, min(120.0, remaining)))
 
@@ -1057,7 +1082,7 @@ def main() -> None:
 
     # ---- phase-provenance quietness verdicts (VERDICT r16 #1) -------
     # A serial tick is stormy above _ser_stormy_s(), a par tick above
-    # PAR_STORMY_S (calibration provenance at the constants). Short
+    # _par_stormy_s() (calibration provenance at the definitions). Short
     # phases (retries / recapture / late) get a PHASE-level verdict:
     # quiet iff no stormy tick of either kind landed in the phase and
     # at least one serial tick landed (a phase whose every tick was
@@ -1075,7 +1100,7 @@ def main() -> None:
         if not ser:
             return False
         return max(ser) <= _ser_stormy_s() and (
-            not par or max(par) <= PAR_STORMY_S
+            not par or max(par) <= _par_stormy_s()
         )
 
     def _near_ok(
@@ -1103,9 +1128,16 @@ def main() -> None:
         par_phases = ("main", "gate") if phase == "main" else (phase,)
         return _near_ok(
             serial_log, (phase,), pos, _ser_stormy_s()
-        ) and _near_ok(par_log, par_phases, pos, PAR_STORMY_S)
+        ) and _near_ok(par_log, par_phases, pos, _par_stormy_s())
 
     def _tainted() -> list[str]:
+        # absolute epoch backstop: if even the window's FASTEST par
+        # probe exceeds 2x the committed quiet ceiling, no quiet
+        # stretch existed and the relative bar has nothing to anchor
+        # on — every shipped number is storm-provenance
+        all_par = [v for v, _, _ in par_log]
+        if all_par and min(all_par) > 2.0 * PAR_SENTINEL_QUIET_CEIL_S:
+            return sorted(timings)
         quiet_timed = {
             name
             for name, phase, pos in pass_log
@@ -1125,7 +1157,7 @@ def main() -> None:
     # min-merge, CORE_32 first, cheapest first.
     late_recapture = None
     _end_par = [v for v, ph, _ in par_log if ph == "end"]
-    _end_quiet = bool(_end_par) and min(_end_par[-2:]) <= PAR_STORMY_S
+    _end_quiet = bool(_end_par) and min(_end_par[-2:]) <= _par_stormy_s()
     if (
         storm_tainted
         and _end_quiet
@@ -1139,6 +1171,15 @@ def main() -> None:
             return late_budget - (time.perf_counter() - t_start)
 
         par_series.append(_par_probe())  # phase-start par anchor
+        # one UNMEASURED settling pass: the first serial tick after the
+        # end-of-run heavy work reads GC/JIT-hot (observed 0.68 s vs
+        # 0.20-0.27 s for the rest of the late series) and would taint
+        # the first block of re-times on a quiet tail
+        _timed_save(
+            spark,
+            lambda: queries[sentinel_name](spark, sf_dir),
+            min(30.0, max(10.0, _late_remaining())),
+        )
         late_series: list[float] = []
         late_requeried = 0
         late_order = sorted(
