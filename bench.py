@@ -246,11 +246,17 @@ HEADLINE_EXCLUDED = {
     "mllib_minmax_scaler": _SWEEP_DOMINATED,
     # r16: the regenerated sf0.1 sweep ran on a contended window
     # (1074 s total vs r15's 695 s on identical oracle code) and
-    # pushed these 12 lines over 2 s. Spark-side re-measure this
+    # pushed these 12 lines over 2 s. Spark-side re-measure that
     # round: ten at 0.35-1.7 s min-of-3; the two that first read
     # over (profile_drift_halves 3.2, tpch_q9 4.3) re-measured
-    # 1.73 / 0.98 s against an interleaved sentinel at 0.32 s
-    # (2.3x the reference floor) — storm readings, not plan cost.
+    # 1.73 / 0.98 s against an interleaved sentinel at 2.3x floor.
+    # r17 (ADVICE r16): dedicated re-audit artifact committed —
+    # excluded_audit_r17.py -> EXCLUDED_AUDIT_r17.json, interleaved
+    # sentinel + min-of-3 each, window floor ratio stamped in. All 12
+    # measured 0.36-1.97 s even on a 2.57x-floor window (an UPPER
+    # bound — a quiet window only lowers them), so the exclusions
+    # stand a fortiori; should_promote came back empty. Re-run the
+    # script whenever these lines are questioned.
     "profile_drift_halves": _SWEEP_DOMINATED,
     "promql_comparison_bool": _SWEEP_DOMINATED,
     "promql_increase_total": _SWEEP_DOMINATED,
