@@ -595,3 +595,16 @@ def test_bigram_lm_vocab_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bigram_lm_score")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
+    """join_interval_overlap (r17 rewrite): the hourly-aligned grid
+    makes the theta predicate an exact membership in the session's
+    hour range, so the plan must be a map-side sequence-explode
+    (Generate) feeding a broadcast HASH equi-join — never the
+    |sessions|x|grid| nested loop (71M predicate evals at sf0.1,
+    ~860B at a year-scale grid)."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # the per-session hour explode
