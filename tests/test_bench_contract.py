@@ -165,3 +165,19 @@ def test_core32_is_frozen_and_registered():
     r4 = json.loads((_ROOT / "BENCH_r04.json").read_text())
     r4_set = set(r4["parsed"]["queries"])
     assert set(mod.CORE_32) == r4_set, "CORE_32 drifted from the r4 artifact"
+
+
+def test_quiet_reference_loader():
+    """The outlier re-pass reference must resolve to the NEWEST
+    committed quiet twin and carry per-entry floors."""
+    from bench import _load_quiet_reference
+
+    ref = _load_quiet_reference()
+    assert ref, "a BENCH_quiet_r*.json is committed in this repo"
+    import re
+
+    m = re.search(r"BENCH_quiet_r(\d+)", ref["_file"])
+    assert m and int(m.group(1)) >= 17
+    floors = {k: v for k, v in ref.items() if k != "_file"}
+    assert len(floors) >= 80
+    assert all(isinstance(v, float) and v > 0 for v in floors.values())
