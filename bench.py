@@ -955,7 +955,11 @@ def main() -> None:
                 n
                 for n in timings
                 if n in quiet_ref
-                and timings[n] > 2.5 * quiet_ref[n]
+                # 2.0x, not 2.5x: a live capture shipped a checkpoint-
+                # heavy entry at 2.49x its floor (+5.3 s into CORE_32)
+                # just under the first cut; the +0.5 s absolute guard
+                # keeps sub-second noise from churning re-passes
+                and timings[n] > 2.0 * quiet_ref[n]
                 and timings[n] - quiet_ref[n] > 0.5
             ),
             key=lambda n: quiet_ref[n] - timings[n],  # biggest delta first
@@ -1386,7 +1390,7 @@ def main() -> None:
         "min_phase_counts": min_phase_counts,
         "phase_sentinels": phase_sentinels,
         "late_recapture": late_recapture,
-        # entries re-passed because their timing sat >2.5x (and +0.5 s
+        # entries re-passed because their timing sat >2.0x (and +0.5 s
         # over) the newest committed quiet reference — entry-level
         # stall evidence the host sentinels cannot see; persisting
         # before==after pairs are either real regressions or a still-
