@@ -824,6 +824,14 @@ def main() -> None:
         # clear BEFORE each pass: queries that self-materialize with
         # .cache()/localCheckpoint must pay their full cost every pass
         spark.catalog.clearCache()
+        # periodic Python gc (r17): py4j wrappers for dead plans hold
+        # JVM references; collecting lets the ContextCleaner drop
+        # checkpoint blocks the trimmed status store has released
+        # (session.py retainedExecutions note). ~10 ms every 5 passes.
+        if len(exec_order) % 5 == 0:
+            import gc
+
+            gc.collect()
         start = time.perf_counter()
         status, detail = _timed_save(
             spark, lambda: queries[name](spark, sf_dir), ceiling

@@ -69,3 +69,37 @@ def test_scan_cache_invalidates_on_in_place_part_rewrite(spark, tmp_path):
     key2 = _mtime_key(tbl)
     assert os.stat(tbl).st_mtime_ns == dir_mtime_before
     assert key2 != key1, "entry-mtime change must invalidate the key"
+
+
+def test_checkpoint_blocks_bounded_across_passes(spark, sf_dir):
+    """r17 finding: the SQL status store's retained executions pin
+    localCheckpoint RDD blocks via their physical plans — at the
+    1000-execution default a long-lived session leaks 2 pinned RDDs
+    per checkpoint-bearing run. get_session bounds retention to 50;
+    this pins the bounded behavior: repeated runs of the
+    checkpoint-bearing shingle entry must not grow cached-RDD count
+    monotonically (the leaked variant grew +2 per pass, immortal)."""
+    import gc
+
+    from numalogic_prometheus_spark import plans
+
+    assert (
+        spark.conf.get("spark.sql.ui.retainedExecutions") == "50"
+    ), "session factory must bound execution retention"
+    q = plans.all_queries()["dedup_shingle_minhash_pairs"]
+
+    def run():
+        spark.catalog.clearCache()
+        q(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    counts = []
+    for _ in range(4):
+        run()
+        gc.collect()
+        counts.append(
+            len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        )
+    # leaked variant: counts strictly +2 per pass. Bounded: the last
+    # two passes stay within the retention window's small constant.
+    assert counts[-1] - counts[0] < 2 * (len(counts) - 1), counts
+    assert counts[-1] <= counts[0] + 4, counts
