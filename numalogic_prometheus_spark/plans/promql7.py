@@ -518,6 +518,17 @@ def _nh_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n, si_us, ds0, de). See promql_native_histogram_rate's docstring
     for the full semantics and scale analysis; the SQL twin is
     _NH_RATE_CTE's `per_bucket` relation."""
+    per_bucket, _scrapes = _nh_substrate(spark, sf_dir)
+    return per_bucket
+
+
+def _nh_substrate(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(per_bucket, scrapes) — the window-delta relation plus the
+    pinned scrape grid it was built from, so composed entries (the
+    fleet aggregate) can derive series-level facts without a second
+    pass over the substrate."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     bounds = F.array(*[F.lit(b) for b in _BOUNDS])
     idx = F.lit(_LO) + F.size(F.filter(bounds, lambda b: b < F.col("value")))
@@ -526,11 +537,25 @@ def _nh_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", "ts").alias("m"),
         idx.alias("idx"),
     )
+    from numalogic_prometheus_spark.operators.dedup import truncate_lineage
+
     bkt = obs.groupBy("event_type", "m", "idx").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    scrapes = obs.select("event_type", "m").distinct()
-    buckets = obs.select("event_type", "idx").distinct()
+    # Pin the bucketed relation ONCE (r17 optimization, guide §2.3
+    # "shuffle keys and metadata instead of payloads" + §2.4): every
+    # downstream branch — scrape grid, bucket set, dense build, epoch
+    # totals, boundary-count lookups, window stats — derives from bkt,
+    # and without the cut each branch re-scans the raw events (the
+    # before-plan carried FOUR full scans; deriving the branches from
+    # bkt lazily does not help because Catalyst collapses
+    # aggregate-over-aggregate back into scans). bkt is the scrape-grid
+    # relation (~96 k rows at sf0.1, grid-sized at 100 TB — the raw
+    # samples are aggregated away), so the materialization is tiny
+    # next to the scans it replaces.
+    bkt = truncate_lineage(bkt)
+    scrapes = bkt.select("event_type", "m").distinct()
+    buckets = bkt.select("event_type", "idx").distinct()
     dense = (
         scrapes.join(buckets, "event_type")
         .join(bkt, ["event_type", "m", "idx"], "left")
@@ -545,21 +570,78 @@ def _nh_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE exchange on (event_type, idx) serves both window passes: the
     # epoch-partitioned cumsum's ClusteredDistribution(e, idx, epoch) is
     # satisfied by the coarser hash (subset rule), so Spark only inserts
-    # the in-partition re-sort; the per-scrape reset flag is a third
-    # window on (event_type, m) — NOT a groupBy + self-join, which would
-    # re-execute the whole dense subtree on the second branch.
+    # the in-partition re-sort.
     w_epoch = W.partitionBy("event_type", "idx", "epoch").orderBy("m")
     w_series = W.partitionBy("event_type", "idx").orderBy("m")
-    drop = F.when(
-        F.col("prev_c").isNotNull() & (F.col("c") < F.col("prev_c")), F.lit(1)
-    ).otherwise(F.lit(0))
-    cum = (
+    cum2 = (
         dense.repartition("event_type", "idx")
         .select("event_type", "m", "idx", F.sum("cnt").over(w_epoch).alias("c"))
         .withColumn("prev_c", F.lag("c").over(w_series))
-        .withColumn("reset", F.max(drop).over(W.partitionBy("event_type", "m")))
     )
-    return _nh_deltas_from_cum(cum, scrapes)
+
+    # Per-scrape reset flag (r17 optimization, guide §2.3/§2.4). The
+    # old form was a third window over (event_type, m), which forced a
+    # SECOND full-width Exchange+Sort of the ~(scrapes × buckets) dense
+    # relation (before-plan node 34, ~0.4 s at sf0.1). The flag is
+    # derivable from SMALL relations instead, because within an epoch
+    # the cumulative count never decreases (cnt >= 0, c = prev_c + cnt),
+    # so `c < prev_c` can only fire at an epoch-boundary scrape, where
+    #   c      = cnt(series, m, idx)          (own count, 0 if absent)
+    #   prev_c = epoch_total(series, idx, e') (prev scrape's epoch e' —
+    #            the prev scrape is e''s LAST scrape, so its in-epoch
+    #            cum equals the epoch total; 0 if absent all epoch).
+    # Boundary scrapes come off the scrape grid with one lag window
+    # (~80 k rows), epoch totals off the bucketed relation — the dense
+    # relation is shuffled exactly once, and the broadcast build side
+    # never depends on the windowed subtree (no sequential barrier —
+    # the naive agg-over-cum variant measured SLOWER for exactly that
+    # reason). Oracle parity pinned at sf0.001/sf0.01 + the golden
+    # reset suites (tests/test_native_histogram_rate_golden.py).
+    epoch_of_m = F.expr(f"{epoch_us_sql('m')} DIV {_EPOCH_US}")
+    epoch_tot = bkt.groupBy(
+        "event_type", "idx", epoch_of_m.alias("tot_epoch")
+    ).agg(F.sum("cnt").alias("tot"))
+    scr_epochs = scrapes.select(
+        "event_type", "m", epoch_of_m.alias("epoch")
+    ).withColumn(
+        "prev_epoch",
+        F.lag("epoch").over(W.partitionBy("event_type").orderBy("m")),
+    )
+    boundary = scr_epochs.filter(
+        F.col("prev_epoch").isNotNull()
+        & (F.col("prev_epoch") != F.col("epoch"))
+    ).select("event_type", "m", "prev_epoch")
+    epoch_tot = epoch_tot.select(
+        F.col("event_type").alias("et_t"),
+        F.col("idx").alias("idx_t"),
+        "tot_epoch",
+        "tot",
+    )
+    flags = (
+        boundary.join(buckets, "event_type")
+        .join(bkt, ["event_type", "m", "idx"], "left")
+        .join(
+            epoch_tot,
+            (F.col("et_t") == F.col("event_type"))
+            & (F.col("idx_t") == F.col("idx"))
+            & (F.col("tot_epoch") == F.col("prev_epoch")),
+            "left",
+        )
+        .groupBy("event_type", "m")
+        .agg(
+            F.max(
+                F.when(
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    < F.coalesce(F.col("tot"), F.lit(0)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("reset")
+        )
+    )
+    cum = cum2.join(F.broadcast(flags), ["event_type", "m"], "left").withColumn(
+        "reset", F.coalesce("reset", F.lit(0))
+    )
+    return _nh_deltas_from_cum(cum, scrapes), scrapes
 
 
 def _nh_deltas_from_cum(
@@ -1041,11 +1123,21 @@ def promql_native_histogram_rate_quantile_agg(
     input, grid-sized output; the quantile's two window passes then
     run over ≤~25 rows per hour. The expensive dense substrate is
     shared with the whole rate family."""
-    per_bucket = _nh_window_deltas(spark, sf_dir)
+    per_bucket, scrapes = _nh_substrate(spark, sf_dir)
     # fleet size as a 1-row broadcast, NOT a driver-side .count() —
-    # the whole query stays one lazy Catalyst plan
-    n_series = per_bucket.agg(
-        F.countDistinct("event_type").cast("long").alias("n_series")
+    # the whole query stays one lazy Catalyst plan. r17 optimization
+    # (guide §2.3 "don't compute things you throw away"): the count
+    # used to aggregate over per_bucket itself, which duplicated the
+    # ENTIRE windowed substrate as a second plan branch (~1.3 s at
+    # sf0.1). distinct series of per_bucket == distinct series among
+    # hour windows with >= 2 scrapes (every win row joins >= 1 cum row
+    # — win derives from that series' own scrapes), so the count runs
+    # on the pinned scrape grid instead.
+    n_series = (
+        scrapes.groupBy("event_type", F.date_trunc("hour", "m").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.countDistinct("event_type").cast("long").alias("n_series"))
     )
     fleet = per_bucket.groupBy("hour", "idx").agg(
         F.sum("delta_n").cast("long").alias("delta_n")
