@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from numalogic_prometheus_spark.functions.hashing import hash32, hash32_seeded
 
 
-def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, reliable: bool | None = None, eager: bool = True
+) -> DataFrame:
     """Cut lineage between BSP rounds / reused compact subplans.
 
     ``localCheckpoint`` is the right local default (no DFS round-trip),
@@ -52,7 +54,10 @@ def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
             ).lower()
             == "true"
         )
-    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    # eager=False defers materialization to the CALLER's next action
+    # (e.g. the BSP loop's convergence count), folding the checkpoint
+    # job into it — pass it only when an action immediately follows.
+    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
 
 
 def tokens_col(text: Column) -> Column:
@@ -430,6 +435,11 @@ def connected_components(
             neighbor_min, labels.id == neighbor_min.a, "left"
         ).select(
             "id",
+            # the round's starting label rides along so convergence can
+            # be read off the checkpointed result with a filter instead
+            # of a labels⋈new_labels shuffle join (r17 optimization,
+            # guide §2.4 — two exchanges per round removed)
+            F.col("lbl").alias("old_lbl"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
             ).alias("lbl"),
@@ -446,21 +456,25 @@ def connected_components(
         hop = adopted.select(
             F.col("id").alias("pid"), F.col("lbl").alias("plbl")
         )
-        new_labels = truncate_lineage(
+        new_full = truncate_lineage(
             adopted.join(hop, adopted.lbl == hop.pid, "left").select(
-                "id", F.coalesce("plbl", "lbl").alias("lbl")
+                "id", F.coalesce("plbl", "lbl").alias("lbl"), "old_lbl"
             ),
             # truncate lineage per round: without this the plan doubles
             # every iteration and analysis/codegen time goes exponential
             reliable,
+            # lazy: the convergence count below is the materializing
+            # action, so each round runs ONE job instead of two (r17)
+            eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check reads the just-materialized checkpoint — a
+        # shuffle-free filter+count, replacing the old new⋈old equi-join
+        # (2 exchanges + hash join per round on the label relation). The
+        # carried old_lbl equals the old join's o.lbl for the same id by
+        # construction (adopted is a left join off `labels`, one row per
+        # label), so the count is identical.
+        changed = new_full.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = new_full.select("id", "lbl")
         if changed == 0:
             break
     if changed != 0:

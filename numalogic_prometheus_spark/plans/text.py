@@ -460,8 +460,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id_b"),
             F.col("simhash").alias("sim_b"),
         )
-        .distinct()  # sim_a/sim_b are functions of the ids: safe under distinct
+        # Hamming filter BEFORE the dedup exchange (r17, guide §2.3
+        # "project/filter before the exchange"): the predicate is
+        # row-deterministic, so filter∘distinct ≡ distinct∘filter, and
+        # only surviving near-dup pairs pay the shuffle instead of
+        # every (band, candidate) collision.
         .filter(hamming <= 6)
+        .distinct()  # sim_a/sim_b are functions of the ids: safe under distinct
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
     )
 
