@@ -63,6 +63,22 @@ from numalogic_prometheus_spark.sources.tables import load_table
 # independent of how dense a series gets
 _ANCHOR_BLOCK = 1024
 
+# r17 optimization (guide §4.1/§4.5): applyInPandas pays a fixed
+# per-GROUP cost (one Arrow batch + one pandas frame + one Python call
+# per group), and the natural (series, hour-bucket) grain produced
+# ~3.6 k groups of ~55 rows at sf0.1 — measured 2.9 s with a TRIVIAL
+# kernel vs 0.16 s for the substrate, i.e. ~95% pure grouping overhead,
+# the NumPy math itself is noise. Groups are therefore COARSENED
+# (_COARSE hour-buckets per Python group) and the kernel evaluates all
+# sub-buckets of a coarse group in one vectorized pass: sample times
+# get a per-sub-bucket stride offset (_STRIDE_US ≫ any in-bucket span,
+# so windows can never cross sub-buckets), which makes one global
+# searchsorted/window-matrix call bit-identical to the per-group form.
+# Parallelism stays series × buckets / _COARSE — thousands of groups at
+# any real scale; per-group memory is still bounded by _ANCHOR_BLOCK.
+_COARSE = 32
+_STRIDE_US = 1 << 44  # 1.76e13 µs ≫ 2×_LOOK_US + cross-bucket drift
+
 
 def _bucket_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Samples duplicated into (own bucket, next bucket) groups: the
@@ -80,7 +96,11 @@ def _bucket_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     own = base.withColumn("grp", F.col("bkt"))
     nxt = base.withColumn("grp", F.col("bkt") + 1)
-    return own.unionByName(nxt)
+    # cgrp: the coarsened Python-group key (_COARSE buckets per group);
+    # rows keep their exact `grp` for the in-kernel sub-bucket split
+    return own.unionByName(nxt).withColumn(
+        "cgrp", F.floor(F.col("grp") / _COARSE)
+    )
 
 
 def _window_matrix(us: np.ndarray, c: np.ndarray, t: np.ndarray):
@@ -104,19 +124,27 @@ def _window_matrix(us: np.ndarray, c: np.ndarray, t: np.ndarray):
 
 
 def _sorted_group(pdf: pd.DataFrame):
-    """Deterministic (a_us, event_id) sample order + anchor mask for
-    one (series, bucket) group; returns None when the group holds only
+    """Deterministic (grp, a_us, event_id) sample order + per-sub-bucket
+    stride-adjusted times + anchor mask for one COARSE group (many
+    (series, bucket) sub-groups — see _COARSE). The stride offset keeps
+    every sub-bucket in its own disjoint time band, so one global
+    searchsorted window pass equals the old per-group passes value-for-
+    value (in-band differences are untouched and t−_LOOK_US cannot
+    reach the previous band). Returns None when the group holds only
     next-bucket copies (no anchors of its own)."""
-    grp = pdf["grp"].iloc[0]
-    order = np.lexsort(
-        (pdf["event_id"].to_numpy(), pdf["a_us"].to_numpy())
-    )
-    us = pdf["a_us"].to_numpy()[order]
+    grp_arr = pdf["grp"].to_numpy()
+    us_raw = pdf["a_us"].to_numpy()
+    eid_raw = pdf["event_id"].to_numpy()
+    order = np.lexsort((eid_raw, us_raw, grp_arr))
+    grp_s = grp_arr[order]
+    # dense rank of the sub-bucket within this coarse group → stride
+    _, inv = np.unique(grp_s, return_inverse=True)
+    us = us_raw[order] + inv * _STRIDE_US
     c = pdf["c"].to_numpy()[order].astype(np.int64)
-    anchor = pdf["bkt"].to_numpy()[order] == grp
+    anchor = pdf["bkt"].to_numpy()[order] == grp_s
     if not anchor.any():
         return None
-    eid = pdf["event_id"].to_numpy()[order][anchor]
+    eid = eid_raw[order][anchor]
     return us, c, us[anchor], eid
 
 
@@ -178,7 +206,7 @@ def promql_quantile_sliding_dense(
         )
 
     out = _bucket_pair_groups(spark, sf_dir).groupBy(
-        "event_type", "grp"
+        "event_type", "cgrp"
     ).applyInPandas(eval_group, schema)
     return out.select(
         "event_type",
@@ -229,7 +257,7 @@ def promql_mad_sliding_dense(
         )
 
     out = _bucket_pair_groups(spark, sf_dir).groupBy(
-        "event_type", "grp"
+        "event_type", "cgrp"
     ).applyInPandas(eval_group, schema)
     return out.select(
         "event_type",

@@ -297,6 +297,16 @@ def dedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.mapInPandas(chunker, "doc_id long, chunk_hash string").dropDuplicates(
         ["doc_id", "chunk_hash"]
     )
+    # Pin the chunk relation (r17, guide §2.3/§5): three downstream
+    # branches (n_chunks, canon, shared) each embed the chunker
+    # subtree, and exchange reuse did NOT collapse them at runtime —
+    # the Python rolling-hash kernel ran three times. The pinned
+    # relation is narrow (doc_id + 16-char hash, far smaller than the
+    # text it derives from); interleaved A/B at sf0.1: ~2.5 s → ~1.5 s
+    # steady.
+    from numalogic_prometheus_spark.operators.dedup import truncate_lineage
+
+    chunks = truncate_lineage(chunks)
     n_chunks = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     # canonical pairing: every doc sharing a chunk pairs with the chunk's
     # minimum doc_id — linear output even for huge duplicate clusters
