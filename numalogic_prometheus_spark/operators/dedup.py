@@ -348,35 +348,36 @@ def simhash_signature(items: Column, bits: int = 32) -> Column:
 
     votes = Σ_item (bit_j(h) ? +1 : -1);  signature bit_j = votes_j > 0.
     """
-    # F.shiftright/shiftleft take Python-int bit counts, so inside lambdas
-    # the bit extraction is done with exact power-of-two arithmetic
-    # (h < 2^32 ≪ 2^53, so the double division is exact).
-    def bit_of(h: Column, j: Column) -> Column:
-        return F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2
-
     # The md5 hash is hoisted out of the per-bit loop: one hash32 per
-    # item, then `bits` arithmetic bit-extractions of that integer.
-    # Leaving hash32(t) inside the inner lambda costs `bits`× more md5
-    # calls — Catalyst does not CSE across nested lambda scopes.
+    # item, then `bits` bit-tests of that integer. Leaving hash32(t)
+    # inside the inner lambda costs `bits`× more md5 calls — Catalyst
+    # does not CSE across nested lambda scopes.
+    #
+    # r17 optimization (guide §1.2 per-task work): the bit test is a
+    # single bitwiseAND against a PLAN-TIME literal mask array — the
+    # old form evaluated floor(h / pow(2.0, j)) % 2 per (item, bit),
+    # ~3 interpreted double ops + a Math.pow each (~3200 per 100-token
+    # doc); higher-order lambdas are interpreted, so the constant is
+    # paid raw. The ±1 vote is also fused straight into the
+    # accumulator (no per-item ±1 array allocation). Bit-identical:
+    # (h & 2^j) != 0 ⟺ floor(h / 2^j) % 2 = 1 for 0 ≤ h < 2^32.
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     hashes = F.transform(F.array_distinct(items), lambda t: hash32(t))
     bit_votes = F.aggregate(
-        F.transform(
-            hashes,
-            lambda h: F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: bit_of(h, j) * 2 - 1,
-            ),
-        ),
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda p, m: p
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
     return F.aggregate(
         F.zip_with(
             bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
