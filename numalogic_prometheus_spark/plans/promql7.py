@@ -556,47 +556,28 @@ def _nh_substrate(
     bkt = truncate_lineage(bkt)
     scrapes = bkt.select("event_type", "m").distinct()
     buckets = bkt.select("event_type", "idx").distinct()
-    dense = (
-        scrapes.join(buckets, "event_type")
-        .join(bkt, ["event_type", "m", "idx"], "left")
-        .select(
-            "event_type",
-            "m",
-            "idx",
-            F.expr(f"{epoch_us_sql('m')} DIV {_EPOCH_US}").alias("epoch"),
-            F.coalesce("cnt", F.lit(0)).alias("cnt"),
-        )
-    )
-    # ONE exchange on (event_type, idx) serves both window passes: the
-    # epoch-partitioned cumsum's ClusteredDistribution(e, idx, epoch) is
-    # satisfied by the coarser hash (subset rule), so Spark only inserts
-    # the in-partition re-sort.
-    w_epoch = W.partitionBy("event_type", "idx", "epoch").orderBy("m")
-    w_series = W.partitionBy("event_type", "idx").orderBy("m")
-    cum2 = (
-        dense.repartition("event_type", "idx")
-        .select("event_type", "m", "idx", F.sum("cnt").over(w_epoch).alias("c"))
-        .withColumn("prev_c", F.lag("c").over(w_series))
-    )
 
-    # Per-scrape reset flag (r17 optimization, guide §2.3/§2.4). The
-    # old form was a third window over (event_type, m), which forced a
-    # SECOND full-width Exchange+Sort of the ~(scrapes × buckets) dense
-    # relation (before-plan node 34, ~0.4 s at sf0.1). The flag is
-    # derivable from SMALL relations instead, because within an epoch
-    # the cumulative count never decreases (cnt >= 0, c = prev_c + cnt),
-    # so `c < prev_c` can only fire at an epoch-boundary scrape, where
-    #   c      = cnt(series, m, idx)          (own count, 0 if absent)
-    #   prev_c = epoch_total(series, idx, e') (prev scrape's epoch e' —
-    #            the prev scrape is e''s LAST scrape, so its in-epoch
-    #            cum equals the epoch total; 0 if absent all epoch).
-    # Boundary scrapes come off the scrape grid with one lag window
-    # (~80 k rows), epoch totals off the bucketed relation — the dense
-    # relation is shuffled exactly once, and the broadcast build side
-    # never depends on the windowed subtree (no sequential barrier —
-    # the naive agg-over-cum variant measured SLOWER for exactly that
-    # reason). Oracle parity pinned at sf0.001/sf0.01 + the golden
-    # reset suites (tests/test_native_histogram_rate_golden.py).
+    # r17 rewrite #2 (guide §1.1 first-principles + §2.3): the dense
+    # (scrape × bucket) cumulative formulation — 1.3 M rows, one
+    # full-width exchange, two window sorts — is GONE from the batch
+    # path, because the reset-corrected delta TELESCOPES. Summing the
+    # per-step increments over the hour's consecutive scrapes:
+    #   same-epoch step i:       c(i) − c(i−1)            = cnt(i)
+    #   boundary step, flagged:  c(i) − c(i−1) + prev_c(i) = cnt(i)
+    #     (i−1 is the prev epoch's LAST scrape, so c(i−1) = that
+    #      epoch's total = prev_c(i), and DetectReset adds it back)
+    #   boundary step, unflagged: c(i) − c(i−1) = cnt(i) − tot(e'(i))
+    # hence, per (series, hour window, bucket):
+    #   delta_n = Σ_{scrapes m ∈ hour, m > first_m} cnt(m)
+    #           − Σ_{unflagged boundary m ∈ hour, m > first_m} tot(e'(m))
+    # — every term an aggregate of the pinned grid-sized bkt relation.
+    # A reset can only fire at an epoch-boundary scrape (cnt ≥ 0 keeps
+    # the within-epoch cum monotone), so the series-level flag is
+    # computable at the boundary from (own count, prev-epoch total) —
+    # the same small relations. Equivalence is pinned by the shared
+    # DuckDB oracle (which still evaluates the windowed form), the
+    # golden reset fixtures, and the streaming twin (which keeps
+    # _nh_deltas_from_cum on the stateful cum relation, unchanged).
     epoch_of_m = F.expr(f"{epoch_us_sql('m')} DIV {_EPOCH_US}")
     epoch_tot = bkt.groupBy(
         "event_type", "idx", epoch_of_m.alias("tot_epoch")
@@ -617,7 +598,10 @@ def _nh_substrate(
         "tot_epoch",
         "tot",
     )
-    flags = (
+    # per-(boundary, idx) comparison rows: own count vs prev-epoch
+    # total — feed BOTH the series-level flag (max over idx) and the
+    # unflagged-boundary correction term
+    bcmp = (
         boundary.join(buckets, "event_type")
         .join(bkt, ["event_type", "m", "idx"], "left")
         .join(
@@ -627,21 +611,83 @@ def _nh_substrate(
             & (F.col("tot_epoch") == F.col("prev_epoch")),
             "left",
         )
-        .groupBy("event_type", "m")
-        .agg(
-            F.max(
-                F.when(
-                    F.coalesce(F.col("cnt"), F.lit(0))
-                    < F.coalesce(F.col("tot"), F.lit(0)),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).alias("reset")
+        .select(
+            "event_type",
+            "m",
+            "idx",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("bcnt"),
+            F.coalesce(F.col("tot"), F.lit(0)).alias("btot"),
         )
     )
-    cum = cum2.join(F.broadcast(flags), ["event_type", "m"], "left").withColumn(
-        "reset", F.coalesce("reset", F.lit(0))
+    flags = bcmp.groupBy("event_type", "m").agg(
+        F.max(
+            F.when(F.col("bcnt") < F.col("btot"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("reset")
     )
-    return _nh_deltas_from_cum(cum, scrapes), scrapes
+
+    win = (
+        scrapes.groupBy("event_type", F.date_trunc("hour", "m").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("m").alias("first_m"),
+            F.max("m").alias("last_m"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    hour_sums = bkt.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("hour"), "idx"
+    ).agg(F.sum("cnt").alias("hsum"))
+    # count at the window's first scrape (subtracted: steps start at
+    # the scrape AFTER first_m)
+    first_cnt = (
+        bkt.join(
+            F.broadcast(
+                win.select(
+                    "event_type", "hour", F.col("first_m").alias("m")
+                )
+            ),
+            ["event_type", "m"],
+        )
+        .select("event_type", "hour", "idx", F.col("cnt").alias("fcnt"))
+    )
+    # unflagged epoch-boundary corrections, per (series, hour, bucket):
+    # boundaries strictly after first_m whose series-level flag is 0
+    corr = (
+        bcmp.join(F.broadcast(flags.filter(F.col("reset") == 0)), ["event_type", "m"])
+        .withColumn("hour", F.date_trunc("hour", "m"))
+        .join(
+            F.broadcast(win.select("event_type", "hour", "first_m")),
+            ["event_type", "hour"],
+        )
+        .filter(F.col("m") != F.col("first_m"))
+        .groupBy("event_type", "hour", "idx")
+        .agg(F.sum("btot").alias("ctot"))
+    )
+    grid = win.join(buckets, "event_type")
+    per_bucket = (
+        grid.join(hour_sums, ["event_type", "hour", "idx"], "left")
+        .join(first_cnt, ["event_type", "hour", "idx"], "left")
+        .join(corr, ["event_type", "hour", "idx"], "left")
+        .select(
+            "event_type",
+            "hour",
+            "idx",
+            "n",
+            (epoch_us("last_m") - epoch_us("first_m")).alias("si_us"),
+            (epoch_us("first_m") - epoch_us("hour"))
+            .cast("double")
+            .alias("ds0"),
+            (epoch_us("hour") + F.lit(3_600_000_000) - epoch_us("last_m"))
+            .cast("double")
+            .alias("de"),
+            (
+                F.coalesce(F.col("hsum"), F.lit(0))
+                - F.coalesce(F.col("fcnt"), F.lit(0))
+                - F.coalesce(F.col("ctot"), F.lit(0))
+            ).alias("delta_n"),
+        )
+    )
+    return per_bucket, scrapes
 
 
 def _nh_deltas_from_cum(
@@ -690,7 +736,14 @@ def _nh_deltas_from_cum(
             + F.sum(
                 F.when(
                     (F.col("m") > F.col("first_m")) & (F.col("reset") == 1),
-                    F.col("prev_c"),
+                    # prev_c is NULL on a bucket's FIRST streamed
+                    # emission; when that coincides with a series-level
+                    # reset flag the correction mass is 0 (no previous
+                    # cumulative to add back) — without the coalesce the
+                    # NULL poisons the group sum and delta_n for the new
+                    # bucket silently drops (hypothesis split-invariance
+                    # find, r17). Batch-dense input never has NULL here.
+                    F.coalesce(F.col("prev_c"), F.lit(0)),
                 ).otherwise(F.lit(0))
             )
         ).alias("delta_n")

@@ -361,6 +361,14 @@ def test_registry_wide_join_lint(spark, sf_dir):
         # left-anti survivor filter on an outer join: isnull(probe id)
         # OR canonical==self — two-sided by construction
         "dedup_semantic_survivors",
+        # telescoped NH substrate: delta_n = hsum − fcnt − ctot spans
+        # THREE left-join sides (hour sums, first-scrape counts,
+        # boundary corrections), so the semantic delta_n<>0 / >0
+        # filters (oracle WHERE clauses) cannot be pushed below any
+        # single join — three-sided by construction; all relations
+        # involved are grid-sized
+        "promql_native_histogram_rate",
+        "promql_native_histogram_rate_quantile",
     }
     late_filters = {}
     unbounded_cross = {}

@@ -259,3 +259,34 @@ def test_kill_restart_determinism(spark, tmp_path):
     )
     want = _rows(QUERIES["promql_native_histogram_rate"](spark, data))
     assert got == want
+
+
+def test_new_bucket_at_reset_boundary_split(spark, tmp_path):
+    """r17 regression (hypothesis split-invariance find): a bucket whose
+    FIRST-ever emission lands on an epoch-boundary scrape where ANOTHER
+    bucket's drop sets the series-level reset flag, with a micro-batch
+    split right before that scrape. The new bucket's row carries
+    prev_c = NULL + reset = 1; the rollup's reset-correction sum must
+    treat the missing previous cumulative as 0 mass, not let the NULL
+    poison the group sum and silently drop the bucket's delta."""
+    from datetime import datetime
+
+    def ev(h, m, eid, v):
+        return ("svc", datetime(2024, 1, 1, h, m), eid, v)
+
+    # scrapes 05:00 (idx-a only), 07:08 (idx-a), then 07:30 — exactly
+    # on the 90-min epoch grid — where idx-b (value 3.0) first appears
+    # and idx-a's cumulative drops to 0 (reset). Chunk split isolates
+    # 07:30 in its own micro-batch, so idx-b enters state there.
+    chunks = [
+        [ev(5, 0, 1, 1.5), ev(5, 0, 2, 1.5), ev(7, 8, 3, 1.5)],
+        [ev(7, 30, 4, 3.0)],
+    ]
+    data = str(tmp_path)
+    _write_chunks(spark, data, chunks)
+    stream = QUERIES["stream_native_histogram_rate"](spark, data)
+    batch = QUERIES["promql_native_histogram_rate"](spark, data)
+    s, b = _rows(stream), _rows(batch)
+    # the new bucket's hour-07 delta of 1 must survive on BOTH sides
+    assert len(s) == 1 and s[0][4] == 1
+    assert s == b
