@@ -1,0 +1,153 @@
+"""Interleaved A/B of connected_components round-count reductions
+(VERDICT r17 "Next round" #1): per-round cost is stage latency, so cut
+ROUNDS. Variants, all over the sf0.1 simhash edge relation (the
+dedup_cluster_components graph):
+
+  V0 base      — r17 shape: identity seed, adopt + 1 pointer hop/round
+  V1 seed      — labels seeded with min(id, 1-hop neighbor min); the
+                 seed rides the SAME groupBy(a) exchange the identity
+                 seed's distinct() paid, so round 1's adoption work is
+                 prepaid for free
+  V2 seed+2hop — V1 plus a second pointer hop per round
+  V3 seed+2rpj — V1 plus TWO adopt+hop rounds per convergence count
+                 (labels are monotone non-increasing, so changed==0
+                 across a pair ⟺ converged)
+  V4 seed+part — V1 plus the edge checkpoint pre-partitioned by b
+                 (localCheckpoint preserves outputPartitioning, so the
+                 per-round neighbor join skips the sym exchange)
+
+Every variant's (id, component) output is asserted IDENTICAL to V0's
+before any timing ships. Interleaved min-of-3, warm session.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from numalogic_prometheus_spark.operators.dedup import truncate_lineage
+from numalogic_prometheus_spark.plans.text import dedup_simhash_pairs
+from numalogic_prometheus_spark.session import get_session
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_session(app_name="probe_cc_r18")
+
+
+def _edges() -> DataFrame:
+    return dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
+
+
+def _sym(edges: DataFrame, part_b: bool = False) -> DataFrame:
+    s = (
+        edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    if part_b:
+        s = s.repartition("b")
+    return truncate_lineage(s)
+
+
+def _labels_identity(sym: DataFrame) -> DataFrame:
+    return truncate_lineage(
+        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+
+
+def _labels_seeded(sym: DataFrame) -> DataFrame:
+    return truncate_lineage(
+        sym.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
+        .select(F.col("a").alias("id"), "lbl")
+    )
+
+
+def _adopt_hop(sym: DataFrame, labels: DataFrame, hops: int) -> DataFrame:
+    neighbor_min = (
+        sym.join(labels, sym.b == labels.id)
+        .groupBy("a")
+        .agg(F.min("lbl").alias("nlbl"))
+    )
+    cur = labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
+        "id",
+        F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+    )
+    for _ in range(hops):
+        hop = cur.select(F.col("id").alias("pid"), F.col("lbl").alias("plbl"))
+        cur = cur.join(hop, cur.lbl == hop.pid, "left").select(
+            "id", F.coalesce("plbl", "lbl").alias("lbl")
+        )
+    return cur
+
+
+def run(variant: str) -> tuple[DataFrame, int]:
+    part_b = variant == "V4"
+    sym = _sym(_edges(), part_b=part_b)
+    if variant == "V0":
+        labels = _labels_identity(sym)
+    else:
+        labels = _labels_seeded(sym)
+    hops = 2 if variant == "V2" else 1
+    rpj = 2 if variant == "V3" else 1
+    jobs = 0
+    for _ in range(20):
+        start = labels
+        cur = labels
+        for _ in range(rpj):
+            cur = _adopt_hop(sym, cur, hops)
+        new_full = truncate_lineage(
+            cur.join(
+                start.select(F.col("id").alias("sid"), F.col("lbl").alias("old_lbl")),
+                cur.id == F.col("sid"),
+            ).select("id", "lbl", "old_lbl"),
+            eager=False,
+        )
+        # (join-based convergence here for probe simplicity; the shipped
+        # code carries old_lbl through — variant deltas unaffected)
+        changed = new_full.filter(F.col("lbl") != F.col("old_lbl")).count()
+        jobs += 1
+        labels = new_full.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component")), jobs
+
+
+def fingerprint(df: DataFrame) -> tuple:
+    r = df.agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("component"),
+        F.sum(F.col("id") * F.col("component") % 1000003),
+    ).collect()[0]
+    return tuple(r)
+
+
+VARIANTS = ["V0", "V1", "V2", "V3", "V4"]
+
+# correctness gate first
+fp0 = None
+for v in VARIANTS:
+    df, jobs = run(v)
+    fp = fingerprint(df)
+    if fp0 is None:
+        fp0 = fp
+    assert fp == fp0, f"{v} diverged: {fp} != {fp0}"
+    print(f"{v}: identical components, convergence jobs={jobs}", flush=True)
+
+results = {v: [] for v in VARIANTS}
+for rep in range(3):
+    for v in VARIANTS:
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        df, jobs = run(v)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        results[v].append(round(dt, 3))
+        print(f"rep{rep} {v}: {dt:.3f}s jobs={jobs}", flush=True)
+
+print("---")
+for v in VARIANTS:
+    print(f"{v}: min={min(results[v]):.3f} series={results[v]}")
