@@ -292,6 +292,100 @@ def shingle_hash_col(token_hashes: Column, w: int = 3) -> Column:
     return F.transform(idx, _win)
 
 
+def shingle_features_arrow(df: DataFrame, k: int = 4, w: int = 3) -> DataFrame:
+    """(doc_id, hset, sig) from a (doc_id, text) relation in ONE
+    mapInArrow pass — the vectorized twin of
+    ``array_distinct(shingle_hash_col(transform(tokens, hash32)))`` +
+    ``minhash_int_signature`` (r18, guide §4.2).
+
+    The JVM expression route evaluates the per-token md5 inside an
+    interpreted higher-order-function lambda (md5 → hex → substring →
+    conv per element, no codegen inside ``transform``), which measured
+    2.3 s of the 3.65 s shingle entry at sf0.1. Here each task hands
+    whole Arrow batches to C code: hashlib.md5 per token (bit-identical
+    to the first 8 md5 hex chars: ``digest()[:4]`` big-endian), numpy
+    window mixing for the Rabin-Karp shingles, ``pd.unique`` for the
+    first-occurrence distinct (== array_distinct), and the k affine
+    MinHash maps over the distinct set. Bit-exactness vs the JVM
+    expressions is pinned on the full sf0.1 corpus by
+    probe_shingle_r18.py and per-commit by
+    tests/test_shingle_arrow_kernel.py; the DuckDB oracle twin
+    (_SHINGLE_HASH_SQL) is unchanged.
+
+    Only w=3 window mixing is implemented (the shipped shingle width).
+    NULL text mirrors the JVM path exactly: split(NULL) is a NULL token
+    array, element_at(NULL, i) is NULL, coalesce turns every position
+    into 0, so the single fallback window hashes to 0 → hset=[0].
+    Docs with fewer than w tokens zero-pad the missing positions (the
+    coalesce-0 semantics the JVM route documents; under ANSI the JVM
+    expression instead raises on them, and the corpus guarantees ≥10
+    tokens per doc — tests/test_shingle_arrow_kernel.py pins both the
+    corpus parity and these edge semantics).
+    """
+    if w != 3:
+        raise ValueError("shingle_features_arrow implements w=3 only")
+    c0, c1, c2 = SHINGLE_C
+    mod = SHINGLE_MOD
+    seeds = MINHASH_INT_SEEDS[:k]
+
+    def _kernel(batch_iter):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batch_iter:
+            doc_ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            hsets: list = []
+            sigs: list = []
+            for t in texts:
+                # None -> no tokens: the zero-pad below yields the JVM
+                # path's single all-NULL->0 window, hset=[0]
+                toks = t.split(" ") if t is not None else []
+                n = len(toks)
+                n_win = max(n - 2, 1)
+                # token hashes, zero-padded so windows past the end read
+                # 0 (the JVM path's coalesce(element_at(...), 0))
+                th = np.zeros(n_win + 2, dtype=np.int64)
+                m = min(n, n_win + 2)
+                th[:m] = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(tok.encode("utf-8")).digest()[:4], "big"
+                        )
+                        for tok in toks[:m]
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+                sh = (
+                    th[:n_win] * c0
+                    + th[1 : n_win + 1] * c1
+                    + th[2 : n_win + 2] * c2
+                ) % mod
+                hset = pd.unique(sh)
+                hsets.append(hset.tolist())
+                hu = hset.astype(np.uint64)
+                sigs.append(
+                    [int(((hu * P + Q) % mod).min()) for P, Q in seeds]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(hsets, type=pa.list_(pa.int64())),
+                    pa.array(sigs, type=pa.list_(pa.int64())),
+                ],
+                names=["doc_id", "hset", "sig"],
+            )
+
+    return df.select("doc_id", "text").mapInArrow(
+        _kernel, "doc_id long, hset array<long>, sig array<long>"
+    )
+
+
 def minhash_int_signature(hashes: Column, k: int = 4) -> Column:
     """k seeded min-hashes over an integer-hash set: affine maps
     (x*P + Q) mod 2^32 — no md5 in the signature stage at all, so

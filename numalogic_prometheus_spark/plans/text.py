@@ -533,38 +533,30 @@ def dedup_shingle_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catching reorder-invariant unigram false positives.
 
     Shingles are hashed ARITHMETICALLY (Rabin-Karp-style polynomial over
-    the token hashes, operators/dedup.py shingle_hash_col): after one md5
-    pass per token everything up to the band exchange is integer math, so
-    the per-doc features are cheap enough to RECOMPUTE for each plan leg —
-    no full-corpus cache or checkpoint at all (round 1 cached three
-    string-heavy intermediates; the checkpointed round-2 draft was still
-    the benchmark's variance magnet). The MinHash seeds are affine maps
-    (x·P+Q mod 2^32) mirrored exactly in the oracle."""
+    the token hashes): after one md5 pass per token everything up to the
+    band exchange is integer math. The corpus pass runs as one
+    vectorized Arrow kernel (operators/dedup.py shingle_features_arrow,
+    bit-identical to the JVM expression route it replaced). The MinHash
+    seeds are affine maps (x·P+Q mod 2^32) mirrored exactly in the
+    oracle."""
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    from numalogic_prometheus_spark.functions.hashing import hash32
-
-    hset = D.shingle_hash_col(
-        F.transform(D.tokens_col(F.col("text")), hash32), w=3
+    # ONE eager localCheckpoint off ONE vectorized Arrow pass (r18,
+    # guide §4.2; VERDICT r17 #4): the r17 shape computed the per-token
+    # md5 inside an interpreted higher-order-function lambda and needed
+    # two sequential pins (hset arrays, then compact sigs) — 2.3 s of
+    # the 3.65 s entry at sf0.1. shingle_features_arrow hands whole
+    # batches to hashlib/numpy and emits hset AND sig together, so the
+    # corpus pass materializes once (measured 2.24 → 0.94 s for the
+    # full entry, probe_shingle_r18.py, outputs asserted identical; the
+    # bit-exactness of the Python kernel vs the JVM expressions is
+    # pinned by tests/test_shingle_arrow_kernel.py). Both legs project
+    # from the checkpoint: the banding leg reads only (doc_id, sig),
+    # the verify legs only (doc_id, hset).
+    feats = D.shingle_features_arrow(d, k=4, w=3).transform(
+        D.truncate_lineage
     )
-    # Two eager localCheckpoints, shaped so the corpus arrays materialize
-    # exactly ONCE: higher-order functions evaluate interpreted (no
-    # codegen), so ANY pass over the token arrays costs real wall time
-    # and ProjectCollapse would re-inline the hset expression into every
-    # MinHash seed branch. Checkpoint 1 pins the hashed shingle sets (one
-    # md5 pass + integer window mixing) and feeds BOTH verify legs;
-    # checkpoint 2 carries only (doc_id, sig) — 4 ints per doc read off
-    # checkpoint 1's blocks — so the band self-join sides scan compact
-    # int rows, not a second copy of the arrays (round 6 checkpointed
-    # hset+sig together; dropping the redundant array re-materialization
-    # measured ~20% off the query's wall at sf0.1 — the dominant cost is
-    # the portable-hash corpus pass itself, which is irreducible while
-    # the oracle must reproduce every hash bit in DuckDB).
-    hsets = d.select(
-        "doc_id", F.array_distinct(hset).alias("hset")
-    ).transform(D.truncate_lineage)
-    sigs = hsets.select(
-        "doc_id", D.minhash_int_signature(F.col("hset"), k=4).alias("sig")
-    ).transform(D.truncate_lineage)
+    hsets = feats.select("doc_id", "hset")
+    sigs = feats.select("doc_id", "sig")
     cands = D.lsh_candidate_pairs(sigs, "doc_id", "sig", bands=2, rows=2)
     scored = D.jaccard_by_sets(cands, hsets, "doc_id", "hset")
     return scored.filter(F.col("jaccard") >= 0.2).select(
