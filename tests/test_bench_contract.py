@@ -181,3 +181,48 @@ def test_quiet_reference_loader():
     floors = {k: v for k, v in ref.items() if k != "_file"}
     assert len(floors) >= 80
     assert all(isinstance(v, float) and v > 0 for v in floors.values())
+
+
+def test_printed_line_is_compact():
+    """The stdout line is the driver's ONLY capture channel and its tail
+    window has truncated full provenance dumps twice (r11, r16 ->
+    parsed=null, a lost round-over-round table). Pin: contract_line
+    emits ONLY the whitelisted fields, never the provenance ledgers,
+    and stays under a 6 kB ceiling even with every HEADLINE entry
+    present (87 names alone are ~2.9 kB, so sub-2kB is impossible
+    while `queries` is contract-mandated — the ceiling bounds creep,
+    the whitelist bounds content)."""
+    import json
+
+    mod = _load_bench_module()
+    # worst-case realistic artifact: every headline entry timed, plus
+    # every provenance field a real run writes
+    out = {
+        "metric": "headline_queries_total",
+        "value": 12345.6789,
+        "unit": "sec",
+        "queries": {n: 123.4567 for n in mod.HEADLINE},
+        "sf": 0.1,
+        "value_core": 1234.5678,
+        "contended": False,
+        "artifact": "BENCH_LATEST.json",
+        # provenance that must NOT leak to stdout
+        "sentinel_series": [0.1] * 40,
+        "pass_counts": {n: 3 for n in mod.HEADLINE},
+        "min_phase_counts": {"main": 87},
+        "phase_sentinels": {"main": [0.1] * 40},
+        "late_recapture": {},
+        "outlier_repass": {},
+        "load_gate": {"waits_s": []},
+        "noisy_floors": {},
+    }
+    line = mod.contract_line(out)
+    parsed = json.loads(line)
+    assert set(parsed) == set(mod.CONTRACT_LINE_FIELDS) & set(out)
+    assert "pass_counts" not in parsed and "sentinel_series" not in parsed
+    assert "\n" not in line
+    assert len(line) < 6000, f"printed line grew to {len(line)} chars"
+    # contract fields the driver greps for are all present
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    assert len(parsed["queries"]) == len(mod.HEADLINE)
