@@ -68,10 +68,12 @@ broadcast of the fact side, no per-row lookup.
 
 from __future__ import annotations
 
+import numpy as _np
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from numalogic_prometheus_spark.functions.timeutil import epoch_us, epoch_us_sql
+from numalogic_prometheus_spark.functions.timeutil import epoch_us
 from numalogic_prometheus_spark.operators.relational import asof_join
 from numalogic_prometheus_spark.plans import register
 from numalogic_prometheus_spark.sources.tables import load_table
@@ -522,6 +524,110 @@ def _nh_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket
 
 
+def _nh_series_kernel(pdf):
+    """Per-series window-delta kernel over the pinned ``bkt`` grid —
+    one Arrow batch in, the series' full (hour window × bucket)
+    ``per_bucket`` grid out, all in exact int64 (r18, VERDICT r17 #5).
+
+    Implements the TELESCOPED delta (see the derivation comment in
+    :func:`_nh_substrate`): per (hour window, bucket)
+    ``delta_n = hsum − fcnt − ctot`` with hsum the hour's count sum,
+    fcnt the count at the window's first scrape, and ctot the sum of
+    prev-epoch totals over the window's UNFLAGGED epoch boundaries
+    (flag = any bucket's count at the boundary scrape below its
+    prev-epoch total, i.e. DetectReset). Every intermediate is an
+    integer; ds0/de are float64 conversions of exact µs integers
+    (< 2^53), so the output is bit-identical to the r17 join-web form —
+    gated row-exact by artifacts/r18/probe_nh_r18.py and the golden
+    reset fixtures. One series' state is its scrape grid × ≤ ~25
+    buckets, the same per-series bound the join web carried."""
+    import collections
+
+    et = pdf["event_type"].iloc[0]
+    m = pdf["m"].to_numpy("datetime64[us]").astype("int64")
+    idx = pdf["idx"].to_numpy("int64")
+    cnt = pdf["cnt"].to_numpy("int64")
+    HOUR = 3_600_000_000
+    # scrape grid: unique minutes, sorted
+    sm = _np.unique(m)
+    sep = sm // _EPOCH_US
+    sh = (sm // HOUR) * HOUR
+    # window stats per hour over scrapes (n ≥ 2 keeps a rate window)
+    uh, hstart = _np.unique(sh, return_index=True)
+    n = _np.diff(_np.append(hstart, sm.size))
+    first_m = sm[hstart]
+    last_m = sm[_np.append(hstart[1:], sm.size) - 1]
+    keep = n >= 2
+    uh, n, first_m, last_m = uh[keep], n[keep], first_m[keep], last_m[keep]
+    # epoch-boundary scrapes: epoch differs from the previous scrape's
+    is_bnd = _np.zeros(sm.size, dtype=bool)
+    is_bnd[1:] = sep[1:] != sep[:-1]
+    prev_ep = _np.empty(sm.size, dtype="int64")
+    prev_ep[1:] = sep[:-1]
+    prev_ep[0] = -1
+    ep = m // _EPOCH_US
+    buckets = _np.unique(idx)
+    # prev-epoch totals and boundary-scrape counts (grid-sized maps)
+    tot = collections.defaultdict(int)
+    for i, e, c in zip(idx, ep, cnt):
+        tot[(i, e)] += c
+    at = {}
+    for mm, i, c in zip(m, idx, cnt):
+        at[(mm, i)] = c
+    bnd_m = sm[is_bnd]
+    bnd_pe = prev_ep[is_bnd]
+    # series-level reset flag per boundary: ANY bucket's count at the
+    # boundary below its prev-epoch total (absent rows count as 0,
+    # matching the join web's coalesce(cnt, 0) / coalesce(tot, 0))
+    flagged = {}
+    for mm, pe in zip(bnd_m, bnd_pe):
+        f = 0
+        for b in buckets:
+            if at.get((mm, b), 0) < tot.get((b, pe), 0):
+                f = 1
+                break
+        flagged[mm] = f
+    # accumulate hsum / fcnt / ctot on the (hour, bucket) grid
+    hidx = {h: k for k, h in enumerate(uh)}
+    nb = buckets.size
+    bpos = {b: k for k, b in enumerate(buckets)}
+    hsum = _np.zeros((uh.size, nb), dtype="int64")
+    fcnt = _np.zeros((uh.size, nb), dtype="int64")
+    ctot = _np.zeros((uh.size, nb), dtype="int64")
+    fm = {h: f for h, f in zip(uh, first_m)}
+    for mm, i, c in zip(m, idx, cnt):
+        h = (mm // HOUR) * HOUR
+        k = hidx.get(h)
+        if k is None:
+            continue
+        hsum[k, bpos[i]] += c
+        if mm == fm[h]:
+            fcnt[k, bpos[i]] += c
+    for mm, pe in zip(bnd_m, bnd_pe):
+        if flagged[mm]:
+            continue
+        h = (mm // HOUR) * HOUR
+        k = hidx.get(h)
+        if k is None or mm == fm[h]:
+            continue
+        for b in buckets:
+            ctot[k, bpos[b]] += tot.get((b, pe), 0)
+    hh = _np.repeat(uh, nb)
+    bb = _np.tile(buckets, uh.size)
+    return _pd.DataFrame(
+        {
+            "event_type": et,
+            "hour": _pd.Series(hh).astype("datetime64[us]"),
+            "idx": bb,
+            "n": _np.repeat(n, nb),
+            "si_us": _np.repeat(last_m - first_m, nb),
+            "ds0": _np.repeat(first_m - uh, nb).astype("float64"),
+            "de": _np.repeat(uh + HOUR - last_m, nb).astype("float64"),
+            "delta_n": (hsum - fcnt - ctot).ravel(),
+        }
+    )
+
+
 def _nh_substrate(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -544,24 +650,19 @@ def _nh_substrate(
     )
     # Pin the bucketed relation ONCE (r17 optimization, guide §2.3
     # "shuffle keys and metadata instead of payloads" + §2.4): every
-    # downstream branch — scrape grid, bucket set, dense build, epoch
-    # totals, boundary-count lookups, window stats — derives from bkt,
-    # and without the cut each branch re-scans the raw events (the
-    # before-plan carried FOUR full scans; deriving the branches from
-    # bkt lazily does not help because Catalyst collapses
+    # downstream consumer derives from bkt, and without the cut each
+    # would re-scan the raw events (the r16 plan carried FOUR full
+    # scans; deriving lazily does not help because Catalyst collapses
     # aggregate-over-aggregate back into scans). bkt is the scrape-grid
     # relation (~96 k rows at sf0.1, grid-sized at 100 TB — the raw
     # samples are aggregated away), so the materialization is tiny
     # next to the scans it replaces.
     bkt = truncate_lineage(bkt)
     scrapes = bkt.select("event_type", "m").distinct()
-    buckets = bkt.select("event_type", "idx").distinct()
 
-    # r17 rewrite #2 (guide §1.1 first-principles + §2.3): the dense
-    # (scrape × bucket) cumulative formulation — 1.3 M rows, one
-    # full-width exchange, two window sorts — is GONE from the batch
-    # path, because the reset-corrected delta TELESCOPES. Summing the
-    # per-step increments over the hour's consecutive scrapes:
+    # The reset-corrected delta TELESCOPES (r17 rewrite #2, guide §1.1
+    # first-principles + §2.3). Summing the per-step increments over
+    # the hour's consecutive scrapes:
     #   same-epoch step i:       c(i) − c(i−1)            = cnt(i)
     #   boundary step, flagged:  c(i) − c(i−1) + prev_c(i) = cnt(i)
     #     (i−1 is the prev epoch's LAST scrape, so c(i−1) = that
@@ -570,122 +671,27 @@ def _nh_substrate(
     # hence, per (series, hour window, bucket):
     #   delta_n = Σ_{scrapes m ∈ hour, m > first_m} cnt(m)
     #           − Σ_{unflagged boundary m ∈ hour, m > first_m} tot(e'(m))
-    # — every term an aggregate of the pinned grid-sized bkt relation.
-    # A reset can only fire at an epoch-boundary scrape (cnt ≥ 0 keeps
-    # the within-epoch cum monotone), so the series-level flag is
-    # computable at the boundary from (own count, prev-epoch total) —
-    # the same small relations. Equivalence is pinned by the shared
-    # DuckDB oracle (which still evaluates the windowed form), the
-    # golden reset fixtures, and the streaming twin (which keeps
-    # _nh_deltas_from_cum on the stateful cum relation, unchanged).
-    epoch_of_m = F.expr(f"{epoch_us_sql('m')} DIV {_EPOCH_US}")
-    epoch_tot = bkt.groupBy(
-        "event_type", "idx", epoch_of_m.alias("tot_epoch")
-    ).agg(F.sum("cnt").alias("tot"))
-    scr_epochs = scrapes.select(
-        "event_type", "m", epoch_of_m.alias("epoch")
-    ).withColumn(
-        "prev_epoch",
-        F.lag("epoch").over(W.partitionBy("event_type").orderBy("m")),
-    )
-    boundary = scr_epochs.filter(
-        F.col("prev_epoch").isNotNull()
-        & (F.col("prev_epoch") != F.col("epoch"))
-    ).select("event_type", "m", "prev_epoch")
-    epoch_tot = epoch_tot.select(
-        F.col("event_type").alias("et_t"),
-        F.col("idx").alias("idx_t"),
-        "tot_epoch",
-        "tot",
-    )
-    # per-(boundary, idx) comparison rows: own count vs prev-epoch
-    # total — feed BOTH the series-level flag (max over idx) and the
-    # unflagged-boundary correction term
-    bcmp = (
-        boundary.join(buckets, "event_type")
-        .join(bkt, ["event_type", "m", "idx"], "left")
-        .join(
-            epoch_tot,
-            (F.col("et_t") == F.col("event_type"))
-            & (F.col("idx_t") == F.col("idx"))
-            & (F.col("tot_epoch") == F.col("prev_epoch")),
-            "left",
-        )
-        .select(
-            "event_type",
-            "m",
-            "idx",
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("bcnt"),
-            F.coalesce(F.col("tot"), F.lit(0)).alias("btot"),
-        )
-    )
-    flags = bcmp.groupBy("event_type", "m").agg(
-        F.max(
-            F.when(F.col("bcnt") < F.col("btot"), F.lit(1)).otherwise(F.lit(0))
-        ).alias("reset")
-    )
-
-    win = (
-        scrapes.groupBy("event_type", F.date_trunc("hour", "m").alias("hour"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.min("m").alias("first_m"),
-            F.max("m").alias("last_m"),
-        )
-        .filter(F.col("n") >= 2)
-    )
-    hour_sums = bkt.groupBy(
-        "event_type", F.date_trunc("hour", "m").alias("hour"), "idx"
-    ).agg(F.sum("cnt").alias("hsum"))
-    # count at the window's first scrape (subtracted: steps start at
-    # the scrape AFTER first_m)
-    first_cnt = (
-        bkt.join(
-            F.broadcast(
-                win.select(
-                    "event_type", "hour", F.col("first_m").alias("m")
-                )
-            ),
-            ["event_type", "m"],
-        )
-        .select("event_type", "hour", "idx", F.col("cnt").alias("fcnt"))
-    )
-    # unflagged epoch-boundary corrections, per (series, hour, bucket):
-    # boundaries strictly after first_m whose series-level flag is 0
-    corr = (
-        bcmp.join(F.broadcast(flags.filter(F.col("reset") == 0)), ["event_type", "m"])
-        .withColumn("hour", F.date_trunc("hour", "m"))
-        .join(
-            F.broadcast(win.select("event_type", "hour", "first_m")),
-            ["event_type", "hour"],
-        )
-        .filter(F.col("m") != F.col("first_m"))
-        .groupBy("event_type", "hour", "idx")
-        .agg(F.sum("btot").alias("ctot"))
-    )
-    grid = win.join(buckets, "event_type")
-    per_bucket = (
-        grid.join(hour_sums, ["event_type", "hour", "idx"], "left")
-        .join(first_cnt, ["event_type", "hour", "idx"], "left")
-        .join(corr, ["event_type", "hour", "idx"], "left")
-        .select(
-            "event_type",
-            "hour",
-            "idx",
-            "n",
-            (epoch_us("last_m") - epoch_us("first_m")).alias("si_us"),
-            (epoch_us("first_m") - epoch_us("hour"))
-            .cast("double")
-            .alias("ds0"),
-            (epoch_us("hour") + F.lit(3_600_000_000) - epoch_us("last_m"))
-            .cast("double")
-            .alias("de"),
-            (
-                F.coalesce(F.col("hsum"), F.lit(0))
-                - F.coalesce(F.col("fcnt"), F.lit(0))
-                - F.coalesce(F.col("ctot"), F.lit(0))
-            ).alias("delta_n"),
-        )
+    # The r17 form evaluated those terms as ~6 aggregate branches over
+    # bkt stitched by ~22 grid-sized broadcast joins; at any scale each
+    # stage is tiny, so the entry cost was pure STAGE COUNT (42 reads
+    # of the pinned relation). r18 (VERDICT r17 #5, guide §2.3
+    # aggregate-before-shuffle + §4.2): ONE applyInPandas pass per
+    # series over the pinned grid evaluates the whole
+    # boundary/epoch/window machinery vectorized in exact int64 —
+    # 2 exchanges total (the (et,m,idx) aggregate feeding the pin and
+    # the per-series regroup). Output gated row-exact against the
+    # join-web form (artifacts/r18/probe_nh_r18.py: nonzero-delta rows
+    # and all entry outputs identical; 2.0 → 1.2 s). Per-series state
+    # is the series' own scrape grid × ≤ ~25 buckets; parallelism is
+    # the series count, the natural 100 TB partitioning. Semantics
+    # stay pinned by the shared DuckDB oracle (which still evaluates
+    # the windowed form), the golden reset fixtures, and the streaming
+    # twin (which keeps _nh_deltas_from_cum on the stateful cum
+    # relation, unchanged).
+    per_bucket = bkt.groupBy("event_type").applyInPandas(
+        _nh_series_kernel,
+        "event_type string, hour timestamp, idx long, n long, "
+        "si_us long, ds0 double, de double, delta_n long",
     )
     return per_bucket, scrapes
 

@@ -361,14 +361,9 @@ def test_registry_wide_join_lint(spark, sf_dir):
         # left-anti survivor filter on an outer join: isnull(probe id)
         # OR canonical==self — two-sided by construction
         "dedup_semantic_survivors",
-        # telescoped NH substrate: delta_n = hsum − fcnt − ctot spans
-        # THREE left-join sides (hour sums, first-scrape counts,
-        # boundary corrections), so the semantic delta_n<>0 / >0
-        # filters (oracle WHERE clauses) cannot be pushed below any
-        # single join — three-sided by construction; all relations
-        # involved are grid-sized
-        "promql_native_histogram_rate",
-        "promql_native_histogram_rate_quantile",
+        # (the r17 NH-substrate exclusions are gone: the r18 kernel
+        # substrate has no joins for a delta_n filter to sit above —
+        # see test_nh_substrate_is_one_kernel_pass below)
     }
     late_filters = {}
     unbounded_cross = {}
@@ -389,6 +384,25 @@ def test_registry_wide_join_lint(spark, sf_dir):
     unexpected = {n: v for n, v in late_filters.items() if n not in allow}
     assert not unexpected, f"unpushed filters above joins: {unexpected}"
     assert not unbounded_cross, f"cross joins without a broadcast-bounded side: {unbounded_cross}"
+
+
+def test_nh_substrate_is_one_kernel_pass(spark, sf_dir):
+    """The r18 NH substrate (VERDICT r17 #5): the rate entry's plan
+    above the pinned grid must be ONE per-series kernel pass — a single
+    Exchange (the event_type regroup), a single read of the pinned
+    ExistingRDD, one FlatMapGroupsInPandas, and NO joins. The r17
+    telescoped join web read the pinned relation 28× across 60
+    Exchanges (plans/r18/promql_native_histogram_rate_before.txt); the
+    entry cost was pure stage count."""
+    plan = _plan(spark, sf_dir, "promql_native_histogram_rate")
+    # every node appears twice in explain("formatted"): once in the
+    # tree, once in the numbered detail section
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("FlatMapGroupsInPandas") == 2, phys[:800]
+    assert phys.count("Exchange") == 2, phys[:800]
+    assert phys.count("Scan ExistingRDD") == 2, phys[:800]
+    assert "Join" not in phys, phys[:800]
+    assert "Scan parquet" not in phys, "raw events must not be re-scanned"
 
 
 def test_filtered_ann_pushes_label_filter(spark, sf_dir):
