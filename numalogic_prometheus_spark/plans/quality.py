@@ -86,56 +86,101 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-space-joined text); bigram char counts exclude the joiner
     space. All numerators/denominators integer until one final exact
     division."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = _toks(docs)
-    uni = (
-        base.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    uagg = uni.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.max("c").alias("top_count"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max(F.col("c") * F.length("term")).alias("top_token_chars"),
-    )
-    n = F.size("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(
-            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
-        ),
-    )
-    bi = (
-        base.filter(n >= 2)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bagg = bi.groupBy("doc_id").agg(
-        F.max(F.col("c") * (F.length("gram") - 1)).alias("top_bigram_chars")
-    )
-    chars = (F.col("n_chars") - F.col("n_tokens") + 1).cast("double")
-    return (
-        uagg.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .join(bagg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_distinct",
-            "top_count",
-            # unrounded exact-integer ratios: bit-identical doubles in
-            # both engines; in-query round(x, 6) is the only possible
-            # divergence (.5e-6 ties, the round-8 sf0.1 sweep class)
-            (1 - F.col("n_distinct") / F.col("n_tokens").cast("double"))
-            .alias("dup_token_frac"),
-            (F.col("top_count") / F.col("n_tokens").cast("double"))
-            .alias("top_token_frac"),
-            (F.col("top_token_chars") / chars).alias("top_token_char_frac"),
-            (
-                F.coalesce(F.col("top_bigram_chars"), F.lit(0)) / chars
-            ).alias("top_bigram_char_frac"),
+    # r18 (guide §2.3/§4.2): every output here is a PER-DOC aggregate,
+    # yet the old form exploded the corpus twice (unigrams + bigrams),
+    # paid groupBy(doc_id, term)+groupBy(doc_id) exchanges on each leg
+    # (~1 M exploded rows at sf0.1) and stitched three relations back
+    # with joins. One Arrow pass computes the same exact-integer
+    # numerators/denominators and the same IEEE division sequence
+    # inside the row: zero exchanges, zero joins (plan pinned by
+    # test_repetition_stats_is_exchange_free). Bit-exact on the full
+    # corpus incl. doubles (probe_rep_r18: 1.32 → 0.46 s min-of-4);
+    # edge semantics (NULL text, empty/whitespace text, single-token
+    # docs) pinned against the old form's explode/join behavior in
+    # tests/test_repetition_kernel.py. At 100 TB this is a map-only
+    # stage over the documents scan — the explode form's exchanges
+    # shuffled ~200× the corpus row count.
+    return quality_repetition_kernel(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
         )
+    )
+
+
+def quality_repetition_kernel(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, n_chars) → the repetition-stats relation in one
+    mapInArrow pass. Token lengths use Python ``len`` (code points) —
+    identical to JVM ``length`` and DuckDB ``length`` on the BMP text
+    this corpus carries; docs whose token array is NULL or empty drop,
+    mirroring the explode form (explode of NULL/[] emits nothing, and
+    the final join was inner on the unigram leg)."""
+
+    def _kernel(batch_iter):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for batch in batch_iter:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            ncs = batch.column("n_chars").to_pylist()
+            out: dict = {
+                "doc_id": [], "n_tokens": [], "n_distinct": [],
+                "top_count": [], "dup_token_frac": [], "top_token_frac": [],
+                "top_token_char_frac": [], "top_bigram_char_frac": [],
+            }
+            for did, t, nc in zip(doc_ids, texts, ncs):
+                if t is None:
+                    continue
+                toks = [x for x in t.split(" ") if x != ""]
+                if not toks:
+                    continue
+                uni = Counter(toks)
+                n_tokens = len(toks)
+                n_distinct = len(uni)
+                top_count = max(uni.values())
+                top_token_chars = max(c * len(term) for term, c in uni.items())
+                if n_tokens >= 2:
+                    bi = Counter(zip(toks, toks[1:]))
+                    # top bigram chars exclude the joiner space:
+                    # c · (len(a) + len(b)) == the old c · (length(gram) − 1)
+                    top_bigram_chars = max(
+                        c * (len(a) + len(b)) for (a, b), c in bi.items()
+                    )
+                else:
+                    top_bigram_chars = 0
+                chars = float(nc - n_tokens + 1)
+                out["doc_id"].append(did)
+                out["n_tokens"].append(n_tokens)
+                out["n_distinct"].append(n_distinct)
+                out["top_count"].append(top_count)
+                out["dup_token_frac"].append(1 - n_distinct / float(n_tokens))
+                out["top_token_frac"].append(top_count / float(n_tokens))
+                out["top_token_char_frac"].append(top_token_chars / chars)
+                out["top_bigram_char_frac"].append(top_bigram_chars / chars)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["doc_id"], type=pa.int64()),
+                    pa.array(out["n_tokens"], type=pa.int64()),
+                    pa.array(out["n_distinct"], type=pa.int64()),
+                    pa.array(out["top_count"], type=pa.int64()),
+                    pa.array(out["dup_token_frac"], type=pa.float64()),
+                    pa.array(out["top_token_frac"], type=pa.float64()),
+                    pa.array(out["top_token_char_frac"], type=pa.float64()),
+                    pa.array(out["top_bigram_char_frac"], type=pa.float64()),
+                ],
+                names=[
+                    "doc_id", "n_tokens", "n_distinct", "top_count",
+                    "dup_token_frac", "top_token_frac",
+                    "top_token_char_frac", "top_bigram_char_frac",
+                ],
+            )
+
+    return docs.mapInArrow(
+        _kernel,
+        "doc_id long, n_tokens long, n_distinct long, top_count long, "
+        "dup_token_frac double, top_token_frac double, "
+        "top_token_char_frac double, top_bigram_char_frac double",
     )
 
 

@@ -405,6 +405,22 @@ def test_nh_substrate_is_one_kernel_pass(spark, sf_dir):
     assert "Scan parquet" not in phys, "raw events must not be re-scanned"
 
 
+def test_repetition_stats_is_exchange_free(spark, sf_dir):
+    """quality_repetition_stats (r18): every output is a per-doc
+    aggregate, so the plan must be one map-only Arrow pass over the
+    documents scan — no Exchange, no Join, no explode (Generate). The
+    old form shuffled ~200× the corpus row count across two explode
+    legs (plans/r18/quality_repetition_stats_before.txt)."""
+    plan = _plan(spark, sf_dir, "quality_repetition_stats")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in phys, phys[:800]
+    assert "Join" not in phys, phys[:800]
+    assert "Generate" not in phys, phys[:800]
+    assert phys.count("Scan parquet") == 2  # tree + detail: one scan
+    # column pruning reaches the scan: only the 3 needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in phys
+
+
 def test_filtered_ann_pushes_label_filter(spark, sf_dir):
     """vec_ann_filtered_topk: the metadata predicate must reach the
     corpus parquet scan (PushedFilters), not run as a post-filter above
